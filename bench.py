@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line with per-query wall-clock.
+
+Runs every declared query (SURVEY.md §2.9) at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``; each
+query is planned and fully executed (count-collapsed via a no-op sink
+``df.write.format("noop")``) after a warm-up pass of the same plan so the
+number reflects steady-state execution, not JVM warm-up.
+
+Output: {"metric": "total_query_sec", "value": N, "unit": "sec",
+         "queries": {"q1": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eea_crawler_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_query(df) -> None:
+    # noop sink executes the whole plan without driver-side materialization
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
+    spark = get_spark("eea_crawler_spark-bench")
+
+    from eea_crawler_spark.plans import QUERIES
+
+    timings: dict[str, float] = {}
+    if warmup:
+        # one full pass to warm codegen/JIT and the file-listing caches
+        for name, fn in QUERIES.items():
+            run_query(fn(spark, sf_dir))
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
