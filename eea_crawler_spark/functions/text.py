@@ -1,0 +1,135 @@
+"""Text-analysis column expressions (JVM-side, no Python UDFs).
+
+Re-expresses the reference's text surface (cleanhtml
+``dags/normalizers/lib/normalizers.py:210-216``, readingTime wordcount
+``normalizers.py:285-291``, first-100-words ``normalizers.py:585-588``)
+plus the training-data-pipeline extensions (language-ID heuristic,
+quality scoring, token counting, document fingerprinting). Every helper
+returns a Column built from built-in functions so the whole pipeline
+stays inside WholeStageCodegen — no Arrow transfer, no Python in the
+hot path.
+
+Portability: each expression has a DuckDB-SQL twin in plans/extras.py;
+only engine-portable primitives (length/replace/regexp/md5/LIKE) are
+used so the oracle hash-compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: runs of alphanumerics, or single non-space symbols.
+TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language function-word marker sets for the n-gram/stopword
+# language heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "les", "et", "une", "est"),
+    "es": ("el", "los", "que", "por", "una"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+EN_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
+
+
+def clean_html(col: Column) -> Column:
+    """Strip HTML tags (reference cleanhtml, normalizers.py:210-216)."""
+    return F.regexp_replace(col, "<[^>]*>", "")
+
+
+def normalize_ws(col: Column) -> Column:
+    """Collapse whitespace runs, trim, lowercase — dedup canonical form."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: md5 over the canonical form."""
+    return F.md5(normalize_ws(col).cast("binary"))
+
+
+def ws_wordcount(col: Column) -> Column:
+    """Whitespace word count via length arithmetic (portable, codegen)."""
+    return F.length(col) - F.length(F.replace(col, F.lit(" "), F.lit(""))) + 1
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual symbols."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def reading_time(col: Column, lang: Column, wpm: int = 228) -> Column:
+    """readingTime (normalizers.py:289-291): words/228, -1 off-language."""
+    return (
+        F.when(lang == "en", F.round(ws_wordcount(col) / float(wpm), 4))
+        .otherwise(F.lit(-1))
+        .cast("double")
+    )
+
+
+def _word_hit(col: Column, word: str) -> Column:
+    # standalone-word containment, expressed with LIKE so the DuckDB twin
+    # is literally the same predicate
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return padded.like(f"% {word} %").cast("int")
+
+
+def marker_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """How many of the marker words occur (as standalone words)."""
+    out = F.lit(0)
+    for w in words:
+        out = out + _word_hit(col, w)
+    return out
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    low = F.lower(col)
+    return {lang: marker_hits(low, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language with fixed priority order; 'und' when no marker hits."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+
+
+def quality_columns(col: Column) -> dict[str, Column]:
+    """Quality-scoring features: lengths, ratios, stopword density."""
+    n_words = ws_wordcount(col)
+    n_nonspace = F.length(F.replace(col, F.lit(" "), F.lit("")))
+    stop_hits = marker_hits(F.lower(col), EN_STOPWORDS)
+    return {
+        "n_chars": F.length(col),
+        "n_words": n_words,
+        "avg_word_len": F.round(n_nonspace.cast("double") / n_words, 4),
+        "punct_ratio": F.round(punct_count(col).cast("double") / F.length(col), 4),
+        "stop_hits": stop_hits,
+    }
+
+
+def quality_label(cols: dict[str, Column]) -> Column:
+    """Deterministic keep/low-quality verdict from the feature columns."""
+    ok = (
+        (cols["n_words"] >= 5)
+        & (cols["n_words"] <= 100000)
+        & (cols["avg_word_len"] >= 2.0)
+        & (cols["avg_word_len"] <= 12.0)
+        & (cols["punct_ratio"] <= 0.2)
+    )
+    return F.when(ok, F.lit("ok")).otherwise(F.lit("low"))
+
+
+def first_n_words(col: Column, n: int = 100) -> Column:
+    """First-100-words fallback description (normalizers.py:585-588)."""
+    return F.array_join(F.slice(F.split(col, " "), 1, n), " ")

@@ -1,0 +1,302 @@
+"""Deduplication operators for large text corpora.
+
+Generalizes the reference's dup handling (first-seen dedup
+``dags/crawlers/crawlers/crawl_sitemap.py:217-220``, id-key upsert
+``logstash/pipeline/search_pipeline.conf:14-18``, SequenceMatcher
+similarity join ``crawl_plone_restapi.py:57-58,298-318``) to the suite a
+training-data pipeline needs: exact keyed dedup, n-gram Jaccard, MinHash
++ LSH banding, and SimHash — all as declarative DataFrame plans built
+from built-in functions (xxhash64, higher-order array ops), no Python
+UDFs.
+
+Scale design:
+  - shingling/signatures are per-row narrow transforms (no shuffle);
+  - candidate generation shuffles on (band_idx, band_hash) — a key whose
+    cardinality grows with the corpus, so it stays well-distributed at
+    100 TB; identical docs land in the same bucket, which is exactly the
+    skew AQE's skew-join handling splits;
+  - exact verification runs only on candidate pairs (LSH output), never
+    on the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from eea_crawler_spark.functions.text import clean_html
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's default parallelism.
+
+    Heavy narrow transforms (shingling, hashing) inherit the scan's
+    partitioning; a small/single-file local scan would serialize them on
+    one core. One cheap row-shuffle up front buys full-width execution —
+    at real scale, input splits already provide width and this becomes a
+    near-no-op rebalance before CPU-bound work.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def keyed_dedup_first_wins(
+    df: DataFrame, key: F.Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content key, first-wins retention (reference O3/O4).
+
+    Returns the *dropped* rows with their kept counterpart:
+    (dropped_id, keep_id, key). Single shuffle on the key.
+    """
+    w = W.partitionBy("key")
+    return (
+        df.select(F.col(id_col), key.alias("key"))
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col(id_col).alias("dropped_id"), "keep_id", "key")
+    )
+
+
+def prefix_dedup(df: DataFrame, text_col: str = "text", n: int = 20) -> DataFrame:
+    """Exact dedup keyed on the cleaned text prefix (SURVEY Q22 shape)."""
+    key = F.substring(clean_html(F.col(text_col)), 1, n)
+    return keyed_dedup_first_wins(df, key).orderBy("dropped_id", "keep_id", "key")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Built with sequence+transform (codegen) rather than a UDF; documents
+    shorter than n words produce no shingles (matches the DuckDB oracle
+    where generate_series(1, len-2) is empty).
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.get(w, i - 1 + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _spread(df).select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Jaccard for doc pairs sharing ≥1 shingle (inverted-index join).
+
+    ``pairs`` (doc_a, doc_b) optionally restricts to candidate pairs.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    return (
+        inter.join(sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na")), ["doc_a"])
+        .join(sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb")), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    Exact (recall 1.0): the inverted-index join on shingles enumerates
+    every pair that shares at least one shingle — any pair above a
+    positive threshold must. The shuffle key is the shingle, so hot
+    shingles (common phrases) are the skew point; at scale, drop
+    ultra-frequent shingles (document frequency cap) before the join.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    return (
+        _pair_jaccard(sh)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: array<long> of per-permutation minima.
+
+    Permutation i is xxhash64(i, shingle). Plan: exploded shingles →
+    one hash-aggregate with ``num_hashes`` ``min`` columns. Each shingle
+    is materialized once and hashed ``num_hashes`` times — all codegen —
+    and the map-side partial aggregation means the shuffle carries one
+    ``num_hashes``-wide row per (partition, doc), not per shingle.
+    (A nested transform/array_min expression computes the same thing
+    shuffle-free but re-evaluates the shingle array once per permutation
+    — measured ~60× slower; the aggregate form wins at every scale.)
+
+    Docs with fewer than ``n`` words have no shingles and are absent
+    from the output (they can never pass a positive Jaccard threshold).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Plan: signatures (narrow) → band hashes → explode → self-join on
+    (band_idx, band_hash) → distinct candidates → exact Jaccard on the
+    candidate set only. With 16 bands × 4 rows the candidate probability
+    at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9997.
+
+    Output: (doc_a, doc_b, est_jaccard, jaccard) for jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
+    )
+    banded = sigs.filter(F.size("sig") > 0).select(
+        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")), ["doc_a"])
+        .join(sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+                    )
+                ).cast("double")
+                / num_hashes,
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = _pair_jaccard(shingles(df, text_col, id_col, n), pairs=cand)
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc as four 16-bit band columns (sh0..sh3).
+
+    Exploded-token plan: tokens → xxhash64 → per-bit ±1 vote summed in
+    one groupBy (map-side partial agg does the heavy lifting), then the
+    64 vote signs are packed into 4×16-bit ints. Bands avoid 64-bit
+    sign-bit overflow and give the LSH join key for free.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            if b < 63
+            else F.when(F.col("h") < 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    bands = []
+    for band in range(4):
+        expr = F.lit(0)
+        for j in range(16):
+            b = band * 16 + j
+            expr = expr + F.when(F.col(f"v{b}") >= 0, F.lit(1 << j)).otherwise(0)
+        bands.append(expr.alias(f"sh{band}"))
+    return voted.select("id", *bands)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Doc pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidates = pairs agreeing on ≥1 of the 4 bands (catches all pairs
+    with distance ≤ 3 exactly; a heuristic recall filter above that).
+    """
+    sh = simhash_bands(df, text_col, id_col)
+    banded = sh.select(
+        "id",
+        F.posexplode(F.array("sh0", "sh1", "sh2", "sh3")).alias("band_idx", "band_val"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("doc_a"), *[F.col(f"sh{i}").alias(f"a{i}") for i in range(4)])
+    b = sh.select(F.col("id").alias("doc_b"), *[F.col(f"sh{i}").alias(f"b{i}") for i in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(a, ["doc_a"])
+        .join(b, ["doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference stores 768-d dense vectors for ES kNN serving
+(``dags/variables.json:2319-2327``, ``dags/lib/elastic.py:107-109``);
+here the engine itself answers neighbor queries:
+
+  - ``brute_force_topk`` — exact cosine top-k: broadcast the query set
+    against the corpus, one narrow pass, per-query window top-k. The
+    right baseline whenever |queries| is small enough to broadcast.
+  - ``neardup_pairs`` — all corpus pairs above a cosine threshold
+    (embedding near-dup dedup); exact, O(n²) — use for modest corpora
+    or post-LSH candidate verification.
+  - ``hyperplane_lsh_topk`` — the scale path: deterministic random
+    hyperplane signatures bucket the corpus; candidates are only
+    same-bucket rows, so the join is (bucket)-keyed instead of a cross
+    product. Approximate (recall < 1), so it has no SQL oracle.
+
+All vector math lives in functions/vectors.py (built-in higher-order
+functions, double-cast, sequential sums) for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from eea_crawler_spark.functions.vectors import dot, norm
+
+
+def _rename(df: DataFrame, prefix: str, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
+    )
+
+
+def _with_norm(df: DataFrame, prefix: str, id_col: str, vec_col: str) -> DataFrame:
+    """Project (id, vec, ‖vec‖) once per row, pre-join.
+
+    Norms computed inside the pair join are re-evaluated per *pair*
+    (O(n·k) extra higher-order-function work); hoisting them to the
+    sides makes the per-pair cost a single dot product. Numerically
+    identical: same sqrt(dot(v,v)) expression, same sequential sum.
+    """
+    return _rename(df, prefix, id_col, vec_col).withColumn(
+        f"{prefix}_nrm", norm(F.col(f"{prefix}_vec"))
+    )
+
+
+def _pair_cos(a: str, b: str, digits: int = 4):
+    return F.round(
+        dot(F.col(f"{a}_vec"), F.col(f"{b}_vec"))
+        / (F.col(f"{a}_nrm") * F.col(f"{b}_nrm")),
+        digits,
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to default parallelism so the pair-generation join
+    fans out across all cores even when the scan is a single small file
+    (local bench); at cluster scale input splits already provide width."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (q_id, vec_id, rnk, cos); self-matches excluded. Cosine is
+    rounded to 4 digits *before* ranking so the ordering (and therefore
+    the top-k set) is reproducible across engines; vec_id breaks ties.
+    """
+    q = _with_norm(queries, "q", id_col, vec_col)
+    c = _with_norm(_spread(corpus), "c", id_col, vec_col)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id"),
+            F.col("c_id").alias(id_col),
+            _pair_cos("q", "c").alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "rnk", "cos")
+        .orderBy("q_id", "rnk", id_col)
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
+
+    Exact and therefore O(n²) pairs by construction; the broadcast-
+    nested-loop form parallelizes over the (repartitioned) left side.
+    At corpus sizes where n² is unpayable, use ``hyperplane_lsh_topk``
+    buckets as the candidate generator instead.
+    """
+    a = _with_norm(_spread(corpus), "a", id_col, vec_col)
+    b = _with_norm(corpus, "b", id_col, vec_col)
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            _pair_cos("a", "b").alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("a_id", "b_id", "cos")
+    )
+
+
+def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded, reproducible across runs)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def _bucket_expr(vec, planes: list[list[float]]):
+    """Sign-bit bucket id from the hyperplane projections (pure codegen)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0)
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the hyperplane bucket.
+
+    The corpus is scanned once to attach bucket ids (narrow); the join
+    key is (bucket), so work scales with bucket occupancy, not corpus².
+    Multi-probe (flipping one bit) would raise recall; kept single-probe
+    here for plan clarity. No oracle — approximate by construction.
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    c = _with_norm(_spread(corpus), "c", id_col, vec_col).withColumn(
+        "bucket", _bucket_expr(F.col("c_vec"), planes)
+    )
+    q = _with_norm(queries, "q", id_col, vec_col).withColumn(
+        "bucket", _bucket_expr(F.col("q_vec"), planes)
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c_id").alias(id_col),
+            _pair_cos("q", "c").alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "rnk", "cos")
+        .orderBy("q_id", "rnk", id_col)
+    )

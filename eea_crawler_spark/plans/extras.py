@@ -1,0 +1,279 @@
+"""Training-data pipeline operators as declared queries (beyond §2.9).
+
+Each entry pairs an idiomatic DataFrame plan over the driver's
+``documents`` / ``embeddings`` tables with a DuckDB oracle; oracle SQL
+for the text ops is *generated from the same Python constants* as the
+Spark expressions so the two sides cannot drift. Hash-based operators
+(MinHash/SimHash/hyperplane-LSH) are deliberately oracle-less — their
+signatures depend on xxhash64, which DuckDB does not share — and get the
+driver's rows-only check.
+
+DuckDB dialect notes (why some oracle strings differ in spelling):
+  - regexp_replace needs the 'g' flag to replace all (Spark always does);
+  - list ops are list_transform/list_sum; generate_series(1, n<1) is
+    empty, matching the Spark-side guard for docs shorter than the
+    shingle width.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.functions import text as TX
+from eea_crawler_spark.operators import dedup as DD
+from eea_crawler_spark.operators import multimodal as MM
+from eea_crawler_spark.operators import similarity as SIM
+from eea_crawler_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.8
+NEARDUP_COS_THRESHOLD = 0.4
+ANN_K = 5
+ANN_QUERY_MAX_ID = 10
+
+
+# ---------- text analysis ----------
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id", "fingerprint")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.ws_wordcount(F.col("text")).alias("ws_tokens"),
+        TX.regex_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id", "ws_tokens", "bpe_tokens")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        F.greatest(*scores.values()).alias("score"),
+    ).orderBy("doc_id", "pred_lang", "score")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cols = TX.quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_words"].alias("n_words"),
+        cols["avg_word_len"].alias("avg_word_len"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stop_hits"].alias("stop_hits"),
+        TX.quality_label(cols).alias("label"),
+    ).orderBy("doc_id")
+
+
+# ---------- dedup ----------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.prefix_dedup(docs)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(docs)
+
+
+# ---------- embeddings / similarity ----------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return SIM.brute_force_topk(emb, queries, k=ANN_K)
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs(emb, threshold=NEARDUP_COS_THRESHOLD)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return SIM.hyperplane_lsh_topk(emb, queries, k=ANN_K)
+
+
+# ---------- multimodal ----------
+
+
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_media(MM.documents_as_media(docs)).orderBy("media_id")
+
+
+# ---------- oracle SQL generation (same constants as the Spark side) ----
+
+
+def _hits_sql(words: tuple[str, ...], col: str = "text") -> str:
+    return " + ".join(
+        f"CAST(((' ' || lower({col}) || ' ') LIKE '% {w} %') AS INT)" for w in words
+    )
+
+
+def _langid_sql() -> str:
+    score_defs = ",\n         ".join(
+        f"{_hits_sql(TX.LANG_MARKERS[lang])} AS s_{lang}" for lang in TX.LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in TX.LANG_ORDER) + ")"
+    pred = "'und'"
+    for lang in reversed(TX.LANG_ORDER):
+        pred = (
+            f"CASE WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}' ELSE {pred} END"
+        )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {score_defs}
+  FROM documents)
+SELECT doc_id, {pred} AS pred_lang, {best} AS score
+FROM s ORDER BY doc_id, pred_lang, score"""
+
+
+def _quality_sql() -> str:
+    stop_hits = _hits_sql(TX.EN_STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+         length(replace(text, ' ', '')) AS n_nonspace,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         {stop_hits} AS stop_hits
+  FROM documents),
+g AS (
+  SELECT doc_id, n_chars, n_words,
+         ROUND(CAST(n_nonspace AS DOUBLE) / n_words, 4) AS avg_word_len,
+         ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+         stop_hits
+  FROM f)
+SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stop_hits,
+       CASE WHEN n_words >= 5 AND n_words <= 100000
+             AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+             AND punct_ratio <= 0.2
+            THEN 'ok' ELSE 'low' END AS label
+FROM g ORDER BY doc_id"""
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _ann_sql() -> str:
+    nrm = _DOT_SQL.format(a="embedding", b="embedding")
+    dot = _DOT_SQL.format(a="q.qe", b="e.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e
+      WHERE vec_id < {ANN_QUERY_MAX_ID}),
+scored AS (
+  SELECT q.q_id, e.vec_id, ROUND({dot} / (q.qn * e.nrm), 4) AS cos
+  FROM e, q WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored)
+SELECT q_id, vec_id, rnk, cos FROM r WHERE rnk <= {ANN_K}
+ORDER BY q_id, rnk, vec_id"""
+
+
+def _neardup_sql() -> str:
+    nrm = _DOT_SQL.format(a="embedding", b="embedding")
+    dot = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND({dot} / (a.nrm * b.nrm), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({dot} / (a.nrm * b.nrm), 4) >= {NEARDUP_COS_THRESHOLD}
+ORDER BY a_id, b_id, cos"""
+
+
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_fingerprint": text_fingerprint,
+    "text_tokens": text_tokens,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "mm_decode_stub": mm_decode_stub,
+}
+
+EXTRA_ORACLE: dict[str, str] = {
+    "text_fingerprint": """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents ORDER BY doc_id, fingerprint""",
+    "text_tokens": f"""
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+       len(regexp_extract_all(text, '{TX.TOKEN_RE}')) AS bpe_tokens
+FROM documents ORDER BY doc_id, ws_tokens, bpe_tokens""",
+    "text_langid": _langid_sql(),
+    "text_quality": _quality_sql(),
+    "dedup_exact": """
+WITH k AS (SELECT doc_id, substr(regexp_replace(text, '<[^>]*>', '', 'g'), 1, 20) AS key
+           FROM documents),
+g AS (SELECT key, MIN(doc_id) AS keep_id, COUNT(*) AS c FROM k GROUP BY key)
+SELECT k.doc_id AS dropped_id, g.keep_id, k.key AS key
+FROM k JOIN g ON k.key = g.key
+WHERE g.c > 1 AND k.doc_id <> g.keep_id
+ORDER BY dropped_id, keep_id, 3""",
+    "dedup_ngram_jaccard": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b, jaccard""",
+    "ann_cosine_topk": _ann_sql(),
+    "emb_neardup_pairs": _neardup_sql(),
+    "mm_decode_stub": """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS feature,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width
+FROM documents ORDER BY media_id""",
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: hash-based &
+    # approximate — no SQL oracle (driver rows-only check).
+}

@@ -1,0 +1,49 @@
+"""Training-data operators vs the DuckDB oracle + rows-only sanity checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from eea_crawler_spark.plans.extras import EXTRA_ORACLE, EXTRA_QUERIES
+from tests.oracle_utils import assert_match, duckdb_connect
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_ORACLE))
+def test_extra_matches_oracle(name, spark, sf_dir, con):
+    df = EXTRA_QUERIES[name](spark, sf_dir)
+    assert_match(name, df, con, EXTRA_ORACLE[name])
+
+
+@pytest.mark.parametrize("name", sorted(set(EXTRA_QUERIES) - set(EXTRA_ORACLE)))
+def test_oracle_less_extras_run(name, spark, sf_dir):
+    df = EXTRA_QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    assert rows is not None
+    assert df.columns  # stable schema
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover every pair the exact join finds ≥0.8."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in EXTRA_QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in EXTRA_QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert exact == lsh, f"missed={exact - lsh} spurious={lsh - exact}"
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
+    """LSH top-k rows must be real corpus vectors with sane ranks."""
+    rows = EXTRA_QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    assert all(1 <= r.rnk <= 5 for r in rows)
+    assert all(r.q_id != r.vec_id for r in rows)

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from eea_crawler_spark.plans import ORACLE, QUERIES
+from eea_crawler_spark.plans.queries import ORACLE, QUERIES
 from tests.oracle_utils import assert_match, duckdb_connect
 
 
