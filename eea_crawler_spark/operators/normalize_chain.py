@@ -1,0 +1,401 @@
+"""The common_normalizer chain as one generated Catalyst plan.
+
+Reproduces the semantics and *order* of the reference's canonical
+normalize pipeline (``dags/normalizers/lib/normalizers.py:496-607``,
+order documented in SURVEY.md §2.5): flatten → value maps → normObj →
+normProp renames → normObj again (renamed fields get value-normalized
+too, the reference's double application at normalizers.py:550-552 and
+581-583) → default fill → array hygiene → domain enrichments → fulltext
+→ counts → proplist projection.
+
+Everything is column expressions over a fixed envelope schema; the
+chain builds ONE DataFrame plan (no intermediate actions), so Catalyst
+sees the whole pipeline and prunes/pushes across every step. Per-site
+plugins compose on top by transforming the returned DataFrame further
+(see sites.py); dispatch is a union of per-site plans, not one
+mega-WHEN-chain, to keep plan size linear in the site count
+(SURVEY.md §7.3).
+
+Scale: the chain is narrow (zero shuffles) — it scales embarrassingly
+with input splits. Config maps ride along as expression literals
+(constant-folded); only genuinely large taxonomies should become
+broadcast dimension joins (J6) instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eea_crawler_spark.functions import normalize as N
+from eea_crawler_spark.functions import text as TX
+
+# Envelope schema: typed columns from prepare_doc_for_rabbitmq
+# (crawl_plone_restapi.py:201-227) with raw_value kept as a JSON string
+# (schema-less semantics; parsed lazily below). See FIXTURES.md §2.1.
+RAW_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("raw_value", T.StringType()),
+        T.StructField("web_html", T.StringType()),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("pdf_text", T.StringType()),
+        T.StructField("original_id", T.StringType()),
+        T.StructField("site_id", T.StringType()),
+        T.StructField("errors", T.ArrayType(T.StringType())),
+        T.StructField("modified", T.StringType()),
+        T.StructField("site", T.StringType()),
+        T.StructField("indexed_at", T.TimestampType()),
+    ]
+)
+
+# Declared schema for the raw_value JSON blob (FIXTURES.md §2.7). Fields
+# absent from a document parse as NULL — matching the reference's
+# missing-key handling after remove_empty (SURVEY.md §7.3 absent-vs-null).
+RAW_VALUE_DDL = """
+    STRUCT<
+      `@id`: STRING,
+      `@type`: STRING,
+      `UID`: STRING,
+      title: STRING,
+      description: STRING,
+      language: STRING,
+      language_token: STRING,
+      review_state: STRING,
+      expires: STRING,
+      created: STRING,
+      effective: STRING,
+      themes: ARRAY<STRING>,
+      subjects: ARRAY<STRING>,
+      format: ARRAY<STRING>,
+      object_provides: ARRAY<STRING>,
+      taxonomy_themes: ARRAY<STRUCT<token: STRING, title: STRING>>,
+      geo_coverage: STRUCT<geolocation: ARRAY<STRUCT<label: STRING>>>,
+      temporal_coverage: STRUCT<temporal: ARRAY<STRUCT<label: STRING>>>,
+      location: STRING,
+      publishers: ARRAY<STRING>,
+      image: STRUCT<scales: STRUCT<icon: STRUCT<download: STRING>,
+                                   preview: STRUCT<download: STRING>>>,
+      file: STRUCT<`content-type`: STRING, download: STRING,
+                   filename: STRING, size: BIGINT>,
+      parent: STRUCT<`@type`: STRING, title: STRING,
+                     review_state: STRING, description: STRING>
+    >
+"""
+
+
+@dataclass
+class NormalizerConfig:
+    """The config shape of default_normalizers/sdi_normalizers
+    (dags/variables.json:1666-1972, 5606-5671), engine-neutral."""
+
+    black_map: dict[str, list[str]] = field(default_factory=dict)
+    white_map: dict[str, list[str]] = field(default_factory=dict)
+    norm_obj: dict[str, str] = field(default_factory=dict)
+    # one-to-many renames: source column -> output columns
+    norm_prop: dict[str, list[str]] = field(default_factory=dict)
+    # default fill; value "field:<col>" copies another column
+    norm_missing: dict[str, str] = field(default_factory=dict)
+    proplist: list[str] = field(default_factory=list)
+    # marker interfaces whitelist for merge_types (normalizers.py:329-345)
+    interfaces_whitelist: list[str] = field(default_factory=list)
+    theme_labels: dict[str, str] = field(default_factory=dict)
+    count_fields: list[str] = field(default_factory=list)
+
+
+def _is_array(df: DataFrame, name: str) -> bool:
+    return isinstance(df.schema[name].dataType, T.ArrayType)
+
+
+def parse_raw(df: DataFrame) -> DataFrame:
+    """T1 flatten: parse raw_value and lift nested fields to dotted
+    top-level columns (simplify_elements, normalizers.py:219-236)."""
+    p = F.from_json(F.col("raw_value"), RAW_VALUE_DDL)
+    return df.select(
+        "id",
+        "doc_type",
+        "site_id",
+        "site",
+        "status_code",
+        "errors",
+        "modified",
+        "indexed_at",
+        "pdf_text",
+        "web_html",
+        p["title"].alias("title"),
+        p["description"].alias("description"),
+        p["language"].alias("language"),
+        p["language_token"].alias("language_token"),
+        p["review_state"].alias("review_state"),
+        p["expires"].alias("expires"),
+        p["created"].alias("created"),
+        p["effective"].alias("effective"),
+        p["themes"].alias("themes"),
+        p["subjects"].alias("subjects"),
+        p["format"].alias("format"),
+        p["object_provides"].alias("object_provides"),
+        F.transform(p["taxonomy_themes"], lambda x: x["token"]).alias("taxonomy_tokens"),
+        p["geo_coverage"]["geolocation"].alias("geolocation"),
+        p["temporal_coverage"]["temporal"].alias("temporal"),
+        p["location"].alias("location"),
+        p["publishers"].alias("publishers"),
+        p["image"]["scales"]["icon"]["download"].alias("image.scales.icon.download"),
+        p["image"]["scales"]["preview"]["download"].alias("image.scales.preview.download"),
+        p["file"]["content-type"].alias("file.content-type"),
+        p["parent"]["review_state"].alias("parent.review_state"),
+        p["parent"]["title"].alias("parent.title"),
+        p["parent"]["description"].alias("parent.description"),
+    )
+
+
+def _apply_value_maps(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """T2/T3 per-field black/white maps (normalizers.py:14-51)."""
+    out: dict[str, Column] = {}
+    for f_name, bl in cfg.black_map.items():
+        if f_name in df.columns:
+            c = F.col(f"`{f_name}`")
+            out[f_name] = (
+                N.black_map_array(c, bl) if _is_array(df, f_name) else N.black_map_scalar(c, bl)
+            )
+    for f_name, wl in cfg.white_map.items():
+        if f_name in df.columns:
+            c = out.get(f_name, F.col(f"`{f_name}`"))
+            out[f_name] = (
+                N.white_map_array(c, wl) if _is_array(df, f_name) else N.white_map_scalar(c, wl)
+            )
+    return df.withColumns(out) if out else df
+
+
+def _apply_norm_obj(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """T4: global value rewrite over every string-ish column
+    (normalizers.py:54-73 walks all doc fields)."""
+    if not cfg.norm_obj:
+        return df
+    out: dict[str, Column] = {}
+    for f_spec in df.schema.fields:
+        c = F.col(f"`{f_spec.name}`")
+        if isinstance(f_spec.dataType, T.StringType):
+            out[f_spec.name] = N.norm_obj_scalar(c, cfg.norm_obj)
+        elif isinstance(f_spec.dataType, T.ArrayType) and isinstance(
+            f_spec.dataType.elementType, T.StringType
+        ):
+            out[f_spec.name] = N.norm_obj_array(c, cfg.norm_obj)
+    return df.withColumns(out)
+
+
+def _apply_norm_prop(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """T5 renames incl. one-to-many (normalizers.py:76-87): emit every
+    target as an alias of the source; untargeted columns pass through."""
+    if not cfg.norm_prop:
+        return df
+    renamed_away = {s for s, targets in cfg.norm_prop.items() if s not in targets}
+    cols: list[Column] = []
+    for f_spec in df.schema.fields:
+        if f_spec.name not in renamed_away:
+            cols.append(F.col(f"`{f_spec.name}`"))
+    for src, targets in cfg.norm_prop.items():
+        if src not in df.columns:
+            continue
+        for tgt in targets:
+            if tgt != src:
+                cols.append(F.col(f"`{src}`").alias(tgt))
+    return df.select(*cols)
+
+
+def _apply_norm_missing(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """T6 default fill with field: indirection (normalizers.py:90-102)."""
+    out: dict[str, Column] = {}
+    for f_name, default in cfg.norm_missing.items():
+        if f_name not in df.columns:
+            continue
+        c = F.col(f"`{f_name}`")
+        if isinstance(default, str) and default.startswith("field:"):
+            other = default.split(":", 1)[1]
+            if other in df.columns:
+                out[f_name] = N.norm_missing(c, None, F.col(f"`{other}`"))
+        else:
+            out[f_name] = N.norm_missing(c, default)
+    return df.withColumns(out) if out else df
+
+
+def _array_hygiene(df: DataFrame) -> DataFrame:
+    """T7 dedup / T8 extra-webpage removal / T9 null-out empties /
+    T10 trim, over every column of matching type."""
+    out: dict[str, Column] = {}
+    for f_spec in df.schema.fields:
+        c = F.col(f"`{f_spec.name}`")
+        if isinstance(f_spec.dataType, T.ArrayType) and isinstance(
+            f_spec.dataType.elementType, T.StringType
+        ):
+            expr = N.dedup_array(c)
+            if f_spec.name == "objectProvides":
+                expr = N.remove_extra_value(expr, "Webpage")
+            out[f_spec.name] = N.null_if_empty_array(expr)
+        elif isinstance(f_spec.dataType, T.StringType):
+            out[f_spec.name] = N.null_if_empty_string(F.trim(c))
+    return df.withColumns(out)
+
+
+def _enrich(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """Domain enrichments T11 T15-T21 T23 (presence-guarded)."""
+    out: dict[str, Column] = {}
+    cols = set(df.columns)
+    if "spatial" not in cols and "geolocation" in cols:
+        out["spatial"] = N.labels_of(F.col("geolocation"))  # T16
+    if "temporal" in cols:
+        out["time_coverage"] = N.labels_of(F.col("temporal"))  # T16
+    if "location" in cols:
+        out["locations"] = N.geojson_titles(F.col("location"))  # T15
+    if "language" in cols:
+        tok = F.col("language_token") if "language_token" in cols else F.lit(None)
+        out["language"] = N.update_language(F.col("language"), tok)  # T18
+    if {"doc_type", "review_state"} <= cols:
+        parent = (
+            F.col("`parent.review_state`")
+            if "parent.review_state" in cols
+            else F.lit(None)
+        )
+        out["review_state"] = N.fix_state(F.col("doc_type"), F.col("review_state"), parent)  # T19
+        if "expires" in cols:
+            out["expires"] = N.archived_expires(
+                out["review_state"], F.col("expires")
+            )  # T19 archived leg
+    if {"format", "pdf_text"} <= cols:
+        out["format"] = N.add_pdf_format(F.col("format"), F.col("pdf_text"))  # T20
+    if {"themes", "taxonomy_tokens"} <= cols:
+        out["themes"] = N.merge_themes(
+            F.col("themes"), F.col("taxonomy_tokens"), cfg.theme_labels
+        )  # T21
+    if "objectProvides" in cols and "object_provides" in cols and cfg.interfaces_whitelist:
+        # T17 "ensure array": objectProvides is a scalar when it was
+        # renamed from @type (normalizers.py:329-345 wraps it in a list)
+        op = F.col("objectProvides")
+        if isinstance(df.schema["objectProvides"].dataType, T.StringType):
+            op = F.when(op.isNotNull(), F.array(op)).otherwise(
+                F.array().cast("array<string>")
+            )
+        out["objectProvides"] = N.merge_types(
+            op,
+            F.coalesce(F.col("object_provides"), F.array().cast("array<string>")),
+            cfg.interfaces_whitelist,
+        )  # T17
+    if "publishers" in cols:
+        out["publishers"] = N.canon_publishers(F.col("publishers"))  # T23
+    df = df.withColumns(out) if out else df
+    if "spatial" in df.columns and "places" not in df.columns:
+        df = df.withColumn("places", F.col("spatial"))  # T11
+    return df
+
+
+def _fulltext(df: DataFrame) -> DataFrame:
+    """T12-T14: fulltext from html (tag-strip) else joined text fields,
+    plus pdf_text; readingTime = words/228, -1 off-language."""
+    cols = set(df.columns)
+    fragments = [
+        F.col(c)
+        for c in ("title", "description")
+        if c in cols
+    ]
+    joined = N.join_text_fields(fragments)
+    html_text = (
+        TX.clean_html(F.col("web_html")) if "web_html" in cols else F.lit(None)
+    )
+    base = F.when(
+        html_text.isNotNull() & (F.length(F.trim(html_text)) > 0), F.trim(html_text)
+    ).otherwise(joined)
+    with_pdf = F.concat_ws(" ", base, F.col("pdf_text")) if "pdf_text" in cols else base
+    df = df.withColumn("fulltext", with_pdf)
+    lang = F.col("language") if "language" in cols else F.lit("en")
+    return df.withColumn("readingTime", TX.reading_time(F.col("fulltext"), lang))
+
+
+def _counts(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """A1: items_count_<f> for configured (or all) array fields."""
+    targets = cfg.count_fields or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)
+    ]
+    out = {
+        f"items_count_{name}": N.items_count(F.col(f"`{name}`"))
+        for name in targets
+        if name in df.columns
+    }
+    return df.withColumns(out) if out else df
+
+
+def _project(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """P1 proplist projection (normalizers.py:239-252,531-533)."""
+    if not cfg.proplist:
+        return df
+    keep = [c for c in cfg.proplist if c in df.columns]
+    keep += [c for c in df.columns if c.startswith("items_count_") and c not in keep]
+    return df.select(*[F.col(f"`{c}`") for c in keep])
+
+
+def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """The full chain, in reference order (normalizers.py:496-607).
+
+    Input: raw envelope rows (RAW_ENVELOPE_SCHEMA). Output: normalized
+    searchui-shaped rows. One declarative plan; zero shuffles.
+    """
+    df = parse_raw(df)
+    df = _apply_value_maps(df, cfg)
+    df = _apply_norm_obj(df, cfg)  # pass 1 (normalizers.py:550-552)
+    df = _apply_norm_prop(df, cfg)
+    df = _apply_norm_obj(df, cfg)  # pass 2 over renamed cols (581-583)
+    df = _apply_norm_missing(df, cfg)
+    df = _array_hygiene(df)
+    df = _enrich(df, cfg)
+    df = _fulltext(df)
+    df = _counts(df, cfg)
+    return _project(df, cfg)
+
+
+# A compact default config in the shape of default_normalizers
+# (dags/variables.json:1666-1972) — representative entries, not a copy.
+DEFAULT_CONFIG = NormalizerConfig(
+    black_map={"subjects": ["internal", "obsolete"]},
+    white_map={},
+    norm_obj={
+        "Assessment": "Indicator",
+        "News Item": "News",
+        "EEA (European Environment Agency)": "European Environment Agency",
+    },
+    norm_prop={
+        "id": ["id", "about"],
+        "title": ["title", "label"],
+        "doc_type": ["doc_type", "objectProvides"],
+    },
+    # no "language" here: T18 update_language owns the 'en' default
+    # (token fallback must see NULL, normalizers.py:348-350)
+    norm_missing={"description": "", "issued": "field:created"},
+    proplist=[
+        "id",
+        "about",
+        "title",
+        "label",
+        "description",
+        "objectProvides",
+        "language",
+        "review_state",
+        "expires",
+        "themes",
+        "subjects",
+        "format",
+        "spatial",
+        "places",
+        "time_coverage",
+        "locations",
+        "publishers",
+        "fulltext",
+        "readingTime",
+        "site_id",
+        "modified",
+    ],
+    interfaces_whitelist=["IDashboard", "IDataset"],
+    theme_labels={"climate": "Climate change", "water": "Water and marine"},
+    count_fields=["themes", "subjects", "format", "spatial"],
+)

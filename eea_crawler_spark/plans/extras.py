@@ -26,6 +26,10 @@ from eea_crawler_spark.functions import text as TX
 from eea_crawler_spark.operators import dedup as DD
 from eea_crawler_spark.operators import multimodal as MM
 from eea_crawler_spark.operators import similarity as SIM
+from eea_crawler_spark.operators.normalize_chain import (
+    NormalizerConfig,
+    common_normalizer,
+)
 from eea_crawler_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.8
@@ -118,6 +122,110 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
     return SIM.hyperplane_lsh_topk(emb, queries, k=ANN_K)
+
+
+# ---------- normalize chain (SURVEY §2.5 backbone as a declared query) --
+
+# Restricted config for the declared query so every step has an exact
+# SQL twin (the full DEFAULT_CONFIG is exercised by golden-doc tests).
+NORM_QUERY_CONFIG = NormalizerConfig(
+    black_map={"subjects": ["internal"]},
+    norm_obj={"Assessment": "Indicator"},
+    norm_prop={
+        "id": ["id", "about"],
+        "title": ["title", "label"],
+        "doc_type": ["doc_type", "objectProvides"],
+    },
+    theme_labels={"climate": "Climate change", "water": "Water and marine"},
+    proplist=[
+        "id", "about", "title", "label", "description", "objectProvides",
+        "language", "themes", "subjects", "fulltext", "readingTime",
+    ],
+    count_fields=["themes", "subjects"],
+)
+
+
+def _doc_envelopes(docs: DataFrame) -> DataFrame:
+    """Deterministic raw envelopes derived from the documents table, so
+    the normalize chain has a driver-checkable input (no fixture I/O)."""
+    return docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("id"),
+        F.element_at(
+            F.array(F.lit("Article"), F.lit("Assessment"), F.lit("File")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("doc_type"),
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("Doc "), F.col("doc_id")).alias("title"),
+                F.substring(F.col("text"), 1, 80).alias("description"),
+                F.col("lang").alias("language"),
+                F.when(F.col("doc_id") % 2 == 0, F.array(F.lit("climate")))
+                .otherwise(F.array(F.lit("water")))
+                .alias("themes"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.array(F.lit("air"), F.lit("internal"), F.lit("air")),
+                )
+                .otherwise(F.array(F.lit("air")))
+                .alias("subjects"),
+                F.lit("published").alias("review_state"),
+            )
+        ).alias("raw_value"),
+        F.lit(None).cast("string").alias("web_html"),
+        F.lit(200).alias("status_code"),
+        F.lit(None).cast("string").alias("pdf_text"),
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("original_id"),
+        F.col("source").alias("site_id"),
+        F.array().cast("array<string>").alias("errors"),
+        F.lit("2024-01-01").alias("modified"),
+        F.lit("https://site").alias("site"),
+        F.lit(None).cast("timestamp").alias("indexed_at"),
+    )
+
+
+def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = common_normalizer(_doc_envelopes(docs), NORM_QUERY_CONFIG)
+    return out.orderBy("id")
+
+
+def _normalize_sql() -> str:
+    """DuckDB twin of normalize_docs: each chain step restated in SQL."""
+    dot = (
+        "CASE WHEN trim({x}) ~ '.*[.!?]$' OR length(trim({x})) = 0 "
+        "THEN trim({x}) ELSE trim({x}) || '.' END"
+    )
+    desc = "substr(text, 1, 80)"
+    fulltext = f"{dot.format(x='title0')} || ' ' || {dot.format(x='desc0')}"
+    wc = f"length({fulltext}) - length(replace({fulltext}, ' ', '')) + 1"
+    return f"""
+WITH e AS (
+  SELECT 'doc:' || doc_id AS id,
+         ['Article', 'Assessment', 'File'][(doc_id % 3 + 1)::INT] AS doc_type,
+         'Doc ' || doc_id AS title0,
+         {desc} AS desc0,
+         lang,
+         CASE WHEN doc_id % 2 = 0 THEN ['climate'] ELSE ['water'] END AS themes0,
+         CASE WHEN doc_id % 5 = 0 THEN ['air'] ELSE ['air'] END AS subjects0,
+         text
+  FROM documents)
+SELECT id, id AS about,
+       trim(title0) AS title, trim(title0) AS label,
+       trim(desc0) AS description,
+       CASE doc_type WHEN 'Assessment' THEN 'Indicator' ELSE doc_type END
+         AS "objectProvides",
+       coalesce(lang, 'en') AS language,
+       list_transform(themes0,
+         t -> CASE t WHEN 'climate' THEN 'Climate change'
+                     WHEN 'water' THEN 'Water and marine' ELSE t END) AS themes,
+       subjects0 AS subjects,
+       {fulltext} AS fulltext,
+       CAST(CASE WHEN coalesce(lang, 'en') = 'en'
+                 THEN ROUND(({wc}) / 228.0, 4) ELSE -1 END AS DOUBLE)
+         AS "readingTime",
+       CAST(len(themes0) AS BIGINT) AS items_count_themes,
+       CAST(len(subjects0) AS BIGINT) AS items_count_subjects
+FROM e ORDER BY id"""
 
 
 # ---------- multimodal ----------
@@ -229,6 +337,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "mm_decode_stub": mm_decode_stub,
+    "normalize_docs": normalize_docs,
 }
 
 EXTRA_ORACLE: dict[str, str] = {
@@ -274,6 +383,7 @@ SELECT doc_id AS media_id,
        md5(text) AS feature,
        CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width
 FROM documents ORDER BY media_id""",
+    "normalize_docs": _normalize_sql(),
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: hash-based &
     # approximate — no SQL oracle (driver rows-only check).
 }
