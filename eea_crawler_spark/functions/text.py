@@ -133,3 +133,25 @@ def quality_label(cols: dict[str, Column]) -> Column:
 def first_n_words(col: Column, n: int = 100) -> Column:
     """First-100-words fallback description (normalizers.py:585-588)."""
     return F.array_join(F.slice(F.split(col, " "), 1, n), " ")
+
+
+def word_chunks(col: Column, words: int = 250, overlap: int = 50) -> Column:
+    """Overlapping word-window chunks (reference NLP split: 250 words,
+    overlap 50 — dags/variables.json:2791-2792, nlp.py:65-96).
+
+    Pure expression (split → sequence → slice → array_join): stride =
+    words - overlap; chunk i covers words [i*stride+1, i*stride+words].
+    Chunk count = (n - words + stride - 1) div stride + 1 for n > words,
+    else 1 — integer arithmetic only, so the DuckDB oracle can restate
+    it verbatim. Narrow per-row compute: scales with input splits.
+    """
+    stride = words - overlap
+    w = F.split(col, " ")
+    n = F.size(w)
+    n_chunks = F.when(
+        n > words, ((n - words + (stride - 1)) / stride).cast("long") + 1
+    ).otherwise(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(w, i * stride + 1, words), " "),
+    )

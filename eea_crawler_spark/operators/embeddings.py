@@ -1,0 +1,94 @@
+"""Embedding pipeline: chunk → batch-embed → (doc, chunk, vector) rows.
+
+The reference embeds 250-word overlapping chunks through an external
+service into 768-d vectors (``dags/normalizers/lib/nlp.py:65-121``,
+``dags/variables.json:2785-2795,2319-2327``; currently disabled at
+``dags/normalizers/normalizer.py:41-42``). Here the chunker is a pure
+column expression (functions/text.py ``word_chunks``) and the model
+call is an Arrow-batched ``pandas_udf`` — the idiomatic Spark seam for
+batch inference: one Python process per executor core, vectors built
+per Arrow batch, no per-row overhead.
+
+The model itself is STUBBED (no inference libs in this environment):
+``fake_embed`` derives a deterministic unit-norm vector from the md5
+digest of the text, so the plumbing — batching, schema
+``array<float>``, chunk alignment by (doc_id, chunk_idx) rather than
+the reference's fragile text-equality matching — is real and testable.
+``real_embed_stub`` marks the sentence-transformers / endpoint seam.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from eea_crawler_spark.functions.text import word_chunks
+
+EMBED_DIM = 8  # stub dim; production: 768 (dags/variables.json:2322)
+
+
+def real_embed_stub(texts: list[str]) -> list[list[float]]:
+    """Where a sentence-transformers model / serving endpoint would run."""
+    raise NotImplementedError(
+        "embedding inference requires a model runtime, not present here"
+    )
+
+
+def _fake_vector(text: str, dim: int) -> list[float]:
+    # md5 → bytes → centered floats → L2-normalized; deterministic
+    raw = hashlib.md5(text.encode("utf-8")).digest()
+    need = (dim + len(raw) - 1) // len(raw)
+    buf = (raw * need)[:dim]
+    v = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+    v = v - 127.5
+    nrm = float(np.linalg.norm(v)) or 1.0
+    return [float(x) for x in (v / nrm)]
+
+
+# DataType object (not a DDL string): string return types are parsed at
+# decoration time and would require an active SparkSession at import
+@pandas_udf(T.ArrayType(T.FloatType()))
+def fake_embed(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _fake_vector(t or "", EMBED_DIM))
+
+
+def chunk_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: int = 250,
+    overlap: int = 50,
+) -> DataFrame:
+    """Explode overlapping word chunks: (id, chunk_idx, chunk_text)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(word_chunks(F.col(text_col), words, overlap)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )
+
+
+def embed_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: int = 250,
+    overlap: int = 50,
+    embed: Column | None = None,
+) -> DataFrame:
+    """Chunk and embed: (id, chunk_idx, chunk_text, embedding).
+
+    Alignment is positional (doc_id, chunk_idx) — the reference matched
+    embeddings back to chunks by text equality (nlp.py:99-121), which
+    breaks on duplicate chunk text; carrying the index through the UDF
+    output removes that failure mode entirely.
+    """
+    chunks = chunk_texts(df, text_col, id_col, words, overlap)
+    embedder = embed if embed is not None else fake_embed(F.col("chunk_text"))
+    return chunks.withColumn("embedding", embedder)

@@ -81,6 +81,47 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CHUNK_WORDS = 40  # testdata docs avg ~54 words; production: 250
+CHUNK_OVERLAP = 10  # production: 50 (dags/variables.json:2791-2792)
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from eea_crawler_spark.operators.embeddings import chunk_texts
+
+    return chunk_texts(
+        docs, words=CHUNK_WORDS, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from eea_crawler_spark.operators.embeddings import embed_chunks
+
+    out = embed_chunks(docs, words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
+    return out.select("doc_id", "chunk_idx", "embedding").orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _chunks_sql() -> str:
+    w, ov = CHUNK_WORDS, CHUNK_OVERLAP
+    stride = w - ov
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  len(string_split(text, ' ')) AS n
+           FROM documents),
+k AS (SELECT doc_id, w,
+             CASE WHEN n > {w} THEN (n - {w} + {stride - 1}) // {stride} + 1
+                  ELSE 1 END AS nc
+      FROM t)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(list_slice(w, i * {stride} + 1, i * {stride} + {w}), ' ')
+         AS chunk_text
+FROM k, UNNEST(generate_series(0, nc - 1)) AS g(i)
+ORDER BY doc_id, chunk_idx"""
+
+
 # ---------- dedup ----------
 
 
@@ -338,6 +379,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "mm_decode_stub": mm_decode_stub,
     "normalize_docs": normalize_docs,
+    "text_chunks": text_chunks,
+    "chunk_embed": chunk_embed,
 }
 
 EXTRA_ORACLE: dict[str, str] = {
@@ -384,6 +427,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width
 FROM documents ORDER BY media_id""",
     "normalize_docs": _normalize_sql(),
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: hash-based &
-    # approximate — no SQL oracle (driver rows-only check).
+    "text_chunks": _chunks_sql(),
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / chunk_embed:
+    # hash-based or model-stub — no SQL oracle (driver rows-only check).
 }

@@ -1,0 +1,120 @@
+"""Structured Streaming: stream-batch parity + exactly-once merge.
+
+Parity tier: the streaming tumbling/session aggregations over the
+driver's events table must equal the same aggregation run in batch —
+the streaming twin of Q29/Q30. Merge tier: the AvailableNow upsert
+stream consumes files exactly once per checkpoint and converges to the
+batch upsert result; re-activation with no new files is a no-op.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eea_crawler_spark.sources.tables import load_table
+from eea_crawler_spark.streaming import pipeline as SP
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("indexed_at", T.TimestampType()),
+    ]
+)
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def events_stream_dir(spark, sf_dir, tmp_path):
+    """Events re-materialized as micro-batch files with proper μs ts."""
+    out = str(tmp_path / "events_in")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(out)
+    return out
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    events = load_table(spark, sf_dir, "events")
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(events_stream_dir)
+    q = SP.run_stream_to_memory(SP.tumbling_counts(stream), "tumbling_t")
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"], r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): r["cnt"]
+        for r in SP.tumbling_counts(events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_stream_dir):
+    events = load_table(spark, sf_dir, "events")
+    stream = spark.readStream.schema(events.schema).parquet(events_stream_dir)
+    q = SP.run_stream_to_memory(SP.session_counts(stream), "session_t")
+    q.awaitTermination(120)
+    got = {
+        (r["sess_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM session_t").collect()
+    }
+    want = {
+        (r["sess_start"], r["user_id"]): r["n_events"]
+        for r in SP.session_counts(events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_incremental_upsert_stream(spark, tmp_path):
+    src = tmp_path / "src"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    b1 = spark.createDataFrame(
+        [("a", "v1", _ts(1)), ("b", "v1", _ts(1))], ENVELOPE
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = SP.incremental_upsert_stream(
+        spark, str(src), state, ckpt, ENVELOPE
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["payload"] for r in spark.read.parquet(state).collect()}
+    assert got == {"a": "v1", "b": "v1"}
+
+    # second activation: an update for a, a new doc c — exactly-once
+    # (b1's files are not reprocessed thanks to the checkpoint), and the
+    # merge keeps the newest version per id
+    b2 = spark.createDataFrame(
+        [("a", "v2", _ts(2)), ("c", "v1", _ts(2))], ENVELOPE
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    q = SP.incremental_upsert_stream(spark, str(src), state, ckpt, ENVELOPE)
+    q.awaitTermination(120)
+    got = {r["id"]: r["payload"] for r in spark.read.parquet(state).collect()}
+    assert got == {"a": "v2", "b": "v1", "c": "v1"}
+
+    # third activation with nothing new: state unchanged (idempotent)
+    q = SP.incremental_upsert_stream(spark, str(src), state, ckpt, ENVELOPE)
+    q.awaitTermination(120)
+    got2 = {r["id"]: r["payload"] for r in spark.read.parquet(state).collect()}
+    assert got2 == got
+
+
+def test_state_merge_stale_update_ignored(spark, tmp_path):
+    """Out-of-order delivery: an older stamp must not overwrite newer
+    state (last-write-wins by order_col, reference upsert semantics)."""
+    state = str(tmp_path / "state2")
+    fresh = spark.createDataFrame([("a", "new", _ts(5))], ENVELOPE)
+    SP.state_merge(spark, state, fresh)
+    stale = spark.createDataFrame([("a", "old", _ts(3))], ENVELOPE)
+    SP.state_merge(spark, state, stale)
+    got = spark.read.parquet(state).collect()
+    assert len(got) == 1 and got[0]["payload"] == "new"
