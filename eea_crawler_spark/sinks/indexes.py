@@ -1,0 +1,138 @@
+"""Index sinks: upsert/delete lifecycle, backups, status stream.
+
+The reference's sink chain is RabbitMQ → Logstash → Elasticsearch
+upsert by doc id (``logstash/pipeline/search_pipeline.conf:12-29``),
+with index lifecycle managed in ``dags/lib/elastic.py``: idempotent
+create (:107-119), clone-based backups keeping the last 3 (:75-104,
+184-209), and per-run status events (``dags/lib/status.py:115-163``).
+
+Spark-first translation: the system of record is a parquet/Delta table
+written with a keyed last-wins MERGE (streaming.pipeline.state_merge);
+Elasticsearch remains a disposable *serving* copy written through the
+es-hadoop connector — ``es_write_options`` builds the exact connector
+config, import-gated since the connector jar is not in this
+environment. Backups become directory snapshots with keep-N retention
+(Delta time travel + VACUUM is the lakehouse twin).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.streaming.pipeline import state_merge
+
+BACKUP_KEEP = 3  # dags/lib/elastic.py:98-104
+
+
+def upsert_index(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str = "id",
+    order_col: str = "indexed_at",
+) -> None:
+    """S11/O4: keyed last-wins upsert into the canonical table."""
+    state_merge(spark, table_path, updates, key=key, order_col=order_col)
+
+
+def delete_from_index(
+    spark: SparkSession, table_path: str, doomed: DataFrame, key: str = "id"
+) -> None:
+    """S14: DELETE WHERE id IN (…) — anti-join rewrite + swap."""
+    current = spark.read.parquet(table_path)
+    kept = current.join(doomed.select(key), on=key, how="left_anti")
+    tmp = f"{table_path}__tmp_del"
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(table_path)
+    os.rename(tmp, table_path)
+
+
+def backup_index(table_path: str, backups_root: str, keep: int = BACKUP_KEEP) -> str:
+    """S13/O2: snapshot the table dir as ``updated_at_<ms>``, keep the
+    newest ``keep`` snapshots (sort by name desc ≡ creation desc, the
+    retention top-k of elastic.py:188-209)."""
+    os.makedirs(backups_root, exist_ok=True)
+    # ns resolution: two snapshots in the same millisecond must not collide
+    stamp = f"updated_at_{time.time_ns()}"
+    dst = os.path.join(backups_root, stamp)
+    shutil.copytree(table_path, dst)
+    snaps = sorted(
+        (d for d in os.listdir(backups_root) if d.startswith("updated_at_")),
+        reverse=True,
+    )
+    for stale in snaps[keep:]:
+        shutil.rmtree(os.path.join(backups_root, stale))
+    return dst
+
+
+def status_event(
+    spark: SparkSession,
+    status_path: str,
+    task_name: str,
+    status: str,
+    msg: str = "",
+    docs_cnt: int | None = None,
+) -> None:
+    """A2/status stream: append one event row (status.py:115-163 shape:
+    epoch-ms timestamps, docs_cnt)."""
+    row = [
+        (
+            task_name,
+            status,
+            msg,
+            int(time.time() * 1000),
+            docs_cnt,
+        )
+    ]
+    df = spark.createDataFrame(
+        row, "task_name string, status string, msg string, start_time_ts long, docs_cnt long"
+    )
+    df.coalesce(1).write.mode("append").parquet(status_path)
+
+
+def es_write_options(
+    index: str,
+    nodes: str = "localhost:9200",
+    upsert: bool = True,
+    id_col: str = "id",
+) -> dict[str, str]:
+    """Connector options for the Elasticsearch serving copy
+    (search_pipeline.conf semantics: document_id=%{id}, doc_as_upsert).
+
+    Usage (requires the es-hadoop / elasticsearch-spark jar, not
+    present in this environment):
+
+        df.write.format("org.elasticsearch.spark.sql")
+          .options(**es_write_options("data_searchui"))
+          .mode("append").save()
+    """
+    opts = {
+        "es.nodes": nodes,
+        "es.resource": index,
+        "es.mapping.id": id_col,
+        "es.batch.size.entries": "500",  # scroll/bulk batch, elastic.py:123-129
+    }
+    if upsert:
+        opts["es.write.operation"] = "upsert"
+    return opts
+
+
+def es_write(df: DataFrame, index: str, **kw) -> None:
+    """S11 serving write — import-gated on the connector jar."""
+    try:
+        (
+            df.write.format("org.elasticsearch.spark.sql")
+            .options(**es_write_options(index, **kw))
+            .mode("append")
+            .save()
+        )
+    except Exception as ex:  # pragma: no cover - connector not shipped here
+        raise NotImplementedError(
+            "elasticsearch-spark connector jar not available in this "
+            "environment; use es_write_options() with a cluster that has it"
+        ) from ex

@@ -1,0 +1,290 @@
+"""Acquisition layer: listing scans + per-doc fetch as Spark stages.
+
+Re-expresses the reference's crawl surface (SURVEY §2.1 S1-S8) with the
+I/O seam injected, so every stage is testable without a network and
+swappable for a real HTTP client in production:
+
+  - S1  paginated Plone-REST ``@search`` listing (query builder +
+        driver-side page walk → listing DataFrame)
+  - S3  sitemap.xml scan → (url, last_modified)
+  - S5  per-doc JSON fetch as a ``mapInPandas`` stage with retry/
+        backoff, per-host politeness, and errors[] accumulation —
+        errors never fail the row (crawl_plone_restapi.py:232-297)
+  - S8  robots.txt parse + wildcard/``$`` rule matching (P4)
+
+Transport = ``Callable[[str], tuple[int, str]]`` (status, body). The
+listing walk is driver-side on purpose: one site's listing is a few
+thousand rows of (id, modified) — the *documents* are the big data, and
+their fetch is the distributed stage. Politeness: the reference got
+per-site serialization from Airflow pools (slots=1); here the fetch
+stage repartitions by host so each host's requests execute within one
+task, with a minimum-interval token wait inside the partition.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import xml.etree.ElementTree as ET
+from collections.abc import Callable, Iterator
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+Transport = Callable[[str], tuple[int, str]]
+
+LISTING_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("doc_type", T.StringType()),
+        T.StructField("modified", T.StringType()),
+        T.StructField("seo_noindex", T.BooleanType()),
+    ]
+)
+
+FETCHED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("raw_value", T.StringType()),
+        T.StructField("errors", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+# ---- S1: Plone-REST listing ---------------------------------------------
+
+
+def listing_query_url(
+    site_url: str,
+    api_part: str,
+    portal_type: str,
+    b_start: int = 0,
+    b_size: int = 500,
+    quick_since: str | None = None,
+) -> str:
+    """One page of the per-portal-type ``@search`` query
+    (plone_rest_api.py:87-141): metadata_fields for the diff join,
+    newest-first, and the quick-mode ``modified >= since`` pushdown
+    (P13) that makes incremental listings cheap on the remote side."""
+    url = (
+        f"{site_url.rstrip('/')}/{api_part}/@search"
+        f"?portal_type={portal_type}"
+        "&metadata_fields=modified&metadata_fields=seo_noindex"
+        "&sort_on=Date&sort_order=reverse"
+        f"&b_size={b_size}&b_start={b_start}"
+    )
+    if quick_since:
+        url += f"&modified.query:date={quick_since}&modified.range=min"
+    return url
+
+
+def walk_listing(
+    transport: Transport,
+    site_url: str,
+    api_part: str,
+    portal_types: list[str],
+    b_size: int = 500,
+    quick_since: str | None = None,
+    max_pages: int = 10_000,
+) -> list[dict]:
+    """Driver-side page walk (pagination loop plone_rest_api.py:169-187):
+    follows ``batching.next`` until exhausted, per portal type."""
+    items: list[dict] = []
+    for ptype in portal_types:
+        b_start = 0
+        for _ in range(max_pages):
+            status, body = transport(
+                listing_query_url(site_url, api_part, ptype, b_start, b_size, quick_since)
+            )
+            if status != 200:
+                break
+            page = json.loads(body)
+            for it in page.get("items", []):
+                items.append(
+                    {
+                        "id": it.get("@id"),
+                        "doc_type": it.get("@type", ptype),
+                        "modified": it.get("modified"),
+                        "seo_noindex": bool(it.get("seo_noindex", False)),
+                    }
+                )
+            if not page.get("batching", {}).get("next"):
+                break
+            b_start += b_size
+    return items
+
+
+def listing_df(
+    spark: SparkSession,
+    transport: Transport,
+    site_url: str,
+    api_part: str = "api",
+    portal_types: list[str] | None = None,
+    b_size: int = 500,
+    quick_since: str | None = None,
+) -> DataFrame:
+    rows = walk_listing(
+        transport, site_url, api_part, portal_types or ["Document"], b_size, quick_since
+    )
+    return spark.createDataFrame(rows, LISTING_SCHEMA) if rows else spark.createDataFrame(
+        [], LISTING_SCHEMA
+    )
+
+
+# ---- S3: sitemap ---------------------------------------------------------
+
+_SM_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """sitemap.xml (or index) → [{url, last_modified}]
+    (dags/lib/sitemap.py:76-81 shape)."""
+    root = ET.fromstring(xml_text)
+    out = []
+    for node in root.iter(f"{_SM_NS}url"):
+        loc = node.find(f"{_SM_NS}loc")
+        mod = node.find(f"{_SM_NS}lastmod")
+        if loc is not None and loc.text:
+            out.append(
+                {"url": loc.text.strip(), "last_modified": mod.text.strip() if mod is not None and mod.text else None}
+            )
+    return out
+
+
+def sitemap_df(spark: SparkSession, transport: Transport, site_url: str) -> DataFrame:
+    status, body = transport(f"{site_url.rstrip('/')}/sitemap.xml")
+    rows = parse_sitemap(body) if status == 200 else []
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("last_modified", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+# ---- S8/P4: robots.txt ---------------------------------------------------
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt → ordered (pattern, allow) rules for the given agent
+    (dags/lib/robots_txt.py:9-75 incl. the wildcard RuleLine patch)."""
+    rules: list[tuple[str, bool]] = []
+    active = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            active = val == agent or val == "*"
+        elif active and key in ("allow", "disallow") and val:
+            rules.append((val, key == "allow"))
+    return rules
+
+
+def _robots_regex(pattern: str) -> str:
+    # '*' wildcard and '$' end anchor, everything else literal
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def robots_allowed(rules: list[tuple[str, bool]]) -> Callable[[str], bool]:
+    """Longest-match-wins matcher (test_url semantics,
+    robots_txt.py:22-40): most specific rule decides; default allow."""
+    compiled = sorted(
+        ((re.compile(_robots_regex(p)), len(p), allow) for p, allow in rules),
+        key=lambda t: -t[1],
+    )
+
+    def check(path: str) -> bool:
+        for rx, _, allow in compiled:
+            if rx.match(path):
+                return allow
+        return True
+
+    return check
+
+
+def robots_filter(
+    df: DataFrame, rules: list[tuple[str, bool]], url_col: str = "id"
+) -> DataFrame:
+    """P4 as a plan: translate each rule into LIKE/regexp predicates —
+    stays in codegen, no UDF; rules ride along as literals."""
+    path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
+    verdict = F.lit(True)  # default allow
+    for pattern, allow in sorted(rules, key=lambda t: len(t[0])):
+        verdict = F.when(path.rlike(_robots_regex(pattern)), F.lit(allow)).otherwise(
+            verdict
+        )
+    return df.filter(verdict)
+
+
+# ---- S5: distributed per-doc fetch --------------------------------------
+
+
+def fetch_docs(
+    listing: DataFrame,
+    transport: Transport,
+    retries: int = 3,
+    backoff_s: float = 0.0,
+    min_interval_s: float = 0.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Per-doc fetch as an Arrow-batched ``mapInPandas`` stage.
+
+    Reference behavior kept: retry ×3 with exponential backoff
+    (plone_rest_api.py:144-166), errors accumulated into an ``errors``
+    column and never failing the row (crawl_plone_restapi.py:232-244).
+    Politeness: repartition by URL host so one host = one task, then a
+    minimum-interval wait between requests inside the partition (the
+    Airflow slots=1 pool, re-expressed).
+
+    ``transport`` must be picklable (it ships to executors).
+    """
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_call = 0.0
+        for pdf in batches:
+            out = {"id": [], "status_code": [], "raw_value": [], "errors": []}
+            for doc_id in pdf[id_col]:
+                errors: list[str] = []
+                status, body = 0, None
+                for attempt in range(retries):
+                    wait = last_call + min_interval_s - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                    last_call = time.monotonic()
+                    try:
+                        status, body = transport(doc_id)
+                        if status == 200:
+                            break
+                        errors.append(f"http:{status}")
+                    except Exception as ex:  # noqa: BLE001 — row must survive
+                        errors.append(f"web:{type(ex).__name__}")
+                    if backoff_s:
+                        time.sleep(backoff_s * (2**attempt))
+                out["id"].append(doc_id)
+                out["status_code"].append(status)
+                out["raw_value"].append(body if status == 200 else None)
+                out["errors"].append(errors if status != 200 else [])
+            yield pd.DataFrame(out)
+
+    host = F.regexp_extract(F.col(id_col), r"^https?://([^/]+)", 1)
+    return (
+        listing.repartition(host)
+        .select(id_col)
+        .mapInPandas(_fetch, schema=FETCHED_SCHEMA)
+    )
+
+
+def host_of(url: str) -> str:
+    return urlparse(url).netloc

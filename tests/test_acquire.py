@@ -1,0 +1,131 @@
+"""Acquisition layer tests: fake transports, no network."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.sources import acquire as AQ
+
+SITE = "https://site.example"
+
+
+def _page(items, has_next):
+    return json.dumps(
+        {"items": items, "batching": {"next": "yes"} if has_next else {}}
+    )
+
+
+class ListingTransport:
+    """Two pages of Documents, one page of Files; picklable."""
+
+    def __call__(self, url: str) -> tuple[int, str]:
+        assert "@search" in url and "metadata_fields=modified" in url
+        if "portal_type=Document" in url:
+            if "b_start=0" in url:
+                return 200, _page(
+                    [
+                        {"@id": f"{SITE}/d{i}", "@type": "Document",
+                         "modified": f"2024-01-0{i + 1}"}
+                        for i in range(2)
+                    ],
+                    True,
+                )
+            return 200, _page(
+                [{"@id": f"{SITE}/d2", "@type": "Document", "modified": "2024-01-03",
+                  "seo_noindex": True}],
+                False,
+            )
+        return 200, _page(
+            [{"@id": f"{SITE}/f0", "@type": "File", "modified": "2024-02-01"}], False
+        )
+
+
+def test_listing_walks_pages_and_types(spark):
+    df = AQ.listing_df(
+        spark, ListingTransport(), SITE, "api", ["Document", "File"], b_size=2
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {f"{SITE}/d0", f"{SITE}/d1", f"{SITE}/d2", f"{SITE}/f0"}
+    assert rows[f"{SITE}/d2"]["seo_noindex"] is True
+    assert rows[f"{SITE}/f0"]["doc_type"] == "File"
+
+
+def test_quick_mode_pushdown_in_url():
+    url = AQ.listing_query_url(SITE, "api", "Document", quick_since="2024-03-01")
+    assert "modified.query:date=2024-03-01" in url and "modified.range=min" in url
+
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://site.example/a</loc><lastmod>2024-01-01</lastmod></url>
+  <url><loc>https://site.example/b</loc></url>
+</urlset>"""
+
+
+def test_sitemap_parse(spark):
+    df = AQ.sitemap_df(spark, lambda url: (200, SITEMAP), SITE)
+    rows = {r["url"]: r["last_modified"] for r in df.collect()}
+    assert rows == {"https://site.example/a": "2024-01-01", "https://site.example/b": None}
+
+
+ROBOTS = """
+User-agent: *
+Disallow: /private/
+Allow: /private/public*
+Disallow: /*.pdf$
+"""
+
+
+def test_robots_matcher_longest_wins():
+    check = AQ.robots_allowed(AQ.parse_robots(ROBOTS))
+    assert check("/open/page")
+    assert not check("/private/x")
+    assert check("/private/public/x")  # longer allow overrides
+    assert not check("/docs/file.pdf")
+    assert check("/docs/file.pdfx")  # $ anchor respected
+
+
+def test_robots_filter_plan(spark):
+    rules = AQ.parse_robots(ROBOTS)
+    df = spark.createDataFrame(
+        [(f"{SITE}/open/page",), (f"{SITE}/private/x",), (f"{SITE}/private/public/y",)],
+        ["id"],
+    )
+    kept = {r["id"] for r in AQ.robots_filter(df, rules).collect()}
+    assert kept == {f"{SITE}/open/page", f"{SITE}/private/public/y"}
+
+
+class FlakyDocTransport:
+    """First call per id fails, second succeeds — retry must recover.
+
+    State lives in a class attribute per-process; with one host the
+    fetch runs in a single task/process so this is deterministic.
+    """
+
+    seen: dict[str, int] = {}
+
+    def __call__(self, url: str) -> tuple[int, str]:
+        n = self.seen.get(url, 0)
+        self.seen[url] = n + 1
+        if url.endswith("dead"):
+            return 500, "nope"
+        if n == 0 and url.endswith("flaky"):
+            return 503, "try again"
+        return 200, json.dumps({"@id": url, "title": "ok"})
+
+
+def test_fetch_retries_and_error_accumulation(spark):
+    listing = spark.createDataFrame(
+        [(f"{SITE}/ok",), (f"{SITE}/flaky",), (f"{SITE}/dead",)], ["id"]
+    )
+    out = {r["id"]: r for r in AQ.fetch_docs(listing, FlakyDocTransport()).collect()}
+    assert out[f"{SITE}/ok"]["status_code"] == 200
+    assert out[f"{SITE}/ok"]["errors"] == []
+    assert out[f"{SITE}/flaky"]["status_code"] == 200  # recovered on retry
+    assert json.loads(out[f"{SITE}/flaky"]["raw_value"])["title"] == "ok"
+    dead = out[f"{SITE}/dead"]
+    assert dead["status_code"] == 500 and dead["raw_value"] is None
+    assert dead["errors"] == ["http:500", "http:500", "http:500"]  # never raises
