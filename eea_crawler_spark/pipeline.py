@@ -1,0 +1,174 @@
+"""End-to-end sync pipeline: the reference's d0→d7 DAG chain as one job.
+
+Composes the layers into the SURVEY §3.1 "Spark shape":
+
+    listing scan → robots/type/quarantine filters → diff vs state (J1)
+      → distributed fetch (S5) → raw upsert → normalize chain (§2.5)
+      → per-site plugins (T28) → searchui upsert → guarded deletes (J2/J3)
+      → quarantine fold (A7) → status events
+
+What was five Airflow DAG hops through a scheduler database collapses
+into two lazy plans separated by the raw-table MERGE barrier; every
+intermediate is a DataFrame, so Catalyst prunes columns end-to-end and
+the only shuffles are the id-keyed joins/merges. Pools and per-site
+serialization become partitioning (fetch_docs repartitions by host).
+
+This module is deliberately thin — it owns sequencing and the state
+tables, not logic. Every step is the already-tested operator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.operators import incremental as INC
+from eea_crawler_spark.operators.normalize_chain import (
+    DEFAULT_CONFIG,
+    NormalizerConfig,
+    common_normalizer,
+)
+from eea_crawler_spark.operators.sites import normalize_by_site
+from eea_crawler_spark.sinks import indexes as SK
+from eea_crawler_spark.sources import acquire as AQ
+
+
+@dataclass
+class SyncConfig:
+    site_url: str
+    site_id: str
+    api_part: str = "api"
+    portal_types: list[str] = field(default_factory=lambda: ["Document"])
+    types_blacklist: list[str] = field(default_factory=list)
+    threshold_pct: int = INC.DELETE_THRESHOLD_PCT
+    quick_since: str | None = None
+    normalizer: NormalizerConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+
+
+@dataclass
+class SyncPaths:
+    raw: str
+    searchui: str
+    quarantine: str
+    status: str
+
+
+def _empty_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [], "id string, modified string, errors array<string>"
+    )
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path).select("id", "modified", "errors")
+    except Exception:  # first run: no table yet
+        return _empty_state(spark)
+
+
+def _read_quarantine(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame(
+            [], "id string, error_cnt int, skip_cnt int, skipped boolean"
+        )
+
+
+def run_sync(
+    spark: SparkSession,
+    cfg: SyncConfig,
+    paths: SyncPaths,
+    transport: AQ.Transport,
+    robots_rules: list[tuple[str, bool]] | None = None,
+) -> dict[str, int]:
+    """One full sync for one site. Returns step counts for the status
+    stream (the reference's per-run status docs, status.py:115-163)."""
+    SK.status_event(spark, paths.status, f"sync:{cfg.site_id}", "started")
+
+    # 1. listing scan (S1) + source-side filters (P2-P8)
+    listing = AQ.listing_df(
+        spark,
+        transport,
+        cfg.site_url,
+        cfg.api_part,
+        cfg.portal_types,
+        quick_since=cfg.quick_since,
+    )
+    if cfg.types_blacklist:
+        listing = listing.filter(~F.col("doc_type").isin(cfg.types_blacklist))  # P7
+    listing = listing.filter(~F.coalesce(F.col("seo_noindex"), F.lit(False)))  # P8
+    if robots_rules:
+        listing = AQ.robots_filter(listing, robots_rules)  # P4
+
+    # 2. quarantine filter (P9) + diff vs state (J1)
+    ledger = _read_quarantine(spark, paths.quarantine)
+    # snapshot: the filtered listing is reused after the state tables are
+    # swapped below — cut its lineage to the pre-swap files (small: ids +
+    # stamps; Delta's transaction log makes this unnecessary in prod)
+    listing = INC.quarantine_filter(listing, ledger).localCheckpoint(eager=True)
+    state = _read_state(spark, paths.raw)
+    due = INC.sync_diff(listing, state)
+
+    # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
+    # snapshot: one network pass, reused for failures after the swaps
+    fetched = AQ.fetch_docs(due.select("id"), transport).localCheckpoint(eager=True)
+    envelopes = (
+        fetched.join(due.select("id", "doc_type", "modified"), "id")
+        .withColumns(
+            {
+                "web_html": F.lit(None).cast("string"),
+                "pdf_text": F.lit(None).cast("string"),
+                "original_id": F.col("id"),
+                "site_id": F.lit(cfg.site_id),
+                "site": F.lit(cfg.site_url),
+                "indexed_at": F.current_timestamp(),
+            }
+        )
+    )
+    n_fetched = envelopes.count()
+    SK.upsert_index(spark, paths.raw, envelopes, key="id", order_col="indexed_at")
+
+    # 4. failures → quarantine fold (A7)
+    failures = fetched.filter(F.size("errors") > 0).select("id")
+    new_ledger = INC.quarantine_fold(ledger.drop("skipped"), failures)
+    SK.replace_table(new_ledger, paths.quarantine)
+
+    # 5. normalize (§2.5) + per-site plugins (T28) → searchui MERGE
+    raw_ok = spark.read.parquet(paths.raw).filter(F.size("errors") == 0)
+    normalized = common_normalizer(raw_ok, cfg.normalizer)
+    normalized = normalize_by_site(normalized) if "site_id" in normalized.columns else normalized
+    searchui = normalized.withColumn("indexed_at", F.current_timestamp())
+    n_norm = searchui.count()
+    SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
+
+    # 6. deletions (J2) behind the threshold guard (J3)
+    cand, allowed, ratio = INC.guarded_deletes(
+        _read_state(spark, paths.raw), listing, threshold_pct=cfg.threshold_pct
+    )
+    n_del = 0
+    if allowed:
+        # snapshot before the swaps: the candidate plan reads the raw
+        # table that the first delete below replaces
+        doomed = cand.select("id").localCheckpoint(eager=True)
+        n_del = doomed.count()
+        if n_del:
+            SK.delete_from_index(spark, paths.raw, doomed)
+            SK.delete_from_index(spark, paths.searchui, doomed)
+
+    SK.status_event(
+        spark,
+        paths.status,
+        f"sync:{cfg.site_id}",
+        "finished" if allowed else "aborted_delete_threshold",
+        msg=f"delete_ratio={ratio:.2f}%",
+        docs_cnt=n_norm,
+    )
+    return {
+        "fetched": n_fetched,
+        "normalized": n_norm,
+        "deleted": n_del,
+        "delete_allowed": int(allowed),
+    }

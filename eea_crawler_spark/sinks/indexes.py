@@ -50,6 +50,21 @@ def delete_from_index(
     kept.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(table_path)
     os.rename(tmp, table_path)
+    spark.catalog.refreshByPath(table_path)
+    spark.catalog.refreshByPath(tmp)
+
+
+def replace_table(df: DataFrame, table_path: str) -> None:
+    """Overwrite a table the df may itself be reading from: write beside,
+    then swap (the read-vs-overwrite hazard Delta handles via the log)."""
+    tmp = f"{table_path}__next"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(table_path):
+        shutil.rmtree(table_path)
+    os.rename(tmp, table_path)
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(table_path)
+    spark.catalog.refreshByPath(tmp)
 
 
 def backup_index(table_path: str, backups_root: str, keep: int = BACKUP_KEEP) -> str:

@@ -68,6 +68,10 @@ def state_merge(
     if os.path.exists(state_path):
         shutil.rmtree(state_path)
     os.rename(tmp, state_path)
+    # the swap happened outside Spark: drop the stale shared file-status
+    # cache entries or later reads resolve to the deleted files
+    spark.catalog.refreshByPath(state_path)
+    spark.catalog.refreshByPath(tmp)
 
 
 def incremental_upsert_stream(

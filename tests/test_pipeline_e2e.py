@@ -1,0 +1,117 @@
+"""End-to-end sync pipeline over a stubbed site (SURVEY §5.2.5, no ES).
+
+Exercises the full composition: listing → filters → diff → fetch →
+raw merge → normalize → searchui merge → guarded deletes → quarantine.
+Asserts the incremental contract from BASELINE.md: a re-run with zero
+changes touches zero rows, changes flow through, deletions propagate,
+and failing docs land in the quarantine ledger.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from eea_crawler_spark.pipeline import SyncConfig, SyncPaths, run_sync
+
+SITE = "https://stub.example"
+
+
+class StubSite:
+    """A fake Plone site: listing pages + per-doc JSON; mutable corpus."""
+
+    def __init__(self):
+        self.docs = {
+            f"{SITE}/d{i}": {"modified": "2024-01-01", "title": f"Doc {i}"}
+            for i in range(5)
+        }
+        self.broken: set[str] = set()
+
+    def __call__(self, url: str) -> tuple[int, str]:
+        if "@search" in url:
+            if "b_start=0" not in url:
+                return 200, json.dumps({"items": [], "batching": {}})
+            items = [
+                {"@id": doc_id, "@type": "Document", "modified": d["modified"]}
+                for doc_id, d in sorted(self.docs.items())
+            ]
+            return 200, json.dumps({"items": items, "batching": {}})
+        if url in self.broken:
+            return 500, "boom"
+        d = self.docs.get(url)
+        if d is None:
+            return 404, "gone"
+        return 200, json.dumps(
+            {"@id": url, "title": d["title"], "language": "en",
+             "review_state": "published"}
+        )
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return SyncPaths(
+        raw=str(tmp_path / "raw"),
+        searchui=str(tmp_path / "searchui"),
+        quarantine=str(tmp_path / "quarantine"),
+        status=str(tmp_path / "status"),
+    )
+
+
+def test_full_sync_then_incremental(spark, paths):
+    site = StubSite()
+    cfg = SyncConfig(site_url=SITE, site_id="eea")
+
+    # run 1: cold start — everything is fetched and normalized
+    r1 = run_sync(spark, cfg, paths, site)
+    assert r1["fetched"] == 5 and r1["normalized"] == 5 and r1["deleted"] == 0
+    searchui = {r["id"]: r.asDict() for r in spark.read.parquet(paths.searchui).collect()}
+    assert len(searchui) == 5
+    d0 = searchui[f"{SITE}/d0"]
+    assert d0["title"] == "Doc 0" and d0["label"] == "Doc 0"  # chain ran
+    assert d0["cluster_name"] == "eea"  # site plugin ran
+
+    # run 2: nothing changed — zero fetches, state untouched
+    r2 = run_sync(spark, cfg, paths, site)
+    assert r2["fetched"] == 0 and r2["deleted"] == 0
+    again = {r["id"] for r in spark.read.parquet(paths.searchui).collect()}
+    assert again == set(searchui)
+
+    # run 3: one doc modified, one removed (20% < 25% threshold → allowed)
+    site.docs[f"{SITE}/d1"]["modified"] = "2024-02-02"
+    site.docs[f"{SITE}/d1"]["title"] = "Doc 1 v2"
+    del site.docs[f"{SITE}/d4"]
+    r3 = run_sync(spark, cfg, paths, site)
+    assert r3["fetched"] == 1 and r3["deleted"] == 1 and r3["delete_allowed"] == 1
+    final = {r["id"]: r.asDict() for r in spark.read.parquet(paths.searchui).collect()}
+    assert set(final) == {f"{SITE}/d{i}" for i in range(4)}
+    assert final[f"{SITE}/d1"]["title"] == "Doc 1 v2"  # update propagated
+
+
+def test_delete_threshold_aborts_mass_delete(spark, paths):
+    site = StubSite()
+    cfg = SyncConfig(site_url=SITE, site_id="eea")
+    run_sync(spark, cfg, paths, site)
+
+    # listing collapses to one doc → 80% deletes > 25% threshold → abort
+    site.docs = {k: v for k, v in site.docs.items() if k.endswith("d0")}
+    r = run_sync(spark, cfg, paths, site)
+    assert r["delete_allowed"] == 0 and r["deleted"] == 0
+    still = {r_["id"] for r_ in spark.read.parquet(paths.searchui).collect()}
+    assert len(still) == 5  # nothing was deleted
+
+
+def test_failures_enter_quarantine(spark, paths):
+    site = StubSite()
+    cfg = SyncConfig(site_url=SITE, site_id="eea")
+    site.broken.add(f"{SITE}/d3")
+    r = run_sync(spark, cfg, paths, site)
+    assert r["fetched"] == 5  # row survives with errors
+    ledger = {
+        r_["id"]: r_.asDict()
+        for r_ in spark.read.parquet(paths.quarantine).collect()
+    }
+    assert ledger[f"{SITE}/d3"]["error_cnt"] == 1
+    # broken doc is error-filtered out of searchui
+    ok = {r_["id"] for r_ in spark.read.parquet(paths.searchui).collect()}
+    assert f"{SITE}/d3" not in ok and len(ok) == 4

@@ -1,0 +1,70 @@
+"""Normalize-chain throughput floor (BASELINE.md derived target).
+
+Target: ≥ 200 docs/s/core through the full §2.5 chain, pure transform.
+Measured ~4,000 docs/s/core on local[32] (whole chain codegen, zero
+shuffles); the assertion floor is set 4× under the target's 2× so CI
+noise can't flake it while a 10× regression (e.g. an accidental Python
+UDF or a shuffle creeping into the chain) still fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.operators.normalize_chain import (
+    DEFAULT_CONFIG,
+    common_normalizer,
+)
+
+RAW = json.dumps(
+    {
+        "title": " Air quality in Europe ",
+        "description": "Overview of air quality.",
+        "language": None,
+        "language_token": "de",
+        "review_state": "published",
+        "themes": ["climate"],
+        "taxonomy_themes": [{"token": "water", "title": "W"}],
+        "subjects": ["air", "internal", "air"],
+        "publishers": ["EEA (European Environment Agency)"],
+        "object_provides": ["IDashboard"],
+        "format": ["text/html"],
+        "geo_coverage": {"geolocation": [{"label": "Europe"}]},
+        "temporal_coverage": {"temporal": [{"label": "2020-2021"}]},
+        "location": '{"features":[{"properties":{"title":"Berlin"}}]}',
+    }
+)
+
+N_DOCS = 50_000
+FLOOR_PER_CORE = 100  # docs/s/core; target 200, measured ~4000
+
+
+def test_normalize_throughput_floor(spark):
+    cores = spark.sparkContext.defaultParallelism
+    base = spark.range(N_DOCS).select(
+        F.concat(F.lit("https://site/doc"), F.col("id")).alias("id"),
+        F.lit("Article").alias("doc_type"),
+        F.lit(RAW).alias("raw_value"),
+        F.lit("<html><body><p>Body text.</p></body></html>").alias("web_html"),
+        F.lit(200).alias("status_code"),
+        F.lit(None).cast("string").alias("pdf_text"),
+        F.concat(F.lit("https://site/doc"), F.col("id")).alias("original_id"),
+        F.lit("eea").alias("site_id"),
+        F.array().cast("array<string>").alias("errors"),
+        F.lit("2024-01-01").alias("modified"),
+        F.lit("https://site").alias("site"),
+        F.current_timestamp().alias("indexed_at"),
+    )
+    base = base.localCheckpoint(eager=True)  # generation out of the timing
+    out = common_normalizer(base, DEFAULT_CONFIG)
+    out.write.format("noop").mode("overwrite").save()  # warm codegen
+    t0 = time.perf_counter()
+    out.write.format("noop").mode("overwrite").save()
+    rate = N_DOCS / (time.perf_counter() - t0)
+    assert rate >= FLOOR_PER_CORE * cores, (
+        f"normalize throughput {rate:.0f} docs/s < floor "
+        f"{FLOOR_PER_CORE * cores} on {cores} cores"
+    )
