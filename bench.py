@@ -37,7 +37,8 @@ def run_query(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") == "1"
-    spark = get_spark("eea_crawler_spark-bench")
+    # shuffle partitions + AQE sized to the benchmark input (see session.py)
+    spark = get_spark("eea_crawler_spark-bench", data_dir=sf_dir)
 
     from eea_crawler_spark.plans import CORE_QUERIES, QUERIES
 

@@ -9,10 +9,12 @@ applies that site's plan, and UNIONs the results — plan size stays
 linear in the site count instead of one mega-WHEN-chain over every
 column (SURVEY §7.3), and Catalyst prunes each branch independently.
 
-Representative plugins are implemented (default eea, sdi, climate);
-the remaining sites are config variations of the same builders —
-decode tables become CASE/map-literal expressions, path rules reuse
-functions/normalize.ct_by_path_rules.
+All 19 reference sites are registered; each is a config variation of
+the same builders — decode tables become CASE/map-literal
+expressions, path rules reuse functions/normalize.ct_by_path_rules.
+Plugins are defensive about optional columns (the reference reads
+raw_value keys that may be absent); a column-presence check at plan
+build time replaces the reference's dict .get() chains.
 
 The SDI aggregations are the real operators here:
   A3 max-modified over children   (site_sdi.py:332-342)
@@ -159,6 +161,410 @@ def site_climate(df: DataFrame) -> DataFrame:
             F.coalesce(m[F.col("update_frequency")], F.col("update_frequency")),
         )
     return out
+
+
+# ---- the remaining reference sites --------------------------------------
+# Each plugin mirrors one dags/normalizers/sites/site_*.py; behaviors are
+# cited per function. Optional inputs (raw_value keys the reference reads
+# with .get()) map to column-presence checks at plan-build time.
+
+
+def _url_path(url: Column) -> Column:
+    """urlparse(id).path (the plugins' doc_loc)."""
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def _with(df: DataFrame, **cols: Column) -> DataFrame:
+    return df.withColumns(dict(cols))
+
+
+# path segment → topic terms decode (site_eionet.py:47-74)
+EIONET_TOPICS = {
+    "etc-atni": ["term2", "term29"],
+    "etc-bd": ["term4"],
+    "etc-cca": ["term10"],
+    "etc-cme": ["term11", "term14"],
+    "etc-icm": ["term45", "term34"],
+    "etc-uls": ["term23", "term35"],
+    "etc-wmge": ["term44"],
+}
+
+
+@register_facets_normalizer("eionet")
+def site_eionet(df: DataFrame) -> DataFrame:
+    """ETC plugin (site_eionet.py:20-83): cluster 'etc'; /etcs/<etc-x>/
+    path prefix decodes to fixed topic terms."""
+    path = _url_path(F.col("id"))
+    parts = F.split(F.regexp_replace(path, "^/|/$", ""), "/")
+    topic = F.coalesce(
+        F.col("topic") if "topic" in df.columns else F.lit(None).cast("array<string>"),
+        F.array().cast("array<string>"),
+    )
+    expr = topic
+    for seg_name, terms in EIONET_TOPICS.items():
+        cond = (F.element_at(parts, 1) == "etcs") & (F.element_at(parts, 2) == seg_name)
+        expr = F.when(cond, F.array(*[F.lit(t) for t in terms])).otherwise(expr)
+    return _with(df, cluster_name=F.lit("etc"), topic=expr)
+
+
+@register_facets_normalizer("wise_marine")
+def site_wise_marine(df: DataFrame) -> DataFrame:
+    """WISE-marine plugin (site_wise_marine.py:79-155): water themes,
+    country_factsheet → spatial from title, Data-set/Webpage
+    objectProvides cleanup, dpsir_type flattening."""
+    out = _with(
+        df,
+        cluster_name=F.lit("wise-marine"),
+        themes=F.array(F.lit("water"), F.lit("coast_sea")),
+    )
+    cols = set(df.columns)
+    if {"doc_type", "spatial", "title"} <= cols:
+        out = out.withColumn(
+            "spatial",
+            F.when(F.col("doc_type") == "country_factsheet", F.array(F.col("title")))
+            .otherwise(F.col("spatial")),
+        )
+    if "objectProvides" in cols:
+        op = F.col("objectProvides")
+        # 'Data set' present: alone → Webpage, else drop Webpage
+        # (site_wise_marine.py:121-125)
+        has_ds = F.array_contains(op, "Data set")
+        out = out.withColumn(
+            "objectProvides",
+            F.when(has_ds & (F.size(op) == 1), F.array(F.lit("Webpage")))
+            .when(has_ds, F.array_remove(op, "Webpage"))
+            .otherwise(op),
+        )
+        # Shipping and Ports Measure → excluded from global search
+        # (site_wise_marine.py:126-127)
+        out = out.withColumn(
+            "exclude_from_globalsearch",
+            F.when(
+                F.array_contains(F.col("objectProvides"), "Shipping and Ports Measure"),
+                F.array(F.lit("True")),
+            ).otherwise(F.lit(None).cast("array<string>")),
+        )
+    if "dpsir_type" in cols:
+        out = out.withColumn(
+            "wm_dpsir_type", F.transform(F.col("dpsir_type"), lambda x: x["title"])
+        )
+    return out
+
+
+BP_CODE_RE = r"BP\d+\s-\s(.+)"
+
+
+@register_facets_normalizer("wise_freshwater")
+def site_wise_freshwater(df: DataFrame) -> DataFrame:
+    """WISE-freshwater plugin (site_wise_freshwater.py:23-152): water
+    theme, cluster tag, and the BP-code label extraction — values
+    matching ``BP\\d+ - label`` keep only the label
+    (normalized_bep, site_wise_freshwater.py:132-151)."""
+    out = _with(
+        df,
+        cluster_name=F.lit("wise-freshwater"),
+        themes=F.array(F.lit("water")),
+    )
+    if "biophysical_impacts" in df.columns:
+        out = out.withColumn(
+            "biophysical_impacts",
+            F.transform(
+                F.col("biophysical_impacts"),
+                lambda v: F.when(
+                    v.rlike("^" + BP_CODE_RE + "$"),
+                    F.regexp_extract(v, BP_CODE_RE, 1),
+                ).otherwise(v),
+            ),
+        )
+    return out
+
+
+@register_facets_normalizer("forest")
+def site_forest(df: DataFrame) -> DataFrame:
+    """FISE-forest plugin (site_forest.py:21-90): /resources/
+    data-catalogue docs dropped, cluster 'fise', topics/* pages get a
+    Topic-page content type."""
+    out = df.filter(~F.col("id").contains("/resources/data-catalogue"))
+    path = F.regexp_replace(_url_path(F.col("id")), "^/|/$", "")
+    out = out.withColumn("cluster_name", F.lit("fise"))
+    if "objectProvides" in df.columns:
+        out = out.withColumn(
+            "objectProvides",
+            F.when(
+                path.startswith("topics"), F.array(F.lit("Topic page"))
+            ).otherwise(F.col("objectProvides")),
+        )
+    return out
+
+
+@register_facets_normalizer("copernicus_land")
+def site_copernicus_land(df: DataFrame) -> DataFrame:
+    """Copernicus-land plugin (site_copernicus_land.py:25-80):
+    categories keep the '#'-suffix token; '»'-qualified values collapse
+    to their first segment, order-preserving dedup."""
+    out = df.withColumn("cluster_name", F.lit("copernicus_land"))
+    cols = set(df.columns)
+    if "categories" in cols:
+        out = out.withColumn(
+            "categories",
+            F.transform(
+                F.col("categories"), lambda c: F.element_at(F.split(c, "#"), -1)
+            ),
+        )
+    if "topics" in cols:
+        out = out.withColumn(
+            "topics",
+            F.array_distinct(
+                F.transform(
+                    F.col("topics"),
+                    lambda c: F.trim(F.element_at(F.split(c, "»"), 1)),
+                )
+            ),
+        )
+    return out
+
+
+@register_facets_normalizer("eea_en")
+def site_eea_en(df: DataFrame) -> DataFrame:
+    """New-EEA-site plugin (site_eea_europa_eu_en.py:21-76): sandbox
+    paths dropped, topic = topics[].title."""
+    parts = F.split(F.regexp_replace(_url_path(F.col("id")), "^/|/$", ""), "/")
+    out = df.filter(~F.array_contains(parts, "sandbox"))
+    out = out.withColumn("cluster_name", F.lit("eea"))
+    if "topics" in df.columns:
+        out = out.withColumn(
+            "topic", F.transform(F.col("topics"), lambda t: t["title"])
+        )
+    return out
+
+
+@register_facets_normalizer("fise")
+def site_fise(df: DataFrame) -> DataFrame:
+    """FISE plugin (site_fise.py:25-98): cluster 'fise_sdi', topic from
+    resource_topics."""
+    out = df.withColumn("cluster_name", F.lit("fise_sdi"))
+    if "resource_topics" in df.columns:
+        out = out.withColumn("topic", F.col("resource_topics"))
+    return out
+
+
+@register_facets_normalizer("biodiversity")
+def site_biodiversity(df: DataFrame) -> DataFrame:
+    """BISE plugin (site_biodiversity.py:21-66): biodiversity theme,
+    bise_factsheet → spatial from title, Country-fact-sheet docs also
+    become Dashboards."""
+    out = _with(
+        df,
+        cluster_name=F.lit("bise"),
+        themes=F.array(F.lit("biodiversity")),
+    )
+    cols = set(df.columns)
+    if {"doc_type", "spatial", "title"} <= cols:
+        out = out.withColumn(
+            "spatial",
+            F.when(F.col("doc_type") == "bise_factsheet", F.array(F.col("title")))
+            .otherwise(F.col("spatial")),
+        )
+    if "objectProvides" in cols:
+        op = F.col("objectProvides")
+        out = out.withColumn(
+            "objectProvides",
+            F.when(
+                op == F.array(F.lit("Country fact sheet")),
+                F.array(F.lit("Country fact sheet"), F.lit("Dashboard")),
+            ).otherwise(op),
+        )
+    return out
+
+
+@register_facets_normalizer("energy")
+def site_energy(df: DataFrame) -> DataFrame:
+    """Energy plugin (site_energy.py:21-76): resource_type 'Data' →
+    Dashboard; /topics/*/intro → Topic page."""
+    out = df.withColumn("cluster_name", F.lit("energy"))
+    if "objectProvides" not in df.columns:
+        return out
+    path = F.regexp_replace(_url_path(F.col("id")), "^/|/$", "")
+    parts = F.split(path, "/")
+    op = F.col("objectProvides")
+    if "resource_type" in df.columns:
+        op = F.when(
+            F.col("resource_type") == "Data", F.array(F.lit("Dashboard"))
+        ).otherwise(op)
+    op = F.when(
+        (F.element_at(parts, 1) == "topics") & (F.element_at(parts, -1) == "intro"),
+        F.array(F.lit("Topic page")),
+    ).otherwise(op)
+    return out.withColumn("objectProvides", op)
+
+
+@register_facets_normalizer("noise")
+def site_noise(df: DataFrame) -> DataFrame:
+    """Noise plugin (site_noise.py:24-44): fixed cluster + topic."""
+    return _with(
+        df, cluster_name=F.lit("noise"), topic=F.array(F.lit("Noise"))
+    )
+
+
+@register_facets_normalizer("industry")
+def site_industry(df: DataFrame) -> DataFrame:
+    """Industry plugin (site_industry.py:22-50): cluster tag only."""
+    return df.withColumn("cluster_name", F.lit("industry"))
+
+
+@register_facets_normalizer("ias")
+def site_ias(df: DataFrame) -> DataFrame:
+    """IAS plugin (site_ias.py:20-60): /products/european-statistics
+    docs are Dashboards unless titled 'Map…' (then interactive maps)."""
+    out = df.withColumn("cluster_name", F.lit("ias"))
+    if not {"objectProvides", "title"} <= set(df.columns):
+        return out
+    parts = F.split(F.regexp_replace(_url_path(F.col("id")), "^/|/$", ""), "/")
+    in_stats = (F.element_at(parts, 1) == "products") & (
+        F.element_at(parts, 2) == "european-statistics"
+    )
+    return out.withColumn(
+        "objectProvides",
+        F.when(
+            in_stats & F.col("title").startswith("Map"),
+            F.array(F.lit("Map (interactive)")),
+        )
+        .when(in_stats, F.array(F.lit("Dashboard")))
+        .otherwise(F.col("objectProvides")),
+    )
+
+
+@register_facets_normalizer("discomap")
+def site_discomap(df: DataFrame) -> DataFrame:
+    """Discomap plugin (site_discomap.py:23-60): URL-prefix decode of
+    topic + objectProvides (climatechange vs atlas apps; landing pages
+    are Webpages, the rest interactive maps)."""
+    out = df.withColumn("cluster_name", F.lit("discomap"))
+    url = F.col("id")
+    cc = url.startswith("https://discomap.eea.europa.eu/climatechange")
+    atlas = url.startswith("https://discomap.eea.europa.eu/atlas")
+    landing = F.regexp_replace(url, "/$", "").isin(
+        "https://discomap.eea.europa.eu/climatechange/?page=Home",
+        "https://discomap.eea.europa.eu/climatechange",
+        "https://discomap.eea.europa.eu/atlas/?page=Learn-more",
+        "https://discomap.eea.europa.eu/atlas/?page=Home",
+        "https://discomap.eea.europa.eu/atlas",
+    )
+    topic_default = (
+        F.col("topic") if "topic" in df.columns
+        else F.lit(None).cast("array<string>")
+    )
+    out = out.withColumn(
+        "topic",
+        F.when(
+            cc,
+            F.array(
+                F.lit("Climate change adaptation"),
+                F.lit("Climate change mitigation"),
+            ),
+        )
+        .when(atlas, F.array(F.lit("Environmental health impacts")))
+        .otherwise(topic_default),
+    )
+    if "objectProvides" in df.columns:
+        out = out.withColumn(
+            "objectProvides",
+            F.when((cc | atlas) & landing, F.array(F.lit("Webpage")))
+            .when(cc | atlas, F.array(F.lit("Map (interactive)")))
+            .otherwise(F.col("objectProvides")),
+        )
+    return out
+
+
+# catalogue-code decode tables (site_sdi_fise.py:354-372)
+FISE_LANG_NAMES = {
+    "ita": "Italian", "eng": "English", "ger": "German", "deu": "German",
+    "spa": "Spanish", "por": "Portuguese", "unknown": "Unknown",
+}
+FISE_COUNTRY_NAMES = {
+    "ita": "Italy", "eng": "Pan European (EEA)", "ger": "Switzerland",
+    "deu": "Switzerland", "spa": "Spain", "por": "Portugal",
+    "unknown": "Unknown",
+}
+# update-frequency decode (site_sdi_fise.py:409-448)
+FISE_UPDATE_FREQUENCY = {
+    "asNeeded": "As needed", "unknown": "Unknown", "continual": "Continual",
+    "continuous": "Continual", "notPlanned": "Not planned",
+    "irregular": "Irregular", "annually": "Annually",
+    "userDefined": "User defined", "quarterly": "Quarterly",
+    "weekly": "Weekly", "biannually": "Biannually", "monthly": "Monthly",
+    "daily": "Daily",
+}
+
+
+def _map_lit(m: dict[str, str]) -> Column:
+    return F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
+
+
+@register_facets_normalizer("sdi_fise")
+def site_sdi_fise(df: DataFrame) -> DataFrame:
+    """FISE-SDI plugin (site_sdi_fise.py:349-514): language/country
+    decode tables, publicationYear fallback chain (publication →
+    creation → revision year, sentinel 2500), update-frequency decode."""
+    out = df.withColumn("cluster_name", F.lit("fise_sdi"))
+    cols = set(df.columns)
+    if "language_code" in cols:
+        out = out.withColumns(
+            {
+                "language": F.coalesce(
+                    _map_lit(FISE_LANG_NAMES)[F.col("language_code")],
+                    F.lit("Unknown"),
+                ),
+                "country": F.coalesce(
+                    _map_lit(FISE_COUNTRY_NAMES)[F.col("language_code")],
+                    F.lit("Unknown"),
+                ),
+            }
+        )
+    year_sources = [
+        c for c in
+        ("publication_year", "creation_year", "revision_year")
+        if c in cols
+    ]
+    if year_sources:
+        out = out.withColumn(
+            "publicationYear",
+            F.coalesce(
+                *[F.col(c).cast("int") for c in year_sources], F.lit(2500)
+            ),
+        )
+    if "update_frequency_key" in cols:
+        out = out.withColumn(
+            "update_frequency_value",
+            F.coalesce(
+                _map_lit(FISE_UPDATE_FREQUENCY)[F.col("update_frequency_key")],
+                F.col("update_frequency_key"),
+                F.lit("Unknown"),
+            ),
+        )
+    return out
+
+
+@register_facets_normalizer("climate_advisory_board")
+def site_climate_advisory_board(df: DataFrame) -> DataFrame:
+    """Advisory-board plugin (site_climate_advisory_board.py): cluster
+    tag on the climate shape."""
+    return df.withColumn("cluster_name", F.lit("climate-advisory-board"))
+
+
+@register_facets_normalizer("copernicus_insitu")
+def site_copernicus_insitu(df: DataFrame) -> DataFrame:
+    """Copernicus in-situ plugin (site_copernicus_insitu.py)."""
+    return df.withColumn("cluster_name", F.lit("copernicus_insitu"))
+
+
+@register_facets_normalizer("copernicus_demo_land")
+def site_copernicus_demo_land(df: DataFrame) -> DataFrame:
+    """Copernicus demo-land plugin (site_copernicus_demo_land.py) —
+    same categories/topics decode as copernicus_land."""
+    return site_copernicus_land(df).withColumn(
+        "cluster_name", F.lit("copernicus_demo_land")
+    )
 
 
 def normalize_by_site(

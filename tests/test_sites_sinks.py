@@ -82,6 +82,171 @@ def test_dispatch_unions_per_site_plans(spark):
     assert rows["d3"]["cluster_name"] == "eea"  # default fallback
 
 
+def test_full_site_registry():
+    # every reference site plugin has a registered twin
+    expected = {
+        "eea", "eea_en", "sdi", "sdi_fise", "fise", "climate",
+        "climate_advisory_board", "eionet", "wise_marine",
+        "wise_freshwater", "forest", "biodiversity", "energy", "noise",
+        "industry", "ias", "discomap", "copernicus_land",
+        "copernicus_insitu", "copernicus_demo_land",
+    }
+    assert expected <= set(S.FACETS_NORMALIZERS)
+
+
+def test_eionet_path_topics(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://eionet.example/etcs/etc-bd/report1", ["old"]),
+            ("https://eionet.example/etcs/etc-cme/x", ["old"]),
+            ("https://eionet.example/other/page", ["kept"]),
+        ],
+        "id string, topic array<string>",
+    )
+    rows = {r["id"].split("/")[-1]: r for r in S.site_eionet(df).collect()}
+    assert rows["report1"]["topic"] == ["term4"]
+    assert rows["x"]["topic"] == ["term11", "term14"]
+    assert rows["page"]["topic"] == ["kept"]
+    assert all(r["cluster_name"] == "etc" for r in rows.values())
+
+
+def test_wise_marine_objectprovides_cleanup(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "Document", "T1", None, ["Data set"]),
+            ("u2", "Document", "T2", None, ["Data set", "Webpage"]),
+            ("u3", "country_factsheet", "Portugal", None, ["Webpage"]),
+            ("u4", "Document", "T4", None, ["Shipping and Ports Measure"]),
+        ],
+        "id string, doc_type string, title string, "
+        "spatial array<string>, objectProvides array<string>",
+    )
+    rows = {r["id"]: r for r in S.site_wise_marine(df).collect()}
+    assert rows["u1"]["objectProvides"] == ["Webpage"]  # alone → Webpage
+    assert rows["u2"]["objectProvides"] == ["Data set"]  # Webpage dropped
+    assert rows["u3"]["spatial"] == ["Portugal"]  # factsheet → spatial
+    assert rows["u4"]["exclude_from_globalsearch"] == ["True"]
+    assert rows["u1"]["themes"] == ["water", "coast_sea"]
+
+
+def test_wise_freshwater_bp_codes(spark):
+    df = spark.createDataFrame(
+        [("u1", ["BP12 - Floodplain restoration", "no code"])],
+        "id string, biophysical_impacts array<string>",
+    )
+    row = S.site_wise_freshwater(df).collect()[0]
+    assert row["biophysical_impacts"] == ["Floodplain restoration", "no code"]
+    assert row["cluster_name"] == "wise-freshwater"
+
+
+def test_forest_drops_data_catalogue_and_topic_pages(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://forest.example/resources/data-catalogue/x", ["Webpage"]),
+            ("https://forest.example/topics/forests", ["Webpage"]),
+            ("https://forest.example/articles/a", ["Article"]),
+        ],
+        "id string, objectProvides array<string>",
+    )
+    rows = {r["id"].split("/")[-1]: r for r in S.site_forest(df).collect()}
+    assert "x" not in rows  # P12 drop rule
+    assert rows["forests"]["objectProvides"] == ["Topic page"]
+    assert rows["a"]["objectProvides"] == ["Article"]
+
+
+def test_copernicus_land_decodes(spark):
+    df = spark.createDataFrame(
+        [("u1", ["scheme#Forest", "plain"], ["Land » cover", "Land » use", "Sea"])],
+        "id string, categories array<string>, topics array<string>",
+    )
+    row = S.site_copernicus_land(df).collect()[0]
+    assert row["categories"] == ["Forest", "plain"]
+    assert row["topics"] == ["Land", "Sea"]  # split-»-dedup
+
+
+def test_eea_en_sandbox_drop_and_topics(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://eea.example/en/sandbox/p", None),
+            ("https://eea.example/en/analysis/a",
+             [{"title": "Air"}, {"title": "Water"}]),
+        ],
+        "id string, topics array<struct<title:string>>",
+    )
+    rows = S.site_eea_en(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["topic"] == ["Air", "Water"]
+
+
+def test_ias_and_energy_objectprovides_rules(spark):
+    ias = spark.createDataFrame(
+        [
+            ("https://ias.example/products/european-statistics/one",
+             "Map of spread", ["Webpage"]),
+            ("https://ias.example/products/european-statistics/two",
+             "Spread stats", ["Webpage"]),
+            ("https://ias.example/other", "Map of x", ["Webpage"]),
+        ],
+        "id string, title string, objectProvides array<string>",
+    )
+    rows = {r["id"].split("/")[-1]: r for r in S.site_ias(ias).collect()}
+    assert rows["one"]["objectProvides"] == ["Map (interactive)"]
+    assert rows["two"]["objectProvides"] == ["Dashboard"]
+    assert rows["other"]["objectProvides"] == ["Webpage"]
+
+    energy = spark.createDataFrame(
+        [
+            ("https://e.example/topics/solar/intro", "T", ["Webpage"], None),
+            ("https://e.example/data/x", "T", ["Webpage"], "Data"),
+        ],
+        "id string, title string, objectProvides array<string>, resource_type string",
+    )
+    erows = {r["id"].split("/")[-1]: r for r in S.site_energy(energy).collect()}
+    assert erows["intro"]["objectProvides"] == ["Topic page"]
+    assert erows["x"]["objectProvides"] == ["Dashboard"]
+
+
+def test_discomap_url_prefix_decode(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://discomap.eea.europa.eu/climatechange", ["Webpage"]),
+            ("https://discomap.eea.europa.eu/climatechange/?page=Map1", ["Webpage"]),
+            ("https://discomap.eea.europa.eu/atlas/?page=Health", ["Webpage"]),
+        ],
+        "id string, objectProvides array<string>",
+    )
+    rows = {r["id"]: r for r in S.site_discomap(df).collect()}
+    assert rows["https://discomap.eea.europa.eu/climatechange"][
+        "objectProvides"] == ["Webpage"]
+    assert rows["https://discomap.eea.europa.eu/climatechange/?page=Map1"][
+        "objectProvides"] == ["Map (interactive)"]
+    atlas = rows["https://discomap.eea.europa.eu/atlas/?page=Health"]
+    assert atlas["objectProvides"] == ["Map (interactive)"]
+    assert atlas["topic"] == ["Environmental health impacts"]
+
+
+def test_sdi_fise_decode_tables(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "ita", None, "2019", "2018", "asNeeded"),
+            ("u2", "nope", "2020", None, None, "weird"),
+            ("u3", None, None, None, None, None),
+        ],
+        "id string, language_code string, publication_year string, "
+        "creation_year string, revision_year string, update_frequency_key string",
+    )
+    rows = {r["id"]: r for r in S.site_sdi_fise(df).collect()}
+    assert rows["u1"]["language"] == "Italian"
+    assert rows["u1"]["country"] == "Italy"
+    assert rows["u1"]["publicationYear"] == 2019  # creation before revision
+    assert rows["u1"]["update_frequency_value"] == "As needed"
+    assert rows["u2"]["language"] == "Unknown"
+    assert rows["u2"]["publicationYear"] == 2020
+    assert rows["u2"]["update_frequency_value"] == "weird"  # passthrough
+    assert rows["u3"]["publicationYear"] == 2500  # sentinel
+    assert rows["u1"]["cluster_name"] == "fise_sdi"
+
+
 def test_index_lifecycle(spark, tmp_path):
     table = str(tmp_path / "searchui")
     schema = "id string, payload string, indexed_at timestamp"
