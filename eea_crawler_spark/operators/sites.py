@@ -46,6 +46,22 @@ def register_facets_normalizer(site_id: str) -> Callable[[Plugin], Plugin]:
     return wrap
 
 
+NLP_PREPROCESSORS: dict[str, Plugin] = {}
+
+
+def register_nlp_preprocessor(site_id: str) -> Callable[[Plugin], Plugin]:
+    """Second registry of the reference pair
+    (dags/normalizers/registry.py:13-20): per-site NLP-preparation
+    plugins, dispatched with the same default fallback
+    (get_nlp_preprocessor, registry.py:30-31)."""
+
+    def wrap(fn: Plugin) -> Plugin:
+        NLP_PREPROCESSORS[site_id] = fn
+        return fn
+
+    return wrap
+
+
 # ---- A4: years covered by [{start,end}] date-range structs --------------
 
 
@@ -580,6 +596,65 @@ def normalize_by_site(
     branches: list[DataFrame] = []
     for site in sites:
         plugin = FACETS_NORMALIZERS.get(site, FACETS_NORMALIZERS[default])
+        branches.append(plugin(df.filter(F.col(site_col) == site)))
+    if not branches:
+        return df
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+# ---- NLP preprocessors (the registry's second half) ----------------------
+# The reference's per-site preprocess_* functions all reduce to
+# common_preprocess (fulltext assembly, nlp.py:13-62) + the 250/50 word
+# split (nlp.py:65-96); sdi pre-normalizes first (site_sdi.py:176-214),
+# which on our side already happened in the facets pass. The Spark twin
+# therefore emits the chunk column ``nlp_250`` as array<struct<text>>,
+# the searchui mapping's nested shape (variables.json:2319-2327) minus
+# the embedding (attached later by operators/embeddings.embed_chunks).
+
+
+def _nlp_chunks(df: DataFrame, text_col: str = "fulltext") -> DataFrame:
+    from eea_crawler_spark.functions.text import word_chunks
+
+    if text_col not in df.columns:
+        return df.withColumn(
+            "nlp_250", F.lit(None).cast("array<struct<text:string>>")
+        )
+    return df.withColumn(
+        "nlp_250",
+        F.transform(
+            word_chunks(F.col(text_col)), lambda t: F.struct(t.alias("text"))
+        ),
+    )
+
+
+@register_nlp_preprocessor("eea")
+def nlp_eea(df: DataFrame) -> DataFrame:
+    """Default preprocessor (preprocess_eea → common_preprocess)."""
+    return _nlp_chunks(df)
+
+
+@register_nlp_preprocessor("sdi")
+def nlp_sdi(df: DataFrame) -> DataFrame:
+    """SDI preprocessor (preprocess_sdi, site_sdi.py:365-372): the
+    pre-normalize leg ran in the facets pass; chunking is shared."""
+    return _nlp_chunks(df)
+
+
+def nlp_preprocess_by_site(
+    df: DataFrame,
+    site_col: str = "site_id",
+    default: str = "eea",
+) -> DataFrame:
+    """NLP dispatch with default fallback (get_nlp_preprocessor,
+    registry.py:30-31), same union-of-branches shape as
+    normalize_by_site."""
+    sites = [r[0] for r in df.select(site_col).distinct().collect()]
+    branches: list[DataFrame] = []
+    for site in sites:
+        plugin = NLP_PREPROCESSORS.get(site, NLP_PREPROCESSORS[default])
         branches.append(plugin(df.filter(F.col(site_col) == site)))
     if not branches:
         return df

@@ -172,3 +172,52 @@ def run_sync(
         "deleted": n_del,
         "delete_allowed": int(allowed),
     }
+
+
+def run_renormalize(
+    spark: SparkSession,
+    paths: SyncPaths,
+    site_id: str | None = None,
+    portal_types: list[str] | None = None,
+    update_only: bool = False,
+    normalizer: NormalizerConfig = DEFAULT_CONFIG,
+) -> dict[str, int]:
+    """Re-normalize without crawling: the reference's
+    d4_prepare_docs_for_searchui (SURVEY §3.2) — rebuild the derived
+    searchui table from the raw table.
+
+    Kept semantics: error docs skipped
+    (normalizer.parse_all_documents_for_site error check), optional
+    ``sync_portal_types`` filter on the doc type
+    (d4_prepare_docs_for_searchui.py:50-58), and ``metadata_only`` →
+    update-only (d4:32-33): refreshed rows may only *update* ids already
+    in searchui, never insert (a semi-join against the existing index).
+
+    One lazy plan: raw scan → filters → §2.5 chain → site plugins →
+    MERGE; Catalyst prunes the raw columns the chain doesn't read.
+    """
+    raw = spark.read.parquet(paths.raw).filter(F.size("errors") == 0)
+    if site_id is not None:
+        raw = raw.filter(F.col("site_id") == site_id)
+    if portal_types:
+        raw = raw.filter(F.col("doc_type").isin(portal_types))
+
+    normalized = common_normalizer(raw, normalizer)
+    if "site_id" in normalized.columns:
+        normalized = normalize_by_site(normalized)
+    searchui = normalized.withColumn("indexed_at", F.current_timestamp())
+
+    if update_only:
+        try:
+            existing = spark.read.parquet(paths.searchui).select("id")
+        except Exception:  # no searchui yet: update-only is a no-op
+            return {"renormalized": 0}
+        searchui = searchui.join(existing, "id", "left_semi")
+
+    n = searchui.count()
+    if n:
+        SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
+    SK.status_event(
+        spark, paths.status, f"renormalize:{site_id or 'all'}", "finished", docs_cnt=n
+    )
+    return {"renormalized": n}
