@@ -45,6 +45,10 @@ class SyncConfig:
     threshold_pct: int = INC.DELETE_THRESHOLD_PCT
     quick_since: str | None = None
     normalizer: NormalizerConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+    # "driver" = page walk on the driver (small listings);
+    # "datasource" = the plone_listing Python DataSource scan —
+    # partition-per-portal-type with filter pushdown (the scale path)
+    listing_source: str = "driver"
 
 
 @dataclass
@@ -89,14 +93,26 @@ def run_sync(
     SK.status_event(spark, paths.status, f"sync:{cfg.site_id}", "started")
 
     # 1. listing scan (S1) + source-side filters (P2-P8)
-    listing = AQ.listing_df(
-        spark,
-        transport,
-        cfg.site_url,
-        cfg.api_part,
-        cfg.portal_types,
-        quick_since=cfg.quick_since,
-    )
+    if cfg.listing_source == "datasource":
+        from eea_crawler_spark.sources.plone_datasource import plone_listing_df
+
+        listing = plone_listing_df(
+            spark,
+            cfg.site_url,
+            transport=transport,
+            api_part=cfg.api_part,
+            portal_types=cfg.portal_types,
+            quick_since=cfg.quick_since,
+        )
+    else:
+        listing = AQ.listing_df(
+            spark,
+            transport,
+            cfg.site_url,
+            cfg.api_part,
+            cfg.portal_types,
+            quick_since=cfg.quick_since,
+        )
     if cfg.types_blacklist:
         listing = listing.filter(~F.col("doc_type").isin(cfg.types_blacklist))  # P7
     listing = listing.filter(~F.coalesce(F.col("seo_noindex"), F.lit(False)))  # P8
