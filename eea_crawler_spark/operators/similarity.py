@@ -143,6 +143,141 @@ def _bucket_expr(vec, planes: list[list[float]]):
     return bucket
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means centroids for the IVF index.
+
+    Init: the n_clusters corpus vectors with the smallest md5(id) —
+    a stable pseudo-random sample, no RNG state. Then ``n_iter`` Lloyd
+    rounds, each fully distributed: assignment is a broadcast join vs
+    the (tiny) centroid set, mean recompute is posexplode →
+    groupBy(cluster, dim) avg → re-assemble. Only k×dim floats ever
+    reach the driver, so the build is cluster-scale-safe.
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("v"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: list(r["centroid"]) for r in means}
+        # empty clusters keep their previous centroid
+        centroids = [by_cluster.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def _centroid_df(df_session, centroids: list[list[float]]) -> DataFrame:
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return df_session.createDataFrame(rows, "cluster int, c_vec array<double>")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    prefix: str = "",
+) -> DataFrame:
+    """Attach the ``n_probe`` nearest centroid ids (cosine, ties by
+    cluster id) to each row. Broadcast nested-loop vs k centroids —
+    the corpus never shuffles."""
+    spark = corpus.sparkSession
+    cent = _centroid_df(spark, centroids).withColumn("c_nrm", norm(F.col("c_vec")))
+    v = F.col(vec_col)
+    sim = F.round(
+        dot(v, F.col("c_vec")) / (norm(v) * F.col("c_nrm")), 6
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cluster"))
+    out = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("sim", sim)
+        .withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= n_probe)
+        .drop("c_vec", "c_nrm", "sim", "crnk")
+    )
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k (the second scale path next to
+    hyperplane LSH): corpus rows live in their nearest-centroid
+    inverted list; each query probes its ``n_probe`` closest lists, so
+    scored candidates are ~(n_probe/n_clusters) of the corpus. With
+    n_probe = n_clusters the result equals ``brute_force_topk``
+    exactly (every list probed) — the property the tests pin.
+
+    Output: (q_id, vec_id, rnk, cos), same contract as the other ANN
+    operators. Pass precomputed ``centroids`` to reuse an index.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_clusters, n_iter, id_col, vec_col)
+    c = (
+        ivf_assign(_spread(corpus), centroids, id_col, vec_col, n_probe=1)
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cluster"),
+        )
+        .withColumn("c_nrm", norm(F.col("c_vec")))
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe)
+    q = q.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("cluster"),
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
+    scored = (
+        c.join(F.broadcast(q), ["cluster"])
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c_id").alias(id_col),
+            _pair_cos("q", "c").alias("cos"),
+        )
+        # a (query, candidate) pair can appear via several probed lists
+        .dropDuplicates(["q_id", id_col])
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "rnk", "cos")
+        .orderBy("q_id", "rnk", id_col)
+    )
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

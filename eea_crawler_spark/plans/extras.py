@@ -165,6 +165,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hyperplane_lsh_topk(emb, queries, k=ANN_K)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (second scale path): nearest-centroid
+    inverted lists, queries probe 4 of 16 lists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return SIM.ivf_topk(emb, queries, k=ANN_K, n_clusters=16, n_probe=4)
+
+
 # ---------- normalize chain (SURVEY §2.5 backbone as a declared query) --
 
 # Restricted config for the declared query so every step has an exact
@@ -377,6 +385,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "mm_decode_stub": mm_decode_stub,
     "normalize_docs": normalize_docs,
     "text_chunks": text_chunks,
@@ -428,6 +437,7 @@ SELECT doc_id AS media_id,
 FROM documents ORDER BY media_id""",
     "normalize_docs": _normalize_sql(),
     "text_chunks": _chunks_sql(),
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / chunk_embed:
-    # hash-based or model-stub — no SQL oracle (driver rows-only check).
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
+    # chunk_embed: hash-based, centroid-based, or model-stub — no SQL
+    # oracle (driver rows-only check; recall pinned in tests).
 }

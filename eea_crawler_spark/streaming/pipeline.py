@@ -28,6 +28,7 @@ import os
 import shutil
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -154,4 +155,70 @@ def run_stream_to_memory(
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ---- custom stateful operator: streaming quarantine ledger (A7) ---------
+
+QUARANTINE_STATE_SCHEMA = "error_cnt int, skip_cnt int"
+QUARANTINE_OUT_SCHEMA = (
+    "id string, error_cnt int, skip_cnt int, skipped boolean"
+)
+
+
+def streaming_quarantine(
+    failures: DataFrame,
+    allowed_errors: int = 2,
+    skip_runs: int = 100,
+    id_col: str = "id",
+) -> DataFrame:
+    """The error-budget fold (A7, d1_sync.py:82-140) as a custom
+    stateful streaming operator via ``applyInPandasWithState`` — the
+    reference kept this state in an Airflow Variable re-read every run;
+    here it lives in the streaming state store, checkpointed and
+    restored across activations.
+
+    Per doc id, each failure event increments ``error_cnt``; past
+    ``allowed_errors`` the doc is ``skipped`` and ``skip_cnt`` counts
+    skipped runs; after ``skip_runs`` skips the budget resets so the
+    doc gets retried — identical transition function to the batch
+    ``quarantine_fold``, which the tests pin via stream/batch parity.
+
+    State is bounded: one (int, int) pair per failing doc id, evicted
+    on reset. Scale: the groupBy shuffles only failure events (rare),
+    never the corpus.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        n_new = sum(len(p) for p in pdfs)
+        if state.exists:
+            error_cnt, skip_cnt = state.get
+        else:
+            error_cnt, skip_cnt = 0, 0
+        skipped = False
+        for _ in range(n_new):
+            if skip_cnt >= skip_runs:  # budget expiry → retry the doc
+                error_cnt, skip_cnt, skipped = 0, 0, False
+                continue
+            error_cnt += 1
+            skipped = error_cnt > allowed_errors
+            if skipped:
+                skip_cnt += 1
+        state.update((error_cnt, skip_cnt))
+        yield pd.DataFrame(
+            {
+                "id": [key[0]],
+                "error_cnt": [error_cnt],
+                "skip_cnt": [skip_cnt],
+                "skipped": [skipped],
+            }
+        )
+
+    return failures.groupBy(F.col(id_col)).applyInPandasWithState(
+        fold,
+        outputStructType=QUARANTINE_OUT_SCHEMA,
+        stateStructType=QUARANTINE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

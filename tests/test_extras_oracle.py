@@ -47,3 +47,33 @@ def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
     rows = EXTRA_QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
     assert all(1 <= r.rnk <= 5 for r in rows)
     assert all(r.q_id != r.vec_id for r in rows)
+
+
+def test_ann_ivf_probe_all_equals_bruteforce(spark, sf_dir):
+    """Probing every inverted list must reproduce the exact top-k."""
+    from eea_crawler_spark.operators import similarity as SIM
+    from eea_crawler_spark.plans.extras import ANN_K, ANN_QUERY_MAX_ID
+    from eea_crawler_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    exact = SIM.brute_force_topk(emb, queries, k=ANN_K).collect()
+    ivf = SIM.ivf_topk(
+        emb, queries, k=ANN_K, n_clusters=8, n_probe=8
+    ).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ann_ivf_partial_probe_recall(spark, sf_dir):
+    """4-of-16 probing must still recover most exact neighbors."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in EXTRA_QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.q_id, r.vec_id)
+        for r in EXTRA_QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"recall={recall:.2f}"

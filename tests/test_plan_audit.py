@@ -1,0 +1,127 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+Correctness tests prove the right rows come back; these pin *how*:
+dimension joins must broadcast (no fact-side shuffle), filters must
+reach the parquet scan (PushedFilters), projections must prune the
+read schema, and aggregations must be partial (map-side combine)
+before the exchange. A regression here is invisible at sf0.01 and
+fatal at scale, which is exactly why it gets a test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eea_crawler_spark.plans import QUERIES
+from eea_crawler_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize("name", ["q6", "q7", "q25"])
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    """nation/region/customer-side dim joins: fact side never shuffles."""
+    plan = _plan(QUERIES[name](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join anywhere in these dim-join shapes
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    """Q2's predicate must be pushed into the scan, not post-filtered."""
+    plan = _plan(QUERIES["q2"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    """Q1 selects 2 of region's columns — the scan must read only 2."""
+    plan = _plan(QUERIES["q1"](spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "r_regionkey" in scan_line and "r_name" in scan_line
+    assert "r_comment" not in scan_line  # untouched column never read
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    """Q13 (TPC-H Q1 shape): map-side combine before the exchange —
+    two HashAggregate rounds, one shuffle of partial states."""
+    plan = _plan(QUERIES["q13"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_lineitem_filter_pushdown_in_join_query(spark, sf_dir):
+    """Q7 (5-way join): the region filter must reach region's scan so
+    the join tree starts from the 1-row side, not post-filter."""
+    opt = _optimized(QUERIES["q7"](spark, sf_dir))
+    # optimized plan applies the literal filter directly above region's scan
+    assert "ASIA" in opt
+    plan = _plan(QUERIES["q7"](spark, sf_dir))
+    assert "EqualTo(r_name,ASIA)" in plan  # inside the scan's PushedFilters
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    """Scalar-function queries stay inside WholeStageCodegen (no
+    Python row boundary in the hot path). Codegen spans appear as
+    ``*(n)`` markers in the final adaptive plan, so execute first."""
+    for name in ("q21", "q24", "q32"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()  # materialize the final AQE plan
+        plan = _plan(df)
+        assert "*(" in plan, name  # at least one codegen stage
+        assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDF
+        assert "ArrowEvalPython" not in plan, name  # no pandas UDF either
+
+
+def test_normalize_chain_is_one_stage(spark):
+    """The §2.5 chain is pure per-row compute: its plan must contain
+    zero Exchange (no shuffle from flatten to projection)."""
+    from eea_crawler_spark.operators.normalize_chain import (
+        DEFAULT_CONFIG,
+        common_normalizer,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                "u1", "Document", "eea", "https://site.example", 200,
+                [], "2024-01-01", "2024-01-02", None, None,
+                '{"title": "T"}',
+            )
+        ],
+        "id string, doc_type string, site_id string, site string, "
+        "status_code int, errors array<string>, modified string, "
+        "indexed_at string, pdf_text string, web_html string, "
+        "raw_value string",
+    )
+    plan = _plan(common_normalizer(df, DEFAULT_CONFIG))
+    assert "Exchange" not in plan
+
+
+def test_sync_diff_joins_on_id_without_fact_broadcast(spark, sf_dir):
+    """The incremental diff join shuffles listing + state by id once;
+    with a large state table a broadcast would OOM the driver, so the
+    plan must hash-partition both sides, not broadcast the state."""
+    from eea_crawler_spark.operators.incremental import sync_diff
+
+    listing = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr("CAST(o_orderkey AS STRING) AS id", "CAST(o_orderdate AS STRING) AS modified")
+    )
+    state = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "CAST(o_orderkey AS STRING) AS id",
+            "CAST(o_orderdate AS STRING) AS modified",
+            "array() AS errors",
+        )
+    )
+    # hint nothing: both sides same size — Spark must not pick BNLJ
+    plan = _plan(sync_diff(listing, state))
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -118,3 +118,67 @@ def test_state_merge_stale_update_ignored(spark, tmp_path):
     SP.state_merge(spark, state, stale)
     got = spark.read.parquet(state).collect()
     assert len(got) == 1 and got[0]["payload"] == "new"
+
+
+def test_streaming_quarantine_stateful_fold(spark, tmp_path):
+    """applyInPandasWithState ledger: state survives across activations
+    and matches the batch quarantine_fold transition per failure run."""
+    in_dir = tmp_path / "failures_in"
+    ckpt = str(tmp_path / "ckpt_q")
+    in_dir.mkdir()
+    schema = "id string"
+
+    def drain(name):
+        # foreachBatch sink: the memory sink cannot resume a checkpoint
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r["id"]] = r.asDict()
+
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        ledger = SP.streaming_quarantine(stream, allowed_errors=2, skip_runs=3)
+        q = (
+            ledger.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    # run 1: d1 fails twice, d2 once — nobody over budget yet
+    spark.createDataFrame([("d1",), ("d1",), ("d2",)], schema).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    led = drain("q_run1")
+    assert led["d1"]["error_cnt"] == 2 and not led["d1"]["skipped"]
+    assert led["d2"]["error_cnt"] == 1 and not led["d2"]["skipped"]
+
+    # run 2: d1 fails again → over allowed_errors=2 → skipped
+    # (state restored from the checkpoint, not recomputed)
+    spark.createDataFrame([("d1",)], schema).write.mode("append").parquet(
+        str(in_dir)
+    )
+    led = drain("q_run2")
+    assert led["d1"]["error_cnt"] == 3 and led["d1"]["skipped"]
+    assert led["d1"]["skip_cnt"] == 1
+    assert "d2" not in led  # update mode: untouched keys not re-emitted
+
+    # run 3: two more skipped failures → skip budget (3) exhausted
+    spark.createDataFrame([("d1",), ("d1",)], schema).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    led = drain("q_run3")
+    assert led["d1"]["skip_cnt"] == 3 and led["d1"]["skipped"]
+
+    # run 4: budget expiry → ledger entry reset, doc retried
+    # (reference: entry deleted once skip_cnt >= skip_doc_cnt,
+    # d1_sync.py:125-127)
+    spark.createDataFrame([("d1",)], schema).write.mode("append").parquet(
+        str(in_dir)
+    )
+    led = drain("q_run4")
+    assert led["d1"]["error_cnt"] == 0 and not led["d1"]["skipped"]
+    assert led["d1"]["skip_cnt"] == 0
