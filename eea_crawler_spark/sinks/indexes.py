@@ -151,3 +151,41 @@ def es_write(df: DataFrame, index: str, **kw) -> None:
             "elasticsearch-spark connector jar not available in this "
             "environment; use es_write_options() with a cluster that has it"
         ) from ex
+
+
+# ---- bucketed state tables (co-located id joins) ------------------------
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str = "id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist a state table bucketed + sorted by its join key.
+
+    The sync engine joins raw/searchui/quarantine state on ``id`` every
+    run (J1 diff, J2 deletes, O4 merge). Plain parquet pays a full
+    shuffle of both sides per run; bucketing pre-partitions the data on
+    disk so Catalyst plans those joins with **zero Exchange** (pinned
+    in tests) — at 100 TB that is the difference between re-shuffling
+    the corpus daily and touching only changed partitions. External
+    table: data lives at ``path``, metadata in the session catalog.
+    ``n_buckets`` should be sized like shuffle partitions (~64 MB each)
+    and MUST match across tables that join co-located.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed state table (bucket metadata only survives the
+    catalog route — ``spark.read.parquet(path)`` would forget it)."""
+    return spark.table(table)
