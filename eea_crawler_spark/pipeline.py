@@ -49,6 +49,9 @@ class SyncConfig:
     # "datasource" = the plone_listing Python DataSource scan —
     # partition-per-portal-type with filter pushdown (the scale path)
     listing_source: str = "driver"
+    # S7 age guard: only docs modified within N days get attachment
+    # extraction (0 = no limit; plone_rest_api.py:365-382)
+    pdf_days_limit: int = 0
 
 
 @dataclass
@@ -87,6 +90,7 @@ def run_sync(
     paths: SyncPaths,
     transport: AQ.Transport,
     robots_rules: list[tuple[str, bool]] | None = None,
+    converter: AQ.Transport | None = None,
 ) -> dict[str, int]:
     """One full sync for one site. Returns step counts for the status
     stream (the reference's per-run status docs, status.py:115-163)."""
@@ -131,18 +135,29 @@ def run_sync(
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
     fetched = AQ.fetch_docs(due.select("id"), transport).localCheckpoint(eager=True)
-    envelopes = (
-        fetched.join(due.select("id", "doc_type", "modified"), "id")
-        .withColumns(
-            {
-                "web_html": F.lit(None).cast("string"),
-                "pdf_text": F.lit(None).cast("string"),
-                "original_id": F.col("id"),
-                "site_id": F.lit(cfg.site_id),
-                "site": F.lit(cfg.site_url),
-                "indexed_at": F.current_timestamp(),
-            }
+    envelopes = fetched.join(due.select("id", "doc_type", "modified"), "id")
+    if converter is not None:
+        # S7: attachment text via the converter service; per-doc errors
+        # merge into the envelope's errors[] (never failing the row)
+        from eea_crawler_spark.sources.attachments import extract_attachments
+
+        envelopes = (
+            extract_attachments(
+                envelopes, converter, pdf_days_limit=cfg.pdf_days_limit
+            )
+            .withColumn("errors", F.concat("errors", "pdf_errors"))
+            .drop("pdf_errors")
         )
+    else:
+        envelopes = envelopes.withColumn("pdf_text", F.lit(None).cast("string"))
+    envelopes = envelopes.withColumns(
+        {
+            "web_html": F.lit(None).cast("string"),
+            "original_id": F.col("id"),
+            "site_id": F.lit(cfg.site_id),
+            "site": F.lit(cfg.site_url),
+            "indexed_at": F.current_timestamp(),
+        }
     )
     n_fetched = envelopes.count()
     SK.upsert_index(spark, paths.raw, envelopes, key="id", order_col="indexed_at")
