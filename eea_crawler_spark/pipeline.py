@@ -19,6 +19,7 @@ tables, not logic. Every step is the already-tested operator.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -203,6 +204,86 @@ def run_sync(
         "deleted": n_del,
         "delete_allowed": int(allowed),
     }
+
+
+class SyncInProgress(RuntimeError):
+    """Raised when another sync for the same app holds the lock
+    (get_app_identifier, dags/tasks/helpers.py:157-184)."""
+
+
+class app_lock:
+    """App-level sync mutex (the reference counts queued/running DAG
+    runs carrying the app identifier in the scheduler DB; a standalone
+    engine uses an atomic lock file — O_EXCL create — next to the state
+    tables). Stale locks are reclaimed after ``timeout_s``, the twin of
+    Airflow's dagrun_timeout."""
+
+    def __init__(self, lock_dir: str, app: str, timeout_s: float = 6 * 3600):
+        import os
+
+        self._path = os.path.join(lock_dir, f".lock_{app}")
+        self._timeout = timeout_s
+        self._os = os
+
+    def __enter__(self):
+        os = self._os
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        try:
+            fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            import time
+
+            if time.time() - os.path.getmtime(self._path) < self._timeout:
+                raise SyncInProgress(
+                    f"sync already in progress: {self._path}"
+                ) from None
+            os.remove(self._path)  # stale: reclaim
+            return self.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            self._os.remove(self._path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
+def run_sync_all(
+    spark: SparkSession,
+    configs: list[SyncConfig],
+    paths_for: Callable[[SyncConfig], SyncPaths],
+    transport: AQ.Transport,
+    app: str = "global_search",
+    lock_dir: str | None = None,
+    **kw,
+) -> dict[str, dict[str, int]]:
+    """The d0→d1 trigger-all entry point (SURVEY §3.1 steps 1-2): one
+    sync per site under a single app mutex. The reference serialized
+    sites via per-site Airflow pools; site-level parallelism here is
+    Spark's own (each site's plan fans out over all cores, sites run
+    consecutively so one site's failure cannot starve the others —
+    errors are caught per site and reported in the result map)."""
+    results: dict[str, dict[str, int]] = {}
+    lock_dir = lock_dir or paths_for(configs[0]).status
+    with app_lock(lock_dir, app):
+        for cfg in configs:
+            try:
+                results[cfg.site_id] = run_sync(
+                    spark, cfg, paths_for(cfg), transport, **kw
+                )
+            except Exception as ex:  # noqa: BLE001 — isolate site failures
+                results[cfg.site_id] = {"error": 1}
+                SK.status_event(
+                    spark,
+                    paths_for(cfg).status,
+                    f"sync:{cfg.site_id}",
+                    "failed",
+                    msg=f"{type(ex).__name__}: {ex}",
+                )
+    return results
 
 
 def run_renormalize(

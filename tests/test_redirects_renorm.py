@@ -193,3 +193,54 @@ def test_nlp_registry_dispatch_and_chunks(spark):
     # overlap: chunk 2 starts 200 words in (50-word overlap)
     assert chunks[1].split(" ")[0] == "w200"
     assert [c["text"] for c in rows["b"]["nlp_250"]] == ["short text"]  # fallback
+
+
+# ---- multi-site orchestration + app mutex --------------------------------
+
+
+def test_run_sync_all_multi_site_and_mutex(spark, tmp_path):
+    from eea_crawler_spark.pipeline import (
+        SyncConfig,
+        SyncInProgress,
+        app_lock,
+        run_sync_all,
+    )
+
+    sites = {s: StubSite() for s in ("eea", "energy")}
+
+    def transport(url):
+        for sid, stub in sites.items():
+            got = stub(url)
+            if got[0] != 404 or "@search" in url:
+                return got
+        return 404, "gone"
+
+    def paths_for(cfg):
+        base = tmp_path / cfg.site_id
+        return SyncPaths(
+            raw=str(base / "raw"),
+            searchui=str(base / "searchui"),
+            quarantine=str(base / "quarantine"),
+            status=str(tmp_path / "status"),
+        )
+
+    configs = [
+        SyncConfig(site_url=SITE, site_id="eea"),
+        SyncConfig(site_url=SITE, site_id="energy"),
+    ]
+    res = run_sync_all(spark, configs, paths_for, transport, lock_dir=str(tmp_path))
+    assert res["eea"]["fetched"] == 4 and res["energy"]["fetched"] == 4
+    # per-site state tables isolated; site plugin dispatched per branch
+    eea = spark.read.parquet(str(tmp_path / "eea" / "searchui")).collect()
+    en = spark.read.parquet(str(tmp_path / "energy" / "searchui")).collect()
+    assert {r["cluster_name"] for r in eea} == {"eea"}
+    assert {r["cluster_name"] for r in en} == {"energy"}
+
+    # mutex: a held lock rejects a concurrent run, releases cleanly after
+    with app_lock(str(tmp_path), "global_search"):
+        import pytest as _pytest
+
+        with _pytest.raises(SyncInProgress):
+            run_sync_all(spark, configs, paths_for, transport, lock_dir=str(tmp_path))
+    res2 = run_sync_all(spark, configs, paths_for, transport, lock_dir=str(tmp_path))
+    assert res2["eea"]["fetched"] == 0  # idempotent re-run after release
