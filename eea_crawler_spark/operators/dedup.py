@@ -223,7 +223,17 @@ def minhash_lsh_pairs(
             ).alias("est_jaccard"),
         )
     )
-    exact = _pair_jaccard(shingles(df, text_col, id_col, n), pairs=cand)
+    # exact verification over CANDIDATE DOCS' shingles only: the whole
+    # point of LSH is that the verify join must not touch the full
+    # inverted index — restrict to docs appearing in a candidate pair
+    # (their complete shingle sets, so Jaccard values are unchanged)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("id"))
+        .union(cand.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    sh_cand = shingles(df, text_col, id_col, n).join(cand_ids, ["id"], "left_semi")
+    exact = _pair_jaccard(sh_cand, pairs=cand)
     return (
         est.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
