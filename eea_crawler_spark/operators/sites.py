@@ -163,12 +163,87 @@ UPDATE_FREQUENCY = {
 }
 
 
+# portal types served by the CCA search (site_climate.py:237-255)
+CCA_SEARCH_PORTAL_TYPES = [
+    "eea.climateadapt.aceproject",
+    "eea.climateadapt.adaptationoption",
+    "eea.climateadapt.casestudy",
+    "eea.climateadapt.guidancedocument",
+    "eea.climateadapt.indicator",
+    "eea.climateadapt.informationportal",
+    "eea.climateadapt.organisation",
+    "eea.climateadapt.publicationreport",
+    "eea.climateadapt.tool",
+    "eea.climateadapt.video",
+    "eea.climateadapt.mapgraphdataset",
+    "eea.climateadapt.researchproject",
+    "eea.climateadapt.c3sindicator",
+]
+
+# vocab-list fields: normalized column ← (source column, struct field)
+# — the plugin's ~20 vocab_to_list calls (site_climate.py:110-137, T22)
+CCA_VOCAB_FIELDS = {
+    "cca_adaptation_sectors": ("sectors", "title"),
+    "cca_climate_impacts": ("climate_impacts", "title"),
+    "cca_adaptation_elements": ("elements", "title"),
+    "cca_health_impacts": ("health_impacts", "token"),
+    "cca_key_type_measure": ("key_type_measures", "token"),
+    "cca_partner_contributors": ("contributor_list", "title"),
+    "cca_readiness_for_use": ("readiness_for_use", "title"),
+    "cca_geographical_scale": ("geographical_scale", "title"),
+    "cca_most_useful_for": ("most_useful_for", "title"),
+    "key_system": ("key_system", "title"),
+    "climate_threats": ("climate_threats", "title"),
+}
+
+
 @register_facets_normalizer("climate")
 def site_climate(df: DataFrame) -> DataFrame:
-    """Climate-adapt plugin: decode-table facet + cluster tag
-    (site_climate.py:24-227 shape)."""
-    out = df.withColumn("cluster_name", F.lit("climate"))
-    if "update_frequency" in df.columns:
+    """Climate-adapt (CCA) plugin (site_climate.py:24-227): cluster
+    'cca', forced adaptation theme, vocab→list facet extraction,
+    issued fallback chain, spatial = (spatial minus 'Other') +
+    countries[].title, mission flag from the URL path, and the
+    portal-type search gate."""
+    out = _with(
+        df,
+        cluster_name=F.lit("cca"),
+        themes=F.array(F.lit("climate-change-adaptation")),
+    )
+    cols = set(df.columns)
+    for target, (src, field) in CCA_VOCAB_FIELDS.items():
+        if src in cols:
+            # closure factory: a (x, f=field) lambda would be read by
+            # F.transform as an (element, index) two-arg lambda
+            def getter(f):
+                return lambda x: x[f]
+
+            out = out.withColumn(target, F.transform(F.col(src), getter(field)))
+    if {"issued", "cca_published", "publication_date"} & cols:
+        issued = [F.col("issued")] if "issued" in cols else []
+        for c in ("cca_published", "publication_date"):
+            if c in cols:
+                issued.append(F.col(c))
+        out = out.withColumn("issued", F.coalesce(*issued))
+    if {"spatial", "country"} <= cols:
+        # 'Other' placeholder dropped, country titles appended
+        # (site_climate.py:139-146)
+        base = F.when(
+            F.col("spatial") == F.array(F.lit("Other")),
+            F.array().cast("array<string>"),
+        ).otherwise(F.col("spatial"))
+        out = out.withColumn(
+            "spatial",
+            F.concat(base, F.transform(F.col("country"), lambda x: x["title"])),
+        )
+    out = out.withColumn(
+        "cca_include_in_mission", F.col("id").contains("/mission/")
+    )
+    if "doc_type" in cols:
+        out = out.withColumn(
+            "cca_include_in_search",
+            F.col("doc_type").isin(CCA_SEARCH_PORTAL_TYPES),
+        )
+    if "update_frequency" in cols:
         m = F.create_map(
             *[F.lit(x) for kv in UPDATE_FREQUENCY.items() for x in kv]
         )

@@ -77,8 +77,9 @@ def test_dispatch_unions_per_site_plans(spark):
     rows = {r["id"]: r for r in S.normalize_by_site(df).collect()}
     assert rows["d1"]["cluster_name"] == "eea"
     assert rows["d1"]["topic"] == "climate"
-    assert rows["d2"]["cluster_name"] == "climate"
+    assert rows["d2"]["cluster_name"] == "cca"  # site_climate.py:177
     assert rows["d2"]["update_frequency_label"] == "Annually"
+    assert rows["d2"]["themes"] == ["climate-change-adaptation"]
     assert rows["d3"]["cluster_name"] == "eea"  # default fallback
 
 
@@ -286,3 +287,46 @@ def test_es_options_shape():
     opts = SK.es_write_options("data_searchui")
     assert opts["es.mapping.id"] == "id"
     assert opts["es.write.operation"] == "upsert"
+
+
+def test_climate_cca_facets(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "https://cca.example/mission/projects/p1",
+                "eea.climateadapt.casestudy",
+                ["Other"],
+                [{"title": "Italy"}, {"title": "Spain"}],
+                [{"title": "Agriculture"}, {"title": "Energy"}],
+                [{"token": "heat", "title": "Heat waves"}],
+                None,
+                "2024-02-02",
+            ),
+            (
+                "https://cca.example/help/faq",
+                "Document",
+                ["France"],
+                [],
+                [],
+                [],
+                "2023-01-01",
+                "2024-02-02",
+            ),
+        ],
+        "id string, doc_type string, spatial array<string>, "
+        "country array<struct<title:string>>, "
+        "sectors array<struct<title:string>>, "
+        "health_impacts array<struct<token:string,title:string>>, "
+        "issued string, publication_date string",
+    )
+    rows = {r["id"].split("/")[-1]: r for r in S.site_climate(df).collect()}
+    p1, faq = rows["p1"], rows["faq"]
+    assert p1["cluster_name"] == "cca"
+    assert p1["cca_adaptation_sectors"] == ["Agriculture", "Energy"]
+    assert p1["cca_health_impacts"] == ["heat"]  # token variant
+    assert p1["spatial"] == ["Italy", "Spain"]  # 'Other' dropped + countries
+    assert p1["issued"] == "2024-02-02"  # fallback to publication_date
+    assert p1["cca_include_in_mission"] and p1["cca_include_in_search"]
+    assert faq["spatial"] == ["France"]  # real spatial kept, no countries
+    assert faq["issued"] == "2023-01-01"  # explicit issued wins
+    assert not faq["cca_include_in_mission"] and not faq["cca_include_in_search"]
