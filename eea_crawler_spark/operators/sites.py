@@ -132,12 +132,24 @@ def site_eea(df: DataFrame) -> DataFrame:
     return df.withColumns({"cluster_name": F.lit("eea"), "topic": topic})
 
 
+OBSOLETE_KEYS = ["obsolete", "superseded"]  # site_sdi.py:295
+
+# sdi_topics token rewrites (site_sdi.py:225-233)
+SDI_TOPIC_REWRITES = {
+    "Climate mitigation": "climate",
+    "Climate adaptation": "climate-change-adaptation",
+}
+
+
 @register_facets_normalizer("sdi")
 def site_sdi(df: DataFrame) -> DataFrame:
-    """SDI catalogue plugin: child roll-ups + temporal facets
-    (site_sdi.py:176-362). Expects optional columns ``children``
-    (array<struct<changeDate,format>>) and ``temporal_ranges``
-    (array<struct<start,end>>)."""
+    """SDI catalogue plugin (site_sdi.py:176-362): child roll-ups,
+    temporal facets, thesaurus-list simplification (eea-topics with
+    climate token rewrites, gemet ^-tree leaves title-cased, regions),
+    overview URLs, issued fallback chain, and the obsolete/superseded
+    → expires=today-2d rule (add_expired :320-329). Catalogue columns
+    arrive flattened with sanitized names (th_eea-topics →
+    th_eea_topics, etc.)."""
     out = df
     cols = set(df.columns)
     if {"children", "modified"} <= cols:
@@ -148,6 +160,50 @@ def site_sdi(df: DataFrame) -> DataFrame:
         out = out.withColumn("format", formats_over_children(F.col("children")))
     if "temporal_ranges" in cols:
         out = out.withColumn("years", years_from_ranges(F.col("temporal_ranges")))
+    if "th_eea_topics" in cols:
+        topics = F.transform(F.col("th_eea_topics"), lambda t: t["title"])
+        m = F.create_map(
+            *[F.lit(x) for kv in SDI_TOPIC_REWRITES.items() for x in kv]
+        )
+        out = out.withColumn(
+            "sdi_topics", F.transform(topics, lambda t: F.coalesce(m[t], t))
+        )
+    if "th_gemet_tree_default" in cols:
+        # '^'-separated tree path → leaf, title-cased
+        # (simplify_list_from_tree, site_sdi.py:75-76)
+        out = out.withColumn(
+            "sdi_gemet",
+            F.transform(
+                F.col("th_gemet_tree_default"),
+                lambda v: F.initcap(F.element_at(F.split(v, r"\^"), -1)),
+            ),
+        )
+    if "th_regions" in cols:
+        out = out.withColumn(
+            "sdi_spatial", F.transform(F.col("th_regions"), lambda r: r["title"])
+        )
+    if "overview" in cols:
+        out = out.withColumn(
+            "overview_url", F.transform(F.col("overview"), lambda o: o["url"])
+        )
+    if "issued" in cols:
+        fallbacks = [F.col("issued")] + [
+            F.col(c)
+            for c in ("publicationDateForResource", "createDate")
+            if c in cols
+        ]
+        out = out.withColumn("issued", F.coalesce(*fallbacks))
+    if "cl_status" in cols:
+        obsolete = F.exists(
+            F.col("cl_status"),
+            lambda s: s["key"].isin(OBSOLETE_KEYS),
+        )
+        out = out.withColumn(
+            "expires",
+            F.when(
+                obsolete, F.date_sub(F.current_date(), 2).cast("string")
+            ).otherwise(F.col("expires") if "expires" in cols else F.lit(None)),
+        )
     return out.withColumn("cluster_name", F.lit("sdi"))
 
 

@@ -330,3 +330,53 @@ def test_climate_cca_facets(spark):
     assert faq["spatial"] == ["France"]  # real spatial kept, no countries
     assert faq["issued"] == "2023-01-01"  # explicit issued wins
     assert not faq["cca_include_in_mission"] and not faq["cca_include_in_search"]
+
+
+def test_sdi_thesaurus_and_expiry_facets(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (
+                "s1",
+                [{"title": "Climate mitigation"}, {"title": "Water"}],
+                ["soil^erosion^water erosion", "climate"],
+                [{"title": "Europe"}],
+                [{"url": "https://img/1.png"}],
+                None,
+                "2020-01-01",
+                [{"key": "superseded"}],
+                None,
+            ),
+            (
+                "s2",
+                None,
+                None,
+                None,
+                None,
+                "2024-05-05",
+                "2019-01-01",
+                [{"key": "onGoing"}],
+                "2030-01-01",
+            ),
+        ],
+        "id string, th_eea_topics array<struct<title:string>>, "
+        "th_gemet_tree_default array<string>, "
+        "th_regions array<struct<title:string>>, "
+        "overview array<struct<url:string>>, issued string, "
+        "createDate string, cl_status array<struct<key:string>>, "
+        "expires string",
+    )
+    rows = {r["id"]: r for r in S.site_sdi(df).collect()}
+    s1, s2 = rows["s1"], rows["s2"]
+    assert s1["sdi_topics"] == ["climate", "Water"]  # token rewrite
+    assert s1["sdi_gemet"] == ["Water Erosion", "Climate"]  # ^-leaf, titled
+    assert s1["sdi_spatial"] == ["Europe"]
+    assert s1["overview_url"] == ["https://img/1.png"]
+    assert s1["issued"] == "2020-01-01"  # createDate fallback
+    two_days_ago = (
+        datetime.date.today() - datetime.timedelta(days=2)
+    ).isoformat()
+    assert s1["expires"] == two_days_ago  # obsolete → expired
+    assert s2["issued"] == "2024-05-05"  # explicit issued wins
+    assert s2["expires"] == "2030-01-01"  # non-obsolete keeps expires
