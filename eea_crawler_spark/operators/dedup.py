@@ -21,6 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -309,4 +310,121 @@ def simhash_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---- J5: Report/Fiche duplicate similarity join --------------------------
+
+SIMILARITY_THRESHOLD = 0.2  # crawl_plone_restapi.py:258
+
+
+def seq_ratio(a_col, b_col):
+    """difflib.SequenceMatcher ratio as an Arrow-batched pandas UDF —
+    the reference's ``similar()`` (crawl_plone_restapi.py:15-17).
+    Python-side by necessity (no Catalyst twin of the Ratcliff-
+    Obershelp heuristic); batched so the per-row overhead is one
+    C-call, and only ever applied to parent×child pairs, never a
+    corpus cross product."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+        from difflib import SequenceMatcher
+
+        return pd.Series(
+            [
+                SequenceMatcher(None, x or "", y or "").ratio()
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return _ratio(a_col, b_col)
+
+
+def report_fiche_duplicates(
+    df: DataFrame,
+    type_col: str = "doc_type",
+    desc_col: str = "description",
+    items_col: str = "items",
+) -> DataFrame:
+    """Flag Report docs whose Fiche children duplicate them
+    (crawl_plone_restapi.py:257-275): a Fiche item with description
+    similarity > 0.2 marks the parent ``has_duplicate`` and lists the
+    fiche ids for the pdf_text merge.
+
+    Plan: explode only Report rows' items (Fiche-filtered), score the
+    (parent, fiche) pairs, re-aggregate — non-Report rows bypass the
+    Python stage entirely.
+    """
+    reports = df.filter(F.col(type_col) == "Report").select(
+        F.col("id").alias("__pid"),
+        F.col(desc_col).alias("__pdesc"),
+        F.explode_outer(
+            F.filter(F.col(items_col), lambda it: it["doc_type"] == "Fiche")
+        ).alias("__fiche"),
+    )
+    scored = reports.withColumn(
+        "__sim",
+        F.when(
+            F.col("__fiche").isNotNull(),
+            seq_ratio(F.col("__pdesc"), F.col("__fiche")["description"]),
+        ).otherwise(F.lit(0.0)),
+    )
+    flags = scored.groupBy("__pid").agg(
+        F.max(F.col("__sim") > SIMILARITY_THRESHOLD).alias("has_duplicate"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__sim") > SIMILARITY_THRESHOLD,
+                    F.col("__fiche")["id"],
+                )
+            )
+        ).alias("duplicate_fiche_ids"),
+    )
+    return (
+        df.join(flags, df["id"] == flags["__pid"], "left")
+        .drop("__pid")
+        .withColumns(
+            {
+                "has_duplicate": F.coalesce("has_duplicate", F.lit(False)),
+                "duplicate_fiche_ids": F.coalesce(
+                    "duplicate_fiche_ids", F.array().cast("array<string>")
+                ),
+            }
+        )
+    )
+
+
+def merge_duplicate_pdf_text(
+    parents: DataFrame, fiches: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Append duplicate fiches' pdf_text to their parent's
+    (crawl_plone_restapi.py:265-270: ``pdf_text += item pdf_text``).
+    ``fiches`` carries (id, pdf_text) for fetched fiche docs; parents
+    with no duplicates pass through unchanged."""
+    pairs = (
+        parents.select(
+            F.col(id_col).alias("__pid"),
+            F.explode("duplicate_fiche_ids").alias("__fid"),
+        )
+        .join(
+            fiches.select(
+                F.col(id_col).alias("__fid"),
+                F.col("pdf_text").alias("__ftext"),
+            ),
+            ["__fid"],
+        )
+        .groupBy("__pid")
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("__ftext"))).alias("__extra"))
+    )
+    return (
+        parents.join(pairs, parents[id_col] == pairs["__pid"], "left")
+        .withColumn(
+            "pdf_text",
+            F.when(
+                F.col("__extra").isNotNull(),
+                F.concat_ws(" ", F.col("pdf_text"), F.col("__extra")),
+            ).otherwise(F.col("pdf_text")),
+        )
+        .drop("__pid", "__extra")
     )

@@ -123,13 +123,42 @@ def formats_over_children(children: Column) -> Column:
 
 @register_facets_normalizer("eea")
 def site_eea(df: DataFrame) -> DataFrame:
-    """Default plugin: cluster tag + derived topic facet
-    (site_eea_europa_eu.py shape — path/theme-driven facets)."""
+    """Default plugin (site_eea_europa_eu.py:30-54): cluster tag,
+    derived topic facet, English helpcenter FAQs dropped, Term docs
+    copy description/source, and Report/Fiche duplicates gain the
+    'Briefing' objectProvides (the J5 consumer)."""
+    themes = (
+        F.coalesce(F.col("themes"), F.array())
+        if "themes" in df.columns
+        else F.array().cast("array<string>")
+    )
     topic = F.when(
-        F.array_contains(F.coalesce(F.col("themes"), F.array()), "Climate change"),
-        F.lit("climate"),
+        F.array_contains(themes, "Climate change"), F.lit("climate")
     ).otherwise(F.lit("various"))
-    return df.withColumns({"cluster_name": F.lit("eea"), "topic": topic})
+    out = df.withColumns({"cluster_name": F.lit("eea"), "topic": topic})
+    cols = set(df.columns)
+    if {"language", "doc_type"} <= cols:
+        # en helpcenter_faq docs are not indexed (site_eea:34-35)
+        out = out.filter(
+            ~((F.col("language") == "en") & (F.col("doc_type") == "helpcenter_faq"))
+        )
+    if {"doc_type", "description"} <= cols:
+        is_term = F.col("doc_type") == "Term"
+        out = out.withColumn(
+            "term_description", F.when(is_term, F.col("description"))
+        )
+        if "source" in cols:
+            out = out.withColumn("term_source", F.when(is_term, F.col("source")))
+    if {"has_duplicate", "objectProvides"} <= cols:
+        # duplicate Reports also serve as Briefings (site_eea:46-49)
+        out = out.withColumn(
+            "objectProvides",
+            F.when(
+                F.col("has_duplicate"),
+                F.array_union(F.col("objectProvides"), F.array(F.lit("Briefing"))),
+            ).otherwise(F.col("objectProvides")),
+        )
+    return out
 
 
 OBSOLETE_KEYS = ["obsolete", "superseded"]  # site_sdi.py:295

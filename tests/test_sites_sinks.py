@@ -380,3 +380,65 @@ def test_sdi_thesaurus_and_expiry_facets(spark):
     assert s1["expires"] == two_days_ago  # obsolete → expired
     assert s2["issued"] == "2024-05-05"  # explicit issued wins
     assert s2["expires"] == "2030-01-01"  # non-obsolete keeps expires
+
+
+def test_report_fiche_duplicate_join_and_briefing(spark):
+    from eea_crawler_spark.operators.dedup import (
+        merge_duplicate_pdf_text,
+        report_fiche_duplicates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                "r1", "Report", "Climate report about droughts", "base",
+                [
+                    {"id": "f1", "doc_type": "Fiche",
+                     "description": "Climate report about droughts too"},
+                    {"id": "f2", "doc_type": "Fiche",
+                     "description": "zzzz qqqq xxxx vvvv wwww"},
+                    {"id": "d1", "doc_type": "Document",
+                     "description": "Climate report about droughts too"},
+                ],
+            ),
+            ("r2", "Report", "Water quality", "base2", []),
+            ("d2", "Document", "Whatever", "base3", None),
+        ],
+        "id string, doc_type string, description string, pdf_text string, "
+        "items array<struct<id:string,doc_type:string,description:string>>",
+    )
+    out = report_fiche_duplicates(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["r1"]["has_duplicate"]
+    assert rows["r1"]["duplicate_fiche_ids"] == ["f1"]  # f2 < 0.2, d1 not Fiche
+    assert not rows["r2"]["has_duplicate"] and not rows["d2"]["has_duplicate"]
+
+    fiches = spark.createDataFrame(
+        [("f1", "FICHE TEXT")], "id string, pdf_text string"
+    )
+    merged = {r["id"]: r for r in merge_duplicate_pdf_text(out, fiches).collect()}
+    assert merged["r1"]["pdf_text"] == "base FICHE TEXT"
+    assert merged["r2"]["pdf_text"] == "base2"  # untouched
+
+    # consumer: duplicate Reports become Briefings in the eea plugin
+    facets = out.withColumn("objectProvides", F.array(F.lit("Report")))
+    rows2 = {r["id"]: r for r in S.site_eea(facets).collect()}
+    assert rows2["r1"]["objectProvides"] == ["Report", "Briefing"]
+    assert rows2["r2"]["objectProvides"] == ["Report"]
+
+
+def test_eea_term_fields_and_faq_drop(spark):
+    df = spark.createDataFrame(
+        [
+            ("t1", "Term", "en", "a def", "glossary"),
+            ("q1", "helpcenter_faq", "en", "how to", None),
+            ("q2", "helpcenter_faq", "de", "wie", None),
+        ],
+        "id string, doc_type string, language string, description string, "
+        "source string",
+    )
+    rows = {r["id"]: r for r in S.site_eea(df).collect()}
+    assert "q1" not in rows  # English FAQ dropped (site_eea:34-35)
+    assert "q2" in rows  # non-English FAQ kept
+    assert rows["t1"]["term_description"] == "a def"
+    assert rows["t1"]["term_source"] == "glossary"
