@@ -16,6 +16,7 @@ used so the oracle hash-compare is exact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -155,3 +156,80 @@ def word_chunks(col: Column, words: int = 250, overlap: int = 50) -> Column:
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
         lambda i: F.array_join(F.slice(w, i * stride + 1, words), " "),
     )
+
+
+# ---- T12 dynamic-key text discovery (join_text_fields) -------------------
+
+_TAG_RE = __import__("re").compile("<[^>]*>")
+
+
+def join_text_fields_py(
+    raw_json: str | None,
+    txt_props: list[str],
+    txt_props_black: list[str],
+    include_title: bool = True,
+) -> str:
+    """The reference's join_text_fields (normalizers.py:162-207) as a
+    pure function: title first, then the ordered explicit props (dict
+    props read ``.data``, html stripped), then every *discovered* dict
+    field whose content-type is text/plain or text/html — dynamic keys
+    a fixed-schema plan cannot see, which is why this leg is Python
+    (SURVEY §7.3 hard part). Sentence-dot normalization and redundant-
+    fragment suppression (substring check) kept verbatim.
+    """
+    import json as _json
+
+    try:
+        doc = _json.loads(raw_json) if raw_json else {}
+    except ValueError:
+        doc = {}
+    if not isinstance(doc, dict):
+        doc = {}
+
+    def cleanhtml(s: str) -> str:
+        return _TAG_RE.sub("", s or "")
+
+    text = ""
+    title = doc.get("title", "no title") or "no title"
+    if include_title:
+        text += "\n\n" + title + ".\n\n"
+    for prop in txt_props:
+        prop_v = doc.get(prop, {})
+        txt = cleanhtml(prop_v.get("data", "")) if isinstance(prop_v, dict) else cleanhtml(prop_v or "")
+        if len(txt) and not txt.endswith("."):
+            txt = txt + "."
+        if len(txt) and txt not in text:
+            text = text + txt + "\n\n"
+    for k, v in doc.items():
+        if isinstance(v, dict) and k not in txt_props_black:
+            txt = ""
+            mime = v.get("content-type", "")
+            if mime == "text/plain":
+                txt = v.get("data", "")
+            elif mime == "text/html":
+                txt = cleanhtml(v.get("data", ""))
+            if len(txt) and txt not in text:
+                if not txt.endswith("."):
+                    txt = txt + "."
+                text = text + "\n\n" + txt + "\n\n"
+    return text
+
+
+def join_text_fields_dynamic(
+    raw_col: Column,
+    txt_props: list[str],
+    txt_props_black: list[str],
+) -> Column:
+    """Arrow-batched column form of ``join_text_fields_py`` — config
+    rides the closure, one Python stage, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    props, black = list(txt_props), list(txt_props_black)
+
+    @pandas_udf("string")
+    def _join(raw: pd.Series) -> pd.Series:
+        return pd.Series(
+            [join_text_fields_py(r, props, black) for r in raw]
+        )
+
+    return _join(raw_col)

@@ -105,6 +105,12 @@ class NormalizerConfig:
     interfaces_whitelist: list[str] = field(default_factory=list)
     theme_labels: dict[str, str] = field(default_factory=dict)
     count_fields: list[str] = field(default_factory=list)
+    # T12 dynamic-key discovery (join_text_fields, normalizers.py:162-207):
+    # ordered explicit text props + blacklist for the auto-discovered
+    # text/plain|text/html dict fields of raw_value. None = off (fulltext
+    # falls back to the pure-column title/description join).
+    txt_props: list[str] | None = None
+    txt_props_black: list[str] = field(default_factory=list)
 
 
 def _is_array(df: DataFrame, name: str) -> bool:
@@ -126,6 +132,9 @@ def parse_raw(df: DataFrame) -> DataFrame:
         "indexed_at",
         "pdf_text",
         "web_html",
+        # kept for the T12 dynamic-key discovery leg (dropped by the
+        # proplist projection at the end of the chain)
+        "raw_value",
         p["title"].alias("title"),
         p["description"].alias("description"),
         p["language"].alias("language"),
@@ -291,16 +300,32 @@ def _enrich(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     return df
 
 
-def _fulltext(df: DataFrame) -> DataFrame:
+def _fulltext(df: DataFrame, cfg: NormalizerConfig | None = None) -> DataFrame:
     """T12-T14: fulltext from html (tag-strip) else joined text fields,
-    plus pdf_text; readingTime = words/228, -1 off-language."""
+    plus pdf_text; readingTime = words/228, -1 off-language.
+
+    With ``cfg.txt_props`` set and raw_value present, the joined-text
+    leg runs the reference's full dynamic-key discovery
+    (join_text_fields, normalizers.py:162-207) as an Arrow-batched
+    stage; otherwise it is the pure-column title/description join."""
     cols = set(df.columns)
-    fragments = [
-        F.col(c)
-        for c in ("title", "description")
-        if c in cols
-    ]
-    joined = N.join_text_fields(fragments)
+    if cfg is not None and cfg.txt_props is not None and "raw_value" in cols:
+        joined = F.trim(
+            F.regexp_replace(
+                TX.join_text_fields_dynamic(
+                    F.col("raw_value"), cfg.txt_props, cfg.txt_props_black
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+    else:
+        fragments = [
+            F.col(c)
+            for c in ("title", "description")
+            if c in cols
+        ]
+        joined = N.join_text_fields(fragments)
     html_text = (
         TX.clean_html(F.col("web_html")) if "web_html" in cols else F.lit(None)
     )
@@ -349,7 +374,7 @@ def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     df = _apply_norm_missing(df, cfg)
     df = _array_hygiene(df)
     df = _enrich(df, cfg)
-    df = _fulltext(df)
+    df = _fulltext(df, cfg)
     df = _counts(df, cfg)
     return _project(df, cfg)
 

@@ -202,3 +202,53 @@ def test_first_n_words_and_sentence_dot(spark):
     assert (
         df.select(N.sentence_dot(F.col("t")).alias("x")).collect()[0]["x"] == "a b c d e."
     )
+
+
+def test_join_text_fields_dynamic_discovery(spark):
+    """T12's dynamic-key leg (join_text_fields, normalizers.py:162-207):
+    title first, ordered props, auto-discovered text/plain + text/html
+    dict fields, blacklist, redundancy suppression, dot normalization."""
+    import json
+
+    from eea_crawler_spark.functions.text import join_text_fields_py
+
+    raw = json.dumps(
+        {
+            "title": "My Doc",
+            "summary": {"data": "<p>A <b>summary</b></p>"},
+            "body": {"content-type": "text/html", "data": "<div>Body text</div>"},
+            "notes": {"content-type": "text/plain", "data": "Plain notes"},
+            "secret": {"content-type": "text/plain", "data": "hidden"},
+            "dup": {"content-type": "text/plain", "data": "Plain notes"},
+            "meta": {"content-type": "application/json", "data": "{}"},
+        }
+    )
+    text = join_text_fields_py(raw, ["summary"], ["secret"])
+    assert text.startswith("\n\nMy Doc.\n\n")  # title first + dot
+    assert "A summary." in text  # explicit prop, html stripped, dot added
+    assert "Body text." in text and "Plain notes." in text  # discovered
+    assert "hidden" not in text  # blacklisted key
+    assert text.count("Plain notes") == 1  # redundant fragment suppressed
+    assert "{}" not in text  # non-text mime ignored
+
+    # column form through the chain: same content, ws-normalized
+    from eea_crawler_spark.operators.normalize_chain import (
+        NormalizerConfig,
+        common_normalizer,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "Document", "eea", "s", 200, [], "2024-01-01", "2024-01-02",
+          None, None, raw)],
+        "id string, doc_type string, site_id string, site string, "
+        "status_code int, errors array<string>, modified string, "
+        "indexed_at string, pdf_text string, web_html string, raw_value string",
+    )
+    cfg = NormalizerConfig(
+        txt_props=["summary"], txt_props_black=["secret"],
+        proplist=["id", "title", "fulltext", "readingTime"],
+    )
+    row = common_normalizer(df, cfg).collect()[0]
+    assert row["fulltext"] == (
+        "My Doc. A summary. Body text. Plain notes."
+    )
