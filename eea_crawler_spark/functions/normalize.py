@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from itertools import chain
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -304,3 +305,94 @@ def join_text_fields(fragments: list[Column]) -> Column:
     """Title + ordered text fragments joined with single spaces; NULL
     fragments drop out (concat_ws skips nulls)."""
     return F.concat_ws(" ", *[sentence_dot(f) for f in fragments])
+
+
+# ---- A8: recursive data-provenance collection ---------------------------
+
+PROVENANCE_DDL = (
+    "STRUCT<data_provenances: ARRAY<STRUCT<link: STRING, "
+    "organisation: STRING, title: STRING>>, "
+    "data_provenances_organisations: ARRAY<STRING>>"
+)
+
+# one hard-coded bad value the reference filters out
+# (normalizers.py:470)
+_PROVENANCE_ORG_BLACKLIST = {
+    "/data/visualizations/vis_countryfacts_gfra_vita_disturbances_diseases"
+}
+
+
+def find_all(node, name: str, results: list | None = None) -> list:
+    """Recursive key search over a parsed JSON tree (find_all,
+    normalizers.py:424-435): every value stored under ``name`` at any
+    depth, in document order."""
+    if results is None:
+        results = []
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k == name:
+                results.append(v)
+            else:
+                find_all(v, name, results)
+    elif isinstance(node, list):
+        for v in node:
+            find_all(v, name, results)
+    return results
+
+
+def data_provenance_py(raw_json: str | None) -> dict:
+    """get_data_provenance (normalizers.py:437-471): collect
+    data_provenance[].data entries dedup'd by (link, organisation,
+    title); when none exist fall back to chartSources entries; distinct
+    organisations order-preserving, minus the hardcoded bad value."""
+    import json as _json
+
+    try:
+        doc = _json.loads(raw_json) if raw_json else {}
+    except ValueError:
+        doc = {}
+    dps_full: list[dict] = []
+    for dp_part in find_all(doc, "data_provenance"):
+        if dp_part is None or not isinstance(dp_part, dict):
+            continue
+        for dp in dp_part.get("data", []) or []:
+            key = (dp.get("link"), dp.get("organisation"), dp.get("title"))
+            if all(
+                key != (s.get("link"), s.get("organisation"), s.get("title"))
+                for s in dps_full
+            ):
+                dps_full.append(
+                    {"link": key[0], "organisation": key[1], "title": key[2]}
+                )
+    if not dps_full:
+        for cs_part in find_all(doc, "chartSources"):
+            for cs in cs_part or []:
+                link = cs.get("chart_source_link", "no_link")
+                org = cs.get("chart_source")
+                if all(
+                    not (link == s["link"] and org == s["organisation"])
+                    for s in dps_full
+                ):
+                    dps_full.append(
+                        {"link": link, "organisation": org, "title": org}
+                    )
+    orgs = list(dict.fromkeys(dp["organisation"] for dp in dps_full))
+    return {
+        "data_provenances": dps_full,
+        "data_provenances_organisations": [
+            o for o in orgs if o not in _PROVENANCE_ORG_BLACKLIST
+        ],
+    }
+
+
+def data_provenance(raw_col: Column) -> Column:
+    """Column form: one Arrow-batched stage over the raw JSON string
+    (dynamic keys — same §7.3 rationale as join_text_fields_dynamic)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(PROVENANCE_DDL)
+    def _prov(raw: pd.Series) -> pd.DataFrame:
+        rows = [data_provenance_py(r) for r in raw]
+        return pd.DataFrame(rows)
+
+    return _prov(raw_col)

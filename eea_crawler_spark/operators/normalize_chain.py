@@ -111,6 +111,9 @@ class NormalizerConfig:
     # falls back to the pure-column title/description join).
     txt_props: list[str] | None = None
     txt_props_black: list[str] = field(default_factory=list)
+    # A8 recursive provenance collection over raw_value (find_all /
+    # get_data_provenance, normalizers.py:424-471) — opt-in Python stage
+    collect_provenance: bool = False
 
 
 def _is_array(df: DataFrame, name: str) -> bool:
@@ -374,6 +377,16 @@ def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     df = _apply_norm_missing(df, cfg)
     df = _array_hygiene(df)
     df = _enrich(df, cfg)
+    if cfg.collect_provenance and "raw_value" in df.columns:
+        prov = N.data_provenance(F.col("raw_value"))  # A8
+        df = df.withColumns(
+            {
+                "data_provenances": prov["data_provenances"],
+                "data_provenances_organisations": prov[
+                    "data_provenances_organisations"
+                ],
+            }
+        )
     df = _fulltext(df, cfg)
     df = _counts(df, cfg)
     return _project(df, cfg)

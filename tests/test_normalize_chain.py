@@ -252,3 +252,82 @@ def test_join_text_fields_dynamic_discovery(spark):
     assert row["fulltext"] == (
         "My Doc. A summary. Body text. Plain notes."
     )
+
+
+def test_data_provenance_recursive_walk(spark):
+    """A8 (get_data_provenance, normalizers.py:424-471): nested
+    data_provenance nodes at any depth, dedup by full triple,
+    chartSources fallback, distinct organisations."""
+    import json
+
+    from eea_crawler_spark.functions.normalize import data_provenance_py
+
+    raw = json.dumps(
+        {
+            "blocks": {
+                "b1": {
+                    "data_provenance": {
+                        "data": [
+                            {"link": "l1", "organisation": "EEA", "title": "T1"},
+                            {"link": "l1", "organisation": "EEA", "title": "T1"},
+                        ]
+                    }
+                },
+                "b2": {
+                    "deep": [
+                        {
+                            "data_provenance": {
+                                "data": [
+                                    {"link": "l2", "organisation": "Eurostat",
+                                     "title": "T2"}
+                                ]
+                            }
+                        }
+                    ]
+                },
+            }
+        }
+    )
+    got = data_provenance_py(raw)
+    assert got["data_provenances"] == [
+        {"link": "l1", "organisation": "EEA", "title": "T1"},
+        {"link": "l2", "organisation": "Eurostat", "title": "T2"},
+    ]
+    assert got["data_provenances_organisations"] == ["EEA", "Eurostat"]
+
+    # fallback: no data_provenance → chartSources
+    raw2 = json.dumps(
+        {"viz": {"chartSources": [
+            {"chart_source": "EEA", "chart_source_link": "cs1"},
+            {"chart_source": "EEA", "chart_source_link": "cs1"},
+            {"chart_source": "ETC"},
+        ]}}
+    )
+    got2 = data_provenance_py(raw2)
+    assert got2["data_provenances"] == [
+        {"link": "cs1", "organisation": "EEA", "title": "EEA"},
+        {"link": "no_link", "organisation": "ETC", "title": "ETC"},
+    ]
+
+    # through the chain (opt-in flag)
+    from eea_crawler_spark.operators.normalize_chain import (
+        NormalizerConfig,
+        common_normalizer,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "Document", "eea", "s", 200, [], "2024-01-01", "2024-01-02",
+          None, None, raw)],
+        "id string, doc_type string, site_id string, site string, "
+        "status_code int, errors array<string>, modified string, "
+        "indexed_at string, pdf_text string, web_html string, raw_value string",
+    )
+    cfg = NormalizerConfig(
+        collect_provenance=True,
+        proplist=["id", "data_provenances", "data_provenances_organisations"],
+    )
+    row = common_normalizer(df, cfg).collect()[0]
+    assert [p["organisation"] for p in row["data_provenances"]] == [
+        "EEA", "Eurostat"
+    ]
+    assert row["data_provenances_organisations"] == ["EEA", "Eurostat"]
