@@ -29,6 +29,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
 from pyspark.sql.window import Window as W
 
 Plugin = Callable[[DataFrame], DataFrame]
@@ -429,29 +430,86 @@ def site_wise_marine(df: DataFrame) -> DataFrame:
 
 BP_CODE_RE = r"BP\d+\s-\s(.+)"
 
+# coded-vocabulary fields and their code prefixes
+# (normalized_bep, site_wise_freshwater.py:132-151)
+WF_CODED_FIELDS = {
+    "biophysical_impacts": "BP",
+    "ecosystem_services": "ES",
+    "policy_objectives": "PO",
+}
+
+# objectProvides values excluded from the global search
+# (site_wise_freshwater.py:58-61)
+WF_EXCLUDED_TYPES = ["Measure", "Source", "Case study", "chemical"]
+
+
+def _strip_code(prefix: str):
+    """``<prefix>NN - label`` → label (trimmed); other values pass."""
+    pat = prefix + r"\d+\s-\s(.+)"
+    return lambda v: F.when(
+        v.rlike("^" + pat + "$"), F.trim(F.regexp_extract(v, pat, 1))
+    ).otherwise(v)
+
 
 @register_facets_normalizer("wise_freshwater")
 def site_wise_freshwater(df: DataFrame) -> DataFrame:
     """WISE-freshwater plugin (site_wise_freshwater.py:23-152): water
-    theme, cluster tag, and the BP-code label extraction — values
-    matching ``BP\\d+ - label`` keep only the label
-    (normalized_bep, site_wise_freshwater.py:132-151)."""
+    theme, country_profile → spatial from title, Data-set/Webpage
+    objectProvides cleanup, global-search exclusion for
+    Measure/Source/Case study/chemical docs, BP/ES/PO code-label
+    extraction, legislative_reference title flattening, and the
+    country → wise_country rename."""
     out = _with(
         df,
         cluster_name=F.lit("wise-freshwater"),
         themes=F.array(F.lit("water")),
     )
-    if "biophysical_impacts" in df.columns:
+    cols = set(df.columns)
+    if {"doc_type", "spatial", "title"} <= cols:
         out = out.withColumn(
-            "biophysical_impacts",
-            F.transform(
-                F.col("biophysical_impacts"),
-                lambda v: F.when(
-                    v.rlike("^" + BP_CODE_RE + "$"),
-                    F.regexp_extract(v, BP_CODE_RE, 1),
-                ).otherwise(v),
+            "spatial",
+            F.when(
+                F.col("doc_type") == "country_profile", F.array(F.col("title"))
+            ).otherwise(F.col("spatial")),
+        )
+    if "objectProvides" in cols:
+        op = F.col("objectProvides")
+        has_ds = F.array_contains(op, "Data set")
+        out = out.withColumn(
+            "objectProvides",
+            F.when(has_ds & (F.size(op) == 1), F.array(F.lit("Webpage")))
+            .when(has_ds, F.array_remove(op, "Webpage"))
+            .otherwise(op),
+        )
+        excluded = F.arrays_overlap(
+            F.col("objectProvides"),
+            F.array(*[F.lit(t) for t in WF_EXCLUDED_TYPES]),
+        )
+        out = out.withColumn(
+            "exclude_from_globalsearch",
+            F.when(excluded, F.array(F.lit("True"))).otherwise(
+                F.lit(None).cast("array<string>")
             ),
         )
+    for field_name, prefix in WF_CODED_FIELDS.items():
+        if field_name in cols:
+            out = out.withColumn(
+                field_name,
+                F.transform(F.col(field_name), _strip_code(prefix)),
+            )
+    if "legislative_reference" in cols:
+        # list of {title} structs → titles (plain strings pass through
+        # upstream; site_wise_freshwater.py:86-94)
+        lr_type = df.schema["legislative_reference"].dataType
+        if isinstance(lr_type, ArrayType) and isinstance(
+            lr_type.elementType, StructType
+        ):
+            out = out.withColumn(
+                "legislative_reference",
+                F.transform(F.col("legislative_reference"), lambda x: x["title"]),
+            )
+    if "country" in cols:
+        out = out.withColumn("wise_country", F.col("country")).drop("country")
     return out
 
 

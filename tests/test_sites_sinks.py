@@ -132,12 +132,39 @@ def test_wise_marine_objectprovides_cleanup(spark):
 
 def test_wise_freshwater_bp_codes(spark):
     df = spark.createDataFrame(
-        [("u1", ["BP12 - Floodplain restoration", "no code"])],
-        "id string, biophysical_impacts array<string>",
+        [("u1", ["BP12 - Floodplain restoration", "no code"],
+          ["ES3 - Water purification"], ["PO1 - Good status"])],
+        "id string, biophysical_impacts array<string>, "
+        "ecosystem_services array<string>, policy_objectives array<string>",
     )
     row = S.site_wise_freshwater(df).collect()[0]
     assert row["biophysical_impacts"] == ["Floodplain restoration", "no code"]
+    assert row["ecosystem_services"] == ["Water purification"]
+    assert row["policy_objectives"] == ["Good status"]
     assert row["cluster_name"] == "wise-freshwater"
+
+
+def test_wise_freshwater_exclusions_and_renames(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "country_profile", "Portugal", None, ["Webpage"],
+             [{"title": "WFD"}], ["Italy"]),
+            ("u2", "Document", "T", ["ES"], ["Measure"], None, None),
+            ("u3", "Document", "T", None, ["Data set", "Webpage"], None, None),
+        ],
+        "id string, doc_type string, title string, spatial array<string>, "
+        "objectProvides array<string>, "
+        "legislative_reference array<struct<title:string>>, "
+        "country array<string>",
+    )
+    rows = {r["id"]: r for r in S.site_wise_freshwater(df).collect()}
+    assert rows["u1"]["spatial"] == ["Portugal"]  # profile → title
+    assert rows["u1"]["legislative_reference"] == ["WFD"]
+    assert rows["u1"]["wise_country"] == ["Italy"]
+    assert "country" not in rows["u1"].asDict()
+    assert rows["u2"]["exclude_from_globalsearch"] == ["True"]  # Measure
+    assert rows["u1"]["exclude_from_globalsearch"] is None
+    assert rows["u3"]["objectProvides"] == ["Data set"]  # Webpage dropped
 
 
 def test_forest_drops_data_catalogue_and_topic_pages(spark):
