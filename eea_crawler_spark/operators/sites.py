@@ -735,25 +735,78 @@ def _map_lit(m: dict[str, str]) -> Column:
     return F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
 
 
+FISE_CATALOGUE_API = "https://sdi.eea.europa.eu/catalogue/fise/api/records/"
+
+# resourceType → objectProvides decode (site_sdi_fise.py:468-475)
+FISE_RESOURCE_TYPES = [
+    ("dataset", "Spatial dataset"),
+    ("service", "Data services"),
+    ("nonGeographicDataset", "Tabular dataset"),
+]
+
+
 @register_facets_normalizer("sdi_fise")
 def site_sdi_fise(df: DataFrame) -> DataFrame:
     """FISE-SDI plugin (site_sdi_fise.py:349-514): language/country
-    decode tables, publicationYear fallback chain (publication →
-    creation → revision year, sentinel 2500), update-frequency decode."""
+    decode tables keyed on mainLanguage, publicationYear fallback chain
+    (publication → creation → revision year, sentinel 2500),
+    update-frequency decode, contact organisation extraction, catalogue
+    about-URL, resourceType → objectProvides decode, last_modified
+    fallback, and cl_topic titles."""
     out = df.withColumn("cluster_name", F.lit("fise_sdi"))
     cols = set(df.columns)
-    if "language_code" in cols:
+    lang_col = next((c for c in ("mainLanguage", "language_code") if c in cols), None)
+    if lang_col:
         out = out.withColumns(
             {
-                "language": F.coalesce(
-                    _map_lit(FISE_LANG_NAMES)[F.col("language_code")],
-                    F.lit("Unknown"),
+                "language": F.array(
+                    F.coalesce(
+                        _map_lit(FISE_LANG_NAMES)[F.col(lang_col)],
+                        F.lit("Unknown"),
+                    )
                 ),
-                "country": F.coalesce(
-                    _map_lit(FISE_COUNTRY_NAMES)[F.col("language_code")],
-                    F.lit("Unknown"),
+                "country": F.array(
+                    F.coalesce(
+                        _map_lit(FISE_COUNTRY_NAMES)[F.col(lang_col)],
+                        F.lit("Unknown"),
+                    )
                 ),
             }
+        )
+    if "contact" in cols:
+        first = F.element_at(F.col("contact"), 1)
+        out = out.withColumns(
+            {
+                "organisation_name": first["organisationObject"]["default"],
+                "organisation_email": first["email"],
+            }
+        )
+    out = out.withColumn("about", F.concat(F.lit(FISE_CATALOGUE_API), F.col("id")))
+    if "resourceType" in cols:
+        op = F.lit("SDI")
+        for key, label in reversed(FISE_RESOURCE_TYPES):
+            # reference checks in order, first match wins → reversed fold
+            op = F.when(
+                F.array_contains(F.col("resourceType"), key), F.lit(label)
+            ).otherwise(op)
+        out = out.withColumn("objectProvides", F.array(op))
+    lm_sources = [c for c in ("changeDate", "dateStamp") if c in cols]
+    if lm_sources:
+        out = out.withColumn(
+            "last_modified", F.coalesce(*[F.col(c) for c in lm_sources])
+        )
+    if "creationDateForResource" in cols:
+        out = out.withColumn(
+            "created", F.element_at(F.col("creationDateForResource"), 1)
+        )
+    if "publicationDateForResource" in cols:
+        out = out.withColumn(
+            "date_publication",
+            F.element_at(F.col("publicationDateForResource"), 1),
+        )
+    if "cl_topic" in cols:
+        out = out.withColumn(
+            "topic", F.transform(F.col("cl_topic"), lambda t: t["title"])
         )
     year_sources = [
         c for c in

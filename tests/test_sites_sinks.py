@@ -264,11 +264,11 @@ def test_sdi_fise_decode_tables(spark):
         "creation_year string, revision_year string, update_frequency_key string",
     )
     rows = {r["id"]: r for r in S.site_sdi_fise(df).collect()}
-    assert rows["u1"]["language"] == "Italian"
-    assert rows["u1"]["country"] == "Italy"
+    assert rows["u1"]["language"] == ["Italian"]  # list form (ref :456-463)
+    assert rows["u1"]["country"] == ["Italy"]
     assert rows["u1"]["publicationYear"] == 2019  # creation before revision
     assert rows["u1"]["update_frequency_value"] == "As needed"
-    assert rows["u2"]["language"] == "Unknown"
+    assert rows["u2"]["language"] == ["Unknown"]
     assert rows["u2"]["publicationYear"] == 2020
     assert rows["u2"]["update_frequency_value"] == "weird"  # passthrough
     assert rows["u3"]["publicationYear"] == 2500  # sentinel
@@ -469,3 +469,36 @@ def test_eea_term_fields_and_faq_drop(spark):
     assert "q2" in rows  # non-English FAQ kept
     assert rows["t1"]["term_description"] == "a def"
     assert rows["t1"]["term_source"] == "glossary"
+
+
+def test_sdi_fise_catalogue_behaviors(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "rec-1",
+                [{"organisationObject": {"default": "EEA"}, "email": "x@e.eu"}],
+                ["dataset"],
+                None,
+                "2024-01-02",
+                ["2020-01-01"],
+                [{"title": "Environment"}],
+            ),
+            ("rec-2", None, ["service"], "2024-02-02", None, None, None),
+            ("rec-3", None, ["other"], None, None, None, None),
+        ],
+        "id string, "
+        "contact array<struct<organisationObject:struct<default:string>,email:string>>, "
+        "resourceType array<string>, changeDate string, dateStamp string, "
+        "creationDateForResource array<string>, cl_topic array<struct<title:string>>",
+    )
+    rows = {r["id"]: r for r in S.site_sdi_fise(df).collect()}
+    r1 = rows["rec-1"]
+    assert r1["organisation_name"] == "EEA" and r1["organisation_email"] == "x@e.eu"
+    assert r1["about"].endswith("/api/records/rec-1")
+    assert r1["objectProvides"] == ["Spatial dataset"]
+    assert rows["rec-2"]["objectProvides"] == ["Data services"]
+    assert rows["rec-3"]["objectProvides"] == ["SDI"]  # decode fallback
+    assert r1["last_modified"] == "2024-01-02"  # dateStamp fallback used
+    assert rows["rec-2"]["last_modified"] == "2024-02-02"  # changeDate wins
+    assert r1["created"] == "2020-01-01"
+    assert r1["topic"] == ["Environment"]
