@@ -381,7 +381,13 @@ def site_eionet(df: DataFrame) -> DataFrame:
     for seg_name, terms in EIONET_TOPICS.items():
         cond = (F.element_at(parts, 1) == "etcs") & (F.element_at(parts, 2) == seg_name)
         expr = F.when(cond, F.array(*[F.lit(t) for t in terms])).otherwise(expr)
-    return _with(df, cluster_name=F.lit("etc"), topic=expr)
+    out = _with(df, cluster_name=F.lit("etc"), topic=expr)
+    if {"publication_date", "issued"} <= set(df.columns):
+        # publication_date wins over the chain's issued (site_eionet.py:41)
+        out = out.withColumn(
+            "issued", F.coalesce(F.col("publication_date"), F.col("issued"))
+        )
+    return out
 
 
 @register_facets_normalizer("wise_marine")
