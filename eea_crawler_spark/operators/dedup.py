@@ -117,25 +117,64 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
+def df_capped(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` from
+    the *pair-generation* side. This is the scale valve for the
+    inverted-index join: one stop-phrase shingle shared by k docs
+    contributes k² candidate rows; capping bounds the hottest join key
+    at max_df². Only the candidate enumeration loses the shingle — a
+    pair whose sole shared shingles are ultra-common can be missed
+    (those pairs sit near Jaccard ≈ 0 anyway, far below any useful
+    threshold)."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), ["shingle"], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
-    Exact (recall 1.0): the inverted-index join on shingles enumerates
-    every pair that shares at least one shingle — any pair above a
-    positive threshold must. The shuffle key is the shingle, so hot
-    shingles (common phrases) are the skew point; at scale, drop
-    ultra-frequent shingles (document frequency cap) before the join.
+    Exact (recall 1.0) when ``max_df`` is None: the inverted-index join
+    enumerates every pair sharing at least one shingle. The shuffle key
+    is the shingle, so hot shingles (common phrases) are the skew
+    point; at scale pass ``max_df`` to cap candidate enumeration
+    (sizes/Jaccard still use full shingle sets — see ``df_capped``).
     """
     sh = shingles(df, text_col, id_col, n)
+    if max_df is None:
+        scored = _pair_jaccard(sh)
+    else:
+        capped = df_capped(sh, max_df)
+        pairs = (
+            capped.select(F.col("id").alias("doc_a"), "shingle")
+            .join(capped.select(F.col("id").alias("doc_b"), "shingle"), ["shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # exact Jaccard over candidate docs' FULL shingle sets (values
+        # identical to the uncapped join for every surviving pair)
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias("id"))
+            .union(pairs.select(F.col("doc_b").alias("id")))
+            .distinct()
+        )
+        scored = _pair_jaccard(
+            sh.join(cand_ids, ["id"], "left_semi"), pairs=pairs
+        )
     return (
-        _pair_jaccard(sh)
-        .filter(F.col("jaccard") >= threshold)
+        scored.filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b", "jaccard")
     )
 

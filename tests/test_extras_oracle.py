@@ -77,3 +77,25 @@ def test_ann_ivf_partial_probe_recall(spark, sf_dir):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"recall={recall:.2f}"
+
+
+def test_ngram_jaccard_df_cap_preserves_high_pairs(spark, sf_dir):
+    """The document-frequency cap must not lose any pair the uncapped
+    exact join reports at the 0.8 threshold, and surviving pairs keep
+    identical Jaccard values (full shingle sets used for scoring)."""
+    from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
+    from eea_crawler_spark.plans.extras import JACCARD_THRESHOLD
+    from eea_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_df=5
+        ).collect()
+    }
+    assert capped == exact  # near-dup pairs share rare shingles too
