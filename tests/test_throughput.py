@@ -61,9 +61,16 @@ def test_normalize_throughput_floor(spark):
     base = base.localCheckpoint(eager=True)  # generation out of the timing
     out = common_normalizer(base, DEFAULT_CONFIG)
     out.write.format("noop").mode("overwrite").save()  # warm codegen
-    t0 = time.perf_counter()
-    out.write.format("noop").mode("overwrite").save()
-    rate = N_DOCS / (time.perf_counter() - t0)
+    # best of 3: the floor guards against plan regressions (a stray
+    # Python UDF or shuffle), not against transient machine load — one
+    # contended run must not flake a 39x-margin assertion
+    rate = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out.write.format("noop").mode("overwrite").save()
+        rate = max(rate, N_DOCS / (time.perf_counter() - t0))
+        if rate >= FLOOR_PER_CORE * cores:
+            break
     assert rate >= FLOOR_PER_CORE * cores, (
         f"normalize throughput {rate:.0f} docs/s < floor "
         f"{FLOOR_PER_CORE * cores} on {cores} cores"
