@@ -119,6 +119,29 @@ def formats_over_children(children: Column) -> Column:
     )
 
 
+def fix_child_links(children: Column) -> Column:
+    """Child dataset links: missing name/description fall back to their
+    *Object.default multilingual variants (fix_children_links,
+    site_sdi.py:154-173) — a nested withField transform, no explode."""
+    return F.transform(
+        children,
+        lambda c: c.withField(
+            "link",
+            F.transform(
+                c["link"],
+                lambda l: l.withField(
+                    "name", F.coalesce(l["name"], l["nameObject"]["default"])
+                ).withField(
+                    "description",
+                    F.coalesce(
+                        l["description"], l["descriptionObject"]["default"]
+                    ),
+                ),
+            ),
+        ),
+    )
+
+
 # ---- plugins -------------------------------------------------------------
 
 

@@ -502,3 +502,38 @@ def test_sdi_fise_catalogue_behaviors(spark):
     assert rows["rec-2"]["last_modified"] == "2024-02-02"  # changeDate wins
     assert r1["created"] == "2020-01-01"
     assert r1["topic"] == ["Environment"]
+
+
+def test_fix_child_links_nested_fallback(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "p1",
+                [
+                    {
+                        "link": [
+                            {"name": None,
+                             "nameObject": {"default": "Download"},
+                             "description": "explicit",
+                             "descriptionObject": {"default": "ignored"}},
+                            {"name": "Keep",
+                             "nameObject": {"default": "X"},
+                             "description": None,
+                             "descriptionObject": {"default": "From object"}},
+                        ]
+                    }
+                ],
+            )
+        ],
+        "id string, children array<struct<link:array<struct<"
+        "name:string,nameObject:struct<default:string>,"
+        "description:string,descriptionObject:struct<default:string>>>>>",
+    )
+    row = df.select(
+        S.fix_child_links(F.col("children")).alias("children")
+    ).collect()[0]
+    links = row["children"][0]["link"]
+    assert links[0]["name"] == "Download"  # fallback applied
+    assert links[0]["description"] == "explicit"  # explicit kept
+    assert links[1]["name"] == "Keep"
+    assert links[1]["description"] == "From object"
