@@ -589,14 +589,63 @@ def site_copernicus_land(df: DataFrame) -> DataFrame:
 
 @register_facets_normalizer("eea_en")
 def site_eea_en(df: DataFrame) -> DataFrame:
-    """New-EEA-site plugin (site_eea_europa_eu_en.py:21-76): sandbox
-    paths dropped, topic = topics[].title."""
+    """New-EEA-site plugin (site_eea_europa_eu_en.py:21-76): Plone-Site
+    and sandbox docs dropped, topic = topics[].title, dpsir/typology/
+    SDG taxonomy flattening, File/Image workflow-state repair with the
+    creation-date issued fallback, and visualizations titled
+    '…Indicator…' gaining the Indicator content type."""
     parts = F.split(F.regexp_replace(_url_path(F.col("id")), "^/|/$", ""), "/")
     out = df.filter(~F.array_contains(parts, "sandbox"))
+    if "doc_type" in df.columns:
+        out = out.filter(
+            F.col("doc_type").isNotNull() & (F.col("doc_type") != "Plone Site")
+        )
     out = out.withColumn("cluster_name", F.lit("eea"))
-    if "topics" in df.columns:
+    cols = set(df.columns)
+    if "topics" in cols:
         out = out.withColumn(
             "topic", F.transform(F.col("topics"), lambda t: t["title"])
+        )
+    for target, src in (
+        ("dpsir", "taxonomy_dpsir"),
+        ("typology", "taxonomy_typology"),
+        ("un_sdgs", "taxonomy_un_sdgs"),
+    ):
+        if src in cols:
+            out = out.withColumn(
+                target, F.transform(F.col(src), lambda t: t["title"])
+            )
+    if {"objectProvides", "hasWorkflowState"} <= cols:
+        file_like = F.arrays_overlap(
+            F.col("objectProvides"), F.array(F.lit("File"), F.lit("Image"))
+        )
+        repair = file_like & (F.col("hasWorkflowState") == "missing")
+        # issued first: the repair predicate reads the pre-repair state
+        if {"issued", "creation_date"} <= cols:
+            out = out.withColumn(
+                "issued",
+                F.when(
+                    repair & F.col("issued").isNull(), F.col("creation_date")
+                ).otherwise(F.col("issued")),
+            )
+        out = out.withColumn(
+            "hasWorkflowState",
+            F.when(repair, F.lit("published")).otherwise(
+                F.col("hasWorkflowState")
+            ),
+        )
+    if {"doc_type", "title", "objectProvides"} <= cols:
+        viz_ind = (F.col("doc_type") == "visualization") & F.col(
+            "title"
+        ).contains("Indicator")
+        out = out.withColumn(
+            "objectProvides",
+            F.when(
+                viz_ind,
+                F.array_union(
+                    F.col("objectProvides"), F.array(F.lit("Indicator"))
+                ),
+            ).otherwise(F.col("objectProvides")),
         )
     return out
 

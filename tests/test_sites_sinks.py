@@ -537,3 +537,31 @@ def test_fix_child_links_nested_fallback(spark):
     assert links[0]["description"] == "explicit"  # explicit kept
     assert links[1]["name"] == "Keep"
     assert links[1]["description"] == "From object"
+
+
+def test_eea_en_full_behaviors(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://e/en/viz1", "visualization", "GHG Indicator chart",
+             ["Dashboard"], "published", None, "2020-01-01",
+             [{"title": "Driver"}], None, None),
+            ("https://e/en/file1", "File", "Doc", ["File"], "missing",
+             None, "2021-02-02", None, None, None),
+            ("https://e/en", "Plone Site", "Root", None, None, None, None,
+             None, None, None),
+        ],
+        "id string, doc_type string, title string, "
+        "objectProvides array<string>, hasWorkflowState string, "
+        "issued string, creation_date string, "
+        "taxonomy_dpsir array<struct<title:string>>, "
+        "taxonomy_typology array<struct<title:string>>, "
+        "taxonomy_un_sdgs array<struct<title:string>>",
+    )
+    rows = {r["id"]: r for r in S.site_eea_en(df).collect()}
+    assert "https://e/en" not in rows  # Plone Site dropped
+    viz = rows["https://e/en/viz1"]
+    assert viz["objectProvides"] == ["Dashboard", "Indicator"]
+    assert viz["dpsir"] == ["Driver"]
+    f = rows["https://e/en/file1"]
+    assert f["hasWorkflowState"] == "published"  # missing repaired
+    assert f["issued"] == "2021-02-02"  # creation-date fallback
