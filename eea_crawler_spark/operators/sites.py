@@ -542,6 +542,7 @@ def site_wise_freshwater(df: DataFrame) -> DataFrame:
     return out
 
 
+@register_facets_normalizer("fise")
 @register_facets_normalizer("forest")
 def site_forest(df: DataFrame) -> DataFrame:
     """FISE-forest plugin (site_forest.py:21-90): /resources/
@@ -560,6 +561,7 @@ def site_forest(df: DataFrame) -> DataFrame:
     return out
 
 
+@register_facets_normalizer("land")
 @register_facets_normalizer("copernicus_land")
 def site_copernicus_land(df: DataFrame) -> DataFrame:
     """Copernicus-land plugin (site_copernicus_land.py:25-80):
@@ -650,7 +652,7 @@ def site_eea_en(df: DataFrame) -> DataFrame:
     return out
 
 
-@register_facets_normalizer("fise")
+@register_facets_normalizer("fise_resource")
 def site_fise(df: DataFrame) -> DataFrame:
     """FISE plugin (site_fise.py:25-98): cluster 'fise_sdi', topic from
     resource_topics."""
@@ -660,6 +662,7 @@ def site_fise(df: DataFrame) -> DataFrame:
     return out
 
 
+@register_facets_normalizer("bise")
 @register_facets_normalizer("biodiversity")
 def site_biodiversity(df: DataFrame) -> DataFrame:
     """BISE plugin (site_biodiversity.py:21-66): biodiversity theme,
@@ -693,7 +696,9 @@ def site_biodiversity(df: DataFrame) -> DataFrame:
 def site_energy(df: DataFrame) -> DataFrame:
     """Energy plugin (site_energy.py:21-76): resource_type 'Data' →
     Dashboard; /topics/*/intro → Topic page."""
-    out = df.withColumn("cluster_name", F.lit("energy"))
+    out = _with(
+        df, cluster_name=F.lit("energy"), themes=F.array(F.lit("energy"))
+    )
     if "objectProvides" not in df.columns:
         return out
     path = F.regexp_replace(_url_path(F.col("id")), "^/|/$", "")
@@ -720,15 +725,20 @@ def site_noise(df: DataFrame) -> DataFrame:
 
 @register_facets_normalizer("industry")
 def site_industry(df: DataFrame) -> DataFrame:
-    """Industry plugin (site_industry.py:22-50): cluster tag only."""
-    return df.withColumn("cluster_name", F.lit("industry"))
+    """Industry plugin (site_industry.py:15-38): industry theme +
+    cluster tag."""
+    return _with(
+        df, cluster_name=F.lit("industry"), themes=F.array(F.lit("industry"))
+    )
 
 
 @register_facets_normalizer("ias")
 def site_ias(df: DataFrame) -> DataFrame:
     """IAS plugin (site_ias.py:20-60): /products/european-statistics
     docs are Dashboards unless titled 'Map…' (then interactive maps)."""
-    out = df.withColumn("cluster_name", F.lit("ias"))
+    out = _with(
+        df, cluster_name=F.lit("ias"), themes=F.array(F.lit("biodiversity"))
+    )
     if not {"objectProvides", "title"} <= set(df.columns):
         return out
     parts = F.split(F.regexp_replace(_url_path(F.col("id")), "^/|/$", ""), "/")
@@ -910,26 +920,28 @@ def site_sdi_fise(df: DataFrame) -> DataFrame:
     return out
 
 
+@register_facets_normalizer("cab")
 @register_facets_normalizer("climate_advisory_board")
 def site_climate_advisory_board(df: DataFrame) -> DataFrame:
-    """Advisory-board plugin (site_climate_advisory_board.py): cluster
-    tag on the climate shape."""
-    return df.withColumn("cluster_name", F.lit("climate-advisory-board"))
+    """Advisory-board plugin (site_climate_advisory_board.py:14-29,
+    reference site_id 'cab')."""
+    return df.withColumn("cluster_name", F.lit("cab"))
 
 
+@register_facets_normalizer("insitu")
 @register_facets_normalizer("copernicus_insitu")
 def site_copernicus_insitu(df: DataFrame) -> DataFrame:
     """Copernicus in-situ plugin (site_copernicus_insitu.py)."""
     return df.withColumn("cluster_name", F.lit("copernicus_insitu"))
 
 
+@register_facets_normalizer("land_demo")
 @register_facets_normalizer("copernicus_demo_land")
 def site_copernicus_demo_land(df: DataFrame) -> DataFrame:
-    """Copernicus demo-land plugin (site_copernicus_demo_land.py) —
-    same categories/topics decode as copernicus_land."""
-    return site_copernicus_land(df).withColumn(
-        "cluster_name", F.lit("copernicus_demo_land")
-    )
+    """Copernicus demo-land plugin (site_copernicus_demo_land.py,
+    reference site_id 'land_demo') — same decode AND same cluster as
+    copernicus_land (:57)."""
+    return site_copernicus_land(df)
 
 
 def normalize_by_site(

@@ -93,6 +93,19 @@ def test_full_site_registry():
         "copernicus_insitu", "copernicus_demo_land",
     }
     assert expected <= set(S.FACETS_NORMALIZERS)
+    # the reference's own registry keys dispatch too
+    # (dags/normalizers/sites/*.py decorators)
+    reference_keys = {
+        "eea", "eea_en", "sdi", "sdi_fise", "fise_resource", "fise",
+        "climate", "cab", "eionet", "wise_marine", "wise_freshwater",
+        "bise", "energy", "noise", "industry", "ias", "discomap",
+        "land", "insitu", "land_demo",
+    }
+    assert reference_keys <= set(S.FACETS_NORMALIZERS)
+    # "fise" is the forest site in the reference; the SDI-records
+    # plugin lives under "fise_resource"
+    assert S.FACETS_NORMALIZERS["fise"] is S.site_forest
+    assert S.FACETS_NORMALIZERS["fise_resource"] is S.site_fise
 
 
 def test_eionet_path_topics(spark):
