@@ -564,28 +564,46 @@ def site_forest(df: DataFrame) -> DataFrame:
 @register_facets_normalizer("land")
 @register_facets_normalizer("copernicus_land")
 def site_copernicus_land(df: DataFrame) -> DataFrame:
-    """Copernicus-land plugin (site_copernicus_land.py:25-80):
-    categories keep the '#'-suffix token; '»'-qualified values collapse
-    to their first segment, order-preserving dedup."""
+    """Copernicus-land plugin (site_copernicus_land.py:17-62): the
+    technical-library categorization titles keep their '#'-suffix as
+    values; the facet collapses each value to its '»'-prefix,
+    order-preserving dedup. Plus file_size/version lifts and the
+    TechnicalLibrary issued/year date chain."""
     out = df.withColumn("cluster_name", F.lit("copernicus_land"))
     cols = set(df.columns)
-    if "categories" in cols:
-        out = out.withColumn(
-            "categories",
-            F.transform(
-                F.col("categories"), lambda c: F.element_at(F.split(c, "#"), -1)
-            ),
+    if "taxonomy_technical_library_categorization" in cols:
+        values = F.transform(
+            F.col("taxonomy_technical_library_categorization"),
+            lambda t: F.element_at(F.split(t["title"], "#"), -1),
         )
-    if "topics" in cols:
+        out = out.withColumn("library_categories_values", values)
         out = out.withColumn(
-            "topics",
+            "library_categories_facet",
             F.array_distinct(
                 F.transform(
-                    F.col("topics"),
-                    lambda c: F.trim(F.element_at(F.split(c, "»"), 1)),
+                    values, lambda v: F.trim(F.element_at(F.split(v, "»"), 1))
                 )
             ),
         )
+    if "file" in cols:
+        out = out.withColumn(
+            "file_size", F.coalesce(F.col("file")["size"], F.lit(0))
+        )
+    if "version" in cols:
+        out = out.withColumn("version", F.coalesce(F.col("version"), F.lit("")))
+    date_srcs = [
+        c for c in ("publication_date", "creation_date", "created") if c in cols
+    ]
+    if "doc_type" in cols and date_srcs:
+        is_tl = F.col("doc_type") == "TechnicalLibrary"
+        chosen = F.coalesce(*[F.col(c) for c in date_srcs])
+        if "issued" in cols:
+            out = out.withColumn(
+                "issued", F.when(is_tl, chosen).otherwise(F.col("issued"))
+            )
+        else:
+            out = out.withColumn("issued", F.when(is_tl, chosen))
+        out = out.withColumn("year", F.when(is_tl, chosen))
     return out
 
 

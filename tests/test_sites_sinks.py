@@ -197,12 +197,31 @@ def test_forest_drops_data_catalogue_and_topic_pages(spark):
 
 def test_copernicus_land_decodes(spark):
     df = spark.createDataFrame(
-        [("u1", ["scheme#Forest", "plain"], ["Land » cover", "Land » use", "Sea"])],
-        "id string, categories array<string>, topics array<string>",
+        [
+            (
+                "u1",
+                "TechnicalLibrary",
+                [{"title": "scheme#Land » cover"}, {"title": "scheme#Land » use"},
+                 {"title": "Sea"}],
+                {"size": 123},
+                None,
+                None,
+                "2021-05-05",
+                None,
+            )
+        ],
+        "id string, doc_type string, "
+        "taxonomy_technical_library_categorization array<struct<title:string>>, "
+        "file struct<size:bigint>, version string, publication_date string, "
+        "creation_date string, issued string",
     )
     row = S.site_copernicus_land(df).collect()[0]
-    assert row["categories"] == ["Forest", "plain"]
-    assert row["topics"] == ["Land", "Sea"]  # split-»-dedup
+    assert row["library_categories_values"] == ["Land » cover", "Land » use", "Sea"]
+    assert row["library_categories_facet"] == ["Land", "Sea"]  # »-prefix dedup
+    assert row["file_size"] == 123
+    assert row["version"] == ""
+    assert row["issued"] == "2021-05-05"  # creation_date in the chain
+    assert row["year"] == "2021-05-05"
 
 
 def test_eea_en_sandbox_drop_and_topics(spark):
