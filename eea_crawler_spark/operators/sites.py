@@ -542,21 +542,71 @@ def site_wise_freshwater(df: DataFrame) -> DataFrame:
     return out
 
 
+# factsheet types whose spatial derives from the parent folder title
+# (site_forest.py:27-36)
+FOREST_FACTSHEET_TYPES = [
+    "basic_data_factsheet",
+    "european_union_factsheet",
+    "country_biodiversity_factsheet",
+    "country_bioeconomy_factsheet",
+    "country_climate_factsheet",
+    "country_vitality_factsheet",
+]
+
+
 @register_facets_normalizer("fise")
 @register_facets_normalizer("forest")
 def site_forest(df: DataFrame) -> DataFrame:
-    """FISE-forest plugin (site_forest.py:21-90): /resources/
-    data-catalogue docs dropped, cluster 'fise', topics/* pages get a
-    Topic-page content type."""
+    """FISE-forest plugin (site_forest.py:15-65, reference site_id
+    'fise'): data-catalogue docs dropped, biodiversity theme,
+    factsheet spatial from the parent folder (unless 'Regions'),
+    topics/* Webpages become Topic pages with an EU27 places default,
+    country factsheets become Dashboards (alone for the EU rollup,
+    alongside for countries)."""
     out = df.filter(~F.col("id").contains("/resources/data-catalogue"))
     path = F.regexp_replace(_url_path(F.col("id")), "^/|/$", "")
-    out = out.withColumn("cluster_name", F.lit("fise"))
-    if "objectProvides" in df.columns:
+    out = out.withColumn("cluster_name", F.lit("fise")).withColumn(
+        "themes", F.array(F.lit("biodiversity"))
+    )
+    cols = set(df.columns)
+    if {"doc_type", "spatial", "parent_title"} <= cols:
+        is_fs = F.col("doc_type").isin(FOREST_FACTSHEET_TYPES) & (
+            F.col("parent_title") != "Regions"
+        )
+        out = out.withColumn(
+            "spatial",
+            F.when(is_fs, F.array(F.col("parent_title"))).otherwise(
+                F.col("spatial")
+            ),
+        )
+    if "objectProvides" in cols:
+        is_webpage = F.col("objectProvides") == F.array(F.lit("Webpage"))
+        topic_page = is_webpage & path.startswith("topics")
+        # places first: topic_page reads the pre-rewrite objectProvides
+        if "places" in cols:
+            out = out.withColumn(
+                "places",
+                F.when(
+                    topic_page & F.col("places").isNull(),
+                    F.array(F.lit("EU27")),
+                ).otherwise(F.col("places")),
+            )
         out = out.withColumn(
             "objectProvides",
-            F.when(
-                path.startswith("topics"), F.array(F.lit("Topic page"))
-            ).otherwise(F.col("objectProvides")),
+            F.when(topic_page, F.array(F.lit("Topic page"))).otherwise(
+                F.col("objectProvides")
+            ),
+        )
+        is_cfs = F.col("objectProvides") == F.array(F.lit("Country fact sheet"))
+        eu_rollup = path.startswith("countries/regions/european-union")
+        out = out.withColumn(
+            "objectProvides",
+            F.when(is_cfs & eu_rollup, F.array(F.lit("Dashboard")))
+            .when(
+                is_cfs,
+                F.array(F.lit("Country fact sheet"), F.lit("Dashboard")),
+            )
+            .otherwise(F.col("objectProvides")),
         )
     return out
 
@@ -735,9 +785,17 @@ def site_energy(df: DataFrame) -> DataFrame:
 
 @register_facets_normalizer("noise")
 def site_noise(df: DataFrame) -> DataFrame:
-    """Noise plugin (site_noise.py:24-44): fixed cluster + topic."""
+    """Noise plugin (site_noise.py:16-36): a single-page site with
+    every facet forced — Page type, published state, fixed
+    objectProvides/topic and a constant issued stamp."""
     return _with(
-        df, cluster_name=F.lit("noise"), topic=F.array(F.lit("Noise"))
+        df,
+        cluster_name=F.lit("noise"),
+        doc_type=F.lit("Page"),
+        review_state=F.lit("published"),
+        objectProvides=F.array(F.lit("Webpage"), F.lit("Map (interactive)")),
+        topic=F.array(F.lit("Noise")),
+        issued=F.lit("2021-07-01T13:47:12.000Z"),
     )
 
 

@@ -183,16 +183,36 @@ def test_wise_freshwater_exclusions_and_renames(spark):
 def test_forest_drops_data_catalogue_and_topic_pages(spark):
     df = spark.createDataFrame(
         [
-            ("https://forest.example/resources/data-catalogue/x", ["Webpage"]),
-            ("https://forest.example/topics/forests", ["Webpage"]),
-            ("https://forest.example/articles/a", ["Article"]),
+            ("https://forest.example/resources/data-catalogue/x", ["Webpage"],
+             "Page", None, None, None),
+            ("https://forest.example/topics/forests", ["Webpage"],
+             "Page", None, None, None),
+            ("https://forest.example/articles/a", ["Article"],
+             "Page", None, None, None),
+            ("https://forest.example/countries/regions/european-union/f",
+             ["Country fact sheet"], "Page", None, None, None),
+            ("https://forest.example/countries/italy/f",
+             ["Country fact sheet"], "Page", None, None, None),
+            ("https://forest.example/countries/italy/bio",
+             ["Webpage"], "country_biodiversity_factsheet", ["old"],
+             "Italy", None),
         ],
-        "id string, objectProvides array<string>",
+        "id string, objectProvides array<string>, doc_type string, "
+        "spatial array<string>, parent_title string, places array<string>",
     )
-    rows = {r["id"].split("/")[-1]: r for r in S.site_forest(df).collect()}
-    assert "x" not in rows  # P12 drop rule
-    assert rows["forests"]["objectProvides"] == ["Topic page"]
-    assert rows["a"]["objectProvides"] == ["Article"]
+    rows = {r["id"].split("/", 3)[-1]: r for r in S.site_forest(df).collect()}
+    assert "resources/data-catalogue/x" not in rows  # P12 drop rule
+    assert rows["topics/forests"]["objectProvides"] == ["Topic page"]
+    assert rows["topics/forests"]["places"] == ["EU27"]  # default filled
+    assert rows["articles/a"]["objectProvides"] == ["Article"]
+    assert rows["countries/regions/european-union/f"]["objectProvides"] == [
+        "Dashboard"
+    ]
+    assert rows["countries/italy/f"]["objectProvides"] == [
+        "Country fact sheet", "Dashboard"
+    ]
+    assert rows["countries/italy/bio"]["spatial"] == ["Italy"]  # parent title
+    assert all(r["themes"] == ["biodiversity"] for r in rows.values())
 
 
 def test_copernicus_land_decodes(spark):
