@@ -722,11 +722,27 @@ def site_eea_en(df: DataFrame) -> DataFrame:
 
 @register_facets_normalizer("fise_resource")
 def site_fise(df: DataFrame) -> DataFrame:
-    """FISE plugin (site_fise.py:25-98): cluster 'fise_sdi', topic from
-    resource_topics."""
-    out = df.withColumn("cluster_name", F.lit("fise_sdi"))
-    if "resource_topics" in df.columns:
+    """FISE resource-catalogue plugin (site_fise.py:20-90, reference
+    site_id 'fise_resource'): cluster 'fise_sdi', country from the
+    geo-coverage labels, objectProvides = the portal type, keywords
+    from subjects, publicationYear from publishing_year, topic from
+    resource_topics, and the forced 'As needed' update frequency."""
+    out = df.withColumn("cluster_name", F.lit("fise_sdi")).withColumn(
+        "update_frequency_value", F.lit("As needed")
+    )
+    cols = set(df.columns)
+    if "resource_topics" in cols:
         out = out.withColumn("topic", F.col("resource_topics"))
+    if "geolocation" in cols:
+        out = out.withColumn(
+            "country", F.transform(F.col("geolocation"), lambda g: g["label"])
+        )
+    if "doc_type" in cols:
+        out = out.withColumn("objectProvides", F.array(F.col("doc_type")))
+    if "subjects" in cols:
+        out = out.withColumn("keywords", F.col("subjects"))
+    if "publishing_year" in cols:
+        out = out.withColumn("publicationYear", F.col("publishing_year"))
     return out
 
 
@@ -780,6 +796,15 @@ def site_energy(df: DataFrame) -> DataFrame:
         (F.element_at(parts, 1) == "topics") & (F.element_at(parts, -1) == "intro"),
         F.array(F.lit("Topic page")),
     ).otherwise(op)
+    if {"title", "spatial"} <= set(df.columns):
+        # country factsheets take their title as spatial (site_energy.py:35-36)
+        out = out.withColumn(
+            "spatial",
+            F.when(
+                F.col("objectProvides") == F.array(F.lit("Country fact sheet")),
+                F.array(F.col("title")),
+            ).otherwise(F.col("spatial")),
+        )
     return out.withColumn("objectProvides", op)
 
 

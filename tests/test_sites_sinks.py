@@ -617,3 +617,31 @@ def test_eea_en_full_behaviors(spark):
     f = rows["https://e/en/file1"]
     assert f["hasWorkflowState"] == "published"  # missing repaired
     assert f["issued"] == "2021-02-02"  # creation-date fallback
+
+
+def test_fise_resource_record_shaping(spark):
+    df = spark.createDataFrame(
+        [("r1", "report", ["air"], [{"label": "Italy"}], ["forests"], "2020")],
+        "id string, doc_type string, subjects array<string>, "
+        "geolocation array<struct<label:string>>, "
+        "resource_topics array<string>, publishing_year string",
+    )
+    row = S.site_fise(df).collect()[0]
+    assert row["cluster_name"] == "fise_sdi"
+    assert row["objectProvides"] == ["report"]
+    assert row["country"] == ["Italy"]
+    assert row["keywords"] == ["air"]
+    assert row["publicationYear"] == "2020"
+    assert row["topic"] == ["forests"]
+    assert row["update_frequency_value"] == "As needed"
+
+
+def test_energy_country_factsheet_spatial(spark):
+    df = spark.createDataFrame(
+        [("https://e.example/countries/italy", "Italy",
+          ["Country fact sheet"], None, None)],
+        "id string, title string, objectProvides array<string>, "
+        "spatial array<string>, resource_type string",
+    )
+    row = S.site_energy(df).collect()[0]
+    assert row["spatial"] == ["Italy"]
