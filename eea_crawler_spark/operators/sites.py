@@ -862,7 +862,14 @@ def site_discomap(df: DataFrame) -> DataFrame:
     """Discomap plugin (site_discomap.py:23-60): URL-prefix decode of
     topic + objectProvides (climatechange vs atlas apps; landing pages
     are Webpages, the rest interactive maps)."""
-    out = df.withColumn("cluster_name", F.lit("discomap"))
+    out = _with(
+        df,
+        cluster_name=F.lit("discomap"),
+        doc_type=F.lit("Page"),
+        review_state=F.lit("published"),
+    )
+    if "modified" in df.columns:
+        out = out.withColumn("issued", F.col("modified"))
     url = F.col("id")
     cc = url.startswith("https://discomap.eea.europa.eu/climatechange")
     atlas = url.startswith("https://discomap.eea.europa.eu/atlas")
