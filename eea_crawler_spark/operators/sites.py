@@ -413,11 +413,34 @@ def site_eionet(df: DataFrame) -> DataFrame:
     return out
 
 
+# Shipping-and-Ports-Measure detail fields copied under wm_spm_
+# (wm_spm_extra_fields, site_wise_marine.py:20-68)
+WM_SPM_FIELDS = [
+    "title", "sector", "code", "use", "origin", "nature", "status",
+    "impacts", "impacts_further_details", "water_body_cat",
+    "spatial_scope", "country_coverage", "measure_purpose",
+    "measure_type", "measure_location", "measure_response",
+    "measure_additional_info", "pressure_type", "pressure_name",
+    "ranking", "season", "approaching_areas", "areas_to_be_avoided",
+    "descriptors", "ecological_impacts", "future_scenarios",
+    "effect_on_hydromorphology", "ktms_it_links_to",
+    "links_to_existing_policies", "msfd_spatial_scope",
+    "mspd_implementation_status", "nature_of_physical_modification",
+    "source", "authority", "general_view", "ports",
+    "future_expectations", "safety_manner", "objective", "categories",
+    "precautionary_areas", "priority_areas", "relevant_targets",
+    "relevant_features_from_msfd_annex_iii", "region",
+    "shipping_tackled", "traffic_separation_scheme", "type_of_pressure",
+]
+
+
 @register_facets_normalizer("wise_marine")
 def site_wise_marine(df: DataFrame) -> DataFrame:
-    """WISE-marine plugin (site_wise_marine.py:79-155): water themes,
+    """WISE-marine plugin (site_wise_marine.py:69-125): water themes,
     country_factsheet → spatial from title, Data-set/Webpage
-    objectProvides cleanup, dpsir_type flattening."""
+    objectProvides cleanup, SPM exclusion + issued default + wm_spm_
+    field copies, Indicator description/dpsir derivation,
+    legislative-reference and theme/dpsir_type flattening."""
     out = _with(
         df,
         cluster_name=F.lit("wise-marine"),
@@ -450,6 +473,54 @@ def site_wise_marine(df: DataFrame) -> DataFrame:
                 F.array(F.lit("True")),
             ).otherwise(F.lit(None).cast("array<string>")),
         )
+        spm = F.array_contains(
+            F.col("objectProvides"), "Shipping and Ports Measure"
+        )
+        # SPM issued default when published without a date
+        # (site_wise_marine.py:101-103)
+        if {"issued", "hasWorkflowState"} <= cols:
+            out = out.withColumn(
+                "issued",
+                F.when(
+                    spm
+                    & F.col("issued").isNull()
+                    & (F.col("hasWorkflowState") == "published"),
+                    F.lit("2023-09-04T07:17:00"),
+                ).otherwise(F.col("issued")),
+            )
+        # SPM detail fields copied under the wm_spm_ prefix
+        # (wm_spm_extra_fields loop, site_wise_marine.py:104-106)
+        spm_copies = {
+            f"wm_spm_{c}": F.when(spm, F.col(c)) for c in WM_SPM_FIELDS if c in cols
+        }
+        if spm_copies:
+            out = out.withColumns(spm_copies)
+        # Indicator docs: description ← title, dpsir from dpsir_type
+        # (site_wise_marine.py:113-116)
+        ind = F.array_contains(F.col("objectProvides"), "Indicator")
+        if {"description", "title"} <= cols:
+            out = out.withColumn(
+                "description",
+                F.when(ind, F.col("title")).otherwise(F.col("description")),
+            )
+        if "dpsir_type" in cols:
+            out = out.withColumn(
+                "dpsir",
+                F.when(
+                    ind, F.transform(F.col("dpsir_type"), lambda x: x["title"])
+                ),
+            )
+    if "legislative_reference" in cols:
+        lr_type = df.schema["legislative_reference"].dataType
+        if isinstance(lr_type, ArrayType) and isinstance(
+            lr_type.elementType, StructType
+        ):
+            out = out.withColumn(
+                "legislative_reference",
+                F.transform(F.col("legislative_reference"), lambda x: x["title"]),
+            )
+    if "theme" in cols:
+        out = out.withColumn("wm_theme", F.col("theme"))
     if "dpsir_type" in cols:
         out = out.withColumn(
             "wm_dpsir_type", F.transform(F.col("dpsir_type"), lambda x: x["title"])

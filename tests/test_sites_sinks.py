@@ -645,3 +645,30 @@ def test_energy_country_factsheet_spatial(spark):
     )
     row = S.site_energy(df).collect()[0]
     assert row["spatial"] == ["Italy"]
+
+
+def test_wise_marine_spm_and_indicator_behaviors(spark):
+    df = spark.createDataFrame(
+        [
+            ("m1", "Document", "Measure X",
+             ["Shipping and Ports Measure"], None, None, "published",
+             "Ports", ["w"], None),
+            ("m2", "Document", "Chart title", ["Indicator"], "old desc",
+             "2020-01-01", "published", None, None,
+             [{"title": "Pressure"}]),
+        ],
+        "id string, doc_type string, title string, "
+        "objectProvides array<string>, description string, "
+        "issued string, hasWorkflowState string, sector string, "
+        "theme array<string>, dpsir_type array<struct<title:string>>",
+    )
+    rows = {r["id"]: r for r in S.site_wise_marine(df).collect()}
+    spm = rows["m1"]
+    assert spm["exclude_from_globalsearch"] == ["True"]
+    assert spm["issued"] == "2023-09-04T07:17:00"  # published default
+    assert spm["wm_spm_sector"] == "Ports" and spm["wm_spm_title"] == "Measure X"
+    assert spm["wm_theme"] == ["w"]
+    ind = rows["m2"]
+    assert ind["description"] == "Chart title"  # Indicator: title wins
+    assert ind["dpsir"] == ["Pressure"]
+    assert ind["wm_spm_sector"] is None  # SPM copies gated to SPM docs
