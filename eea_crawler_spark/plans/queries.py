@@ -13,6 +13,15 @@ to achieve byte-identical results during validation):
   - FLOOR(double) cast to BIGINT;
   - events.ts handled by sources.tables (nanos → exact micros).
 
+Driver-canonicalization conventions (round 2 — the driver compares the
+two sides through a pandas canon where DuckDB DECIMAL/HUGEINT become
+float64 while Spark keeps Decimal/BIGINT, so equal values hash apart):
+  - every *final output* DECIMAL column is CAST(... AS DOUBLE) on BOTH
+    sides (arithmetic still runs in exact decimal; only the declared
+    output representation changes);
+  - every DuckDB SUM over integers is CAST(... AS BIGINT) to stop the
+    HUGEINT→float64 widening (Spark's SUM(int) is already BIGINT).
+
 Scale notes (100 TB posture):
   - dimension sides (region/nation, key-filtered orders) are broadcast so
     the fact-table side never shuffles for the join;
@@ -55,7 +64,7 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderstatus",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("p"),
         )
         .orderBy("o_orderkey")
     )
@@ -122,7 +131,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("rev"))
+        .agg(F.sum(rev).cast("double").alias("rev"))
         .orderBy("n_name", "rev")
     )
 
@@ -196,8 +205,8 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sp"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sp"),
             F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")), 4).cast("double").alias("ad"),
             F.count(F.lit(1)).alias("cnt"),
         )
@@ -274,7 +283,10 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
-        orders.select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("p"),
+        )
         .orderBy(F.col("p").desc(), "o_orderkey")
         .limit(10)
     )
@@ -444,7 +456,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
         )
         .orderBy("d", "h", "event_type", "cnt", "sv")
     )
@@ -460,7 +472,9 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.filter(F.col("o_custkey") <= 100)
-        .withColumn("mv", F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w))
+        .withColumn(
+            "mv", F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        )
         .select("o_custkey", "o_orderkey", "mv")
         .orderBy("o_custkey", "o_orderkey", "mv")
     )
@@ -485,7 +499,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Oracle SQL (DuckDB-compatible ANSI), verbatim from SURVEY.md §2.9.
 ORACLE: dict[str, str] = {
     "q1": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey, r_name",
-    "q2": """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+    "q2": """SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
 FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
 ORDER BY o_orderkey""",
     "q3": """SELECT c_custkey, c_mktsegment FROM customer
@@ -498,7 +513,7 @@ WHERE p_type LIKE '%ECO%' OR p_name LIKE 'bl%' ORDER BY p_partkey, p_type""",
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_acctbal > 9000 ORDER BY c.c_custkey, n.n_name""",
     "q7": """SELECT n.n_name,
-       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(9,4))) AS rev
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(9,4))) AS DOUBLE) AS rev
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -522,8 +537,8 @@ ORDER BY l_returnflag, l_linestatus""",
          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
   FROM orders) t WHERE rn = 1 ORDER BY o_custkey, o_orderkey""",
     "q13": """SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
        CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS ad,
        COUNT(*) AS cnt
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -546,8 +561,8 @@ WHERE o.o_orderkey <= 100 ORDER BY o.o_orderkey, l.l_linenumber, l.l_partkey""",
          RANK() OVER (PARTITION BY n.n_name ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rnk
   FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey) t
 WHERE rnk <= 3 ORDER BY n_name, rnk, s_suppkey""",
-    "q19": """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders
-ORDER BY p DESC, o_orderkey LIMIT 10""",
+    "q19": """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
+FROM orders ORDER BY p DESC, o_orderkey LIMIT 10""",
     "q20": """SELECT x FROM (
   SELECT c_nationkey AS x FROM customer
   INTERSECT SELECT s_nationkey FROM supplier) t1
@@ -577,8 +592,8 @@ FROM part WHERE p_partkey <= 1000 ORDER BY p_partkey, rt, f, md, ab""",
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_custkey <= 300 ORDER BY c.c_custkey, nm""",
     "q26": """SELECT o_custkey,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS done,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_,
        CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) >= 2
             THEN 'skip' ELSE 'ok' END AS verdict
 FROM orders GROUP BY o_custkey ORDER BY o_custkey, done, open_, verdict""",
@@ -592,8 +607,8 @@ FROM orders o WHERE o.o_orderkey <= 200 ORDER BY o.o_orderkey, mx NULLS FIRST"""
 GROUP BY o_custkey, grp ORDER BY o_custkey, range_start, range_end""",
     "q29": """SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_ev FROM (
   SELECT user_id, event_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM (SELECT user_id, event_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL '30' MINUTE OR
@@ -602,12 +617,12 @@ GROUP BY o_custkey, grp ORDER BY o_custkey, range_start, range_end""",
         FROM events) g) s
 GROUP BY user_id, session_id ORDER BY user_id, session_id, n_events, first_ev""",
     "q30": """SELECT CAST(date_trunc('hour', ts) AS DATE) AS d, EXTRACT(HOUR FROM date_trunc('hour', ts)) AS h,
-       event_type, COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+       event_type, COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
 FROM events GROUP BY 1, 2, 3 ORDER BY d, h, event_type, cnt, sv""",
     "q31": """SELECT o_custkey, o_orderkey,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv
 FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey, mv""",
     "q32": """SELECT doc_id,
        length(text) - length(replace(text, ' ', '')) + 1 AS wc,
