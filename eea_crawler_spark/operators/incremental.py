@@ -87,51 +87,90 @@ def guarded_deletes(
     Returns (candidates, allowed, ratio_pct). ``allowed`` is False when
     the candidates exceed ``threshold_pct``% of the stored corpus — the
     reference aborts the sweep rather than mass-delete on a bad listing
-    (crawl_plone_restapi.py:172-198); ``force`` overrides like the
-    manual re-run flag. The two counts are scalar aggregates (driver
-    decision, not per-row logic).
+    (crawl_plone_restapi.py:131-157); ``force`` overrides like the
+    manual ``ignore_delete_threshold`` flag. Pass the PRE-sync state:
+    the reference's denominator is ``prev_es_docs_len``, captured before
+    the sweep touches the index.
+
+    Both counts come from ONE action — a single left join + aggregate —
+    so the state projection is scanned once (round-1 review flagged the
+    two separate ``count()`` jobs).
     """
     cand = deletion_candidates(state, listing, id_col)
-    n_prev = state.count()
-    n_del = cand.count()
+    listed = (
+        listing.select(F.col(id_col))
+        .dropDuplicates([id_col])
+        .withColumn("__listed", F.lit(True))
+    )
+    row = (
+        state.select(F.col(id_col))
+        .join(listed, on=id_col, how="left")
+        .agg(
+            F.count(F.lit(1)).alias("n_prev"),
+            F.sum(
+                F.when(F.col("__listed").isNull(), 1).otherwise(0)
+            ).alias("n_del"),
+        )
+        .first()
+    )
+    n_prev, n_del = row["n_prev"], row["n_del"] or 0
     ratio = (100.0 * n_del / n_prev) if n_prev else 0.0
     return cand, force or ratio <= threshold_pct, ratio
 
 
 def quarantine_fold(
     ledger: DataFrame,
-    failures: DataFrame,
+    errored: DataFrame,
     id_col: str = "id",
     allowed_errors: int = ALLOWED_ERRORS,
     skip_runs: int = SKIP_RUNS,
 ) -> DataFrame:
-    """A7: fold one sync's failures into the error-budget ledger.
+    """A7: fold the current errored-doc set into the error-budget ledger.
 
-    Semantics (d1_sync.py:82-140 budgets): a failure increments
-    ``error_cnt``; once a doc exceeds ``allowed_errors`` it is skipped
-    and ``skip_cnt`` counts the skipped runs; after ``skip_runs`` skips
-    the budget resets so the doc gets retried. Output columns:
-    (id, error_cnt, skip_cnt, skipped).
+    Reference-exact transition (d1_sync.py:110-133 ``test_errors``):
+      - ledger entries whose doc is NO LONGER errored are dropped — a
+        successful refetch clears the budget immediately (d1_sync.py:
+        111-117), so transient flakiness never accumulates across
+        unrelated runs;
+      - a newly-errored doc enters at (error_cnt=1, skip_cnt=0), not
+        yet skipped (:121-124);
+      - at budget — ``error_cnt >= allowed_errors``, the reference's
+        comparison (:126) — the doc is skipped and ``skip_cnt`` counts
+        the skipped runs (:130-131);
+      - once ``skip_cnt >= skip_runs`` the entry expires and is dropped
+        (:127-128), so the doc gets retried fresh on its next errored
+        run;
+      - below budget, ``error_cnt`` increments (:133).
+
+    ``errored`` is the set of ids whose stored doc currently has errors
+    (the reference's ``elastic.get_all_ids_with_error`` scan). Output
+    columns: (id, error_cnt, skip_cnt, skipped) — retained entries only.
     """
-    fl = failures.select(F.col(id_col).alias(id_col)).distinct().withColumn(
-        "__failed", F.lit(True)
+    er = errored.select(F.col(id_col)).distinct()
+    led = ledger.select(
+        F.col(id_col),
+        F.col("error_cnt").alias("__ec"),
+        F.col("skip_cnt").alias("__sc"),
     )
-    merged = ledger.join(fl, on=id_col, how="full_outer")
-    err = F.coalesce(F.col("error_cnt"), F.lit(0)) + F.when(
-        F.coalesce(F.col("__failed"), F.lit(False)), 1
-    ).otherwise(0)
-    skip = F.coalesce(F.col("skip_cnt"), F.lit(0))
-    expired = skip >= skip_runs
-    new_err = F.when(expired, F.lit(0)).otherwise(err)
-    skipped = new_err > allowed_errors
-    new_skip = F.when(expired, F.lit(0)).otherwise(
-        F.when(skipped, skip + 1).otherwise(F.lit(0))
+    m = er.join(led, on=id_col, how="left")
+    in_ledger = F.col("__ec").isNotNull()
+    at_budget = in_ledger & (F.col("__ec") >= allowed_errors)
+    expired = at_budget & (F.col("__sc") >= skip_runs)
+    new_err = (
+        F.when(~in_ledger, F.lit(1))
+        .when(at_budget, F.col("__ec"))
+        .otherwise(F.col("__ec") + 1)
     )
-    return merged.select(
+    new_skip = (
+        F.when(~in_ledger, F.lit(0))
+        .when(at_budget, F.col("__sc") + 1)
+        .otherwise(F.col("__sc"))
+    )
+    return m.filter(~expired).select(
         F.col(id_col),
         new_err.cast("int").alias("error_cnt"),
         new_skip.cast("int").alias("skip_cnt"),
-        skipped.alias("skipped"),
+        at_budget.alias("skipped"),
     )
 
 

@@ -92,16 +92,21 @@ def run_sync(
     transport: AQ.Transport,
     robots_rules: list[tuple[str, bool]] | None = None,
     converter: AQ.Transport | None = None,
+    fold_quarantine: bool = True,
 ) -> dict[str, int]:
     """One full sync for one site. Returns step counts for the status
-    stream (the reference's per-run status docs, status.py:115-163)."""
+    stream (the reference's per-run status docs, status.py:115-163).
+
+    ``fold_quarantine=False`` defers the app-level error-budget fold to
+    the caller (``run_sync_all`` folds ONCE per sweep, the reference's
+    one ``test_errors`` per ``d1_sync``, instead of once per site)."""
     SK.status_event(spark, paths.status, f"sync:{cfg.site_id}", "started")
 
     # 1. listing scan (S1) + source-side filters (P2-P8)
     if cfg.listing_source == "datasource":
         from eea_crawler_spark.sources.plone_datasource import plone_listing_df
 
-        listing = plone_listing_df(
+        listing_raw = plone_listing_df(
             spark,
             cfg.site_url,
             transport=transport,
@@ -110,7 +115,7 @@ def run_sync(
             quick_since=cfg.quick_since,
         )
     else:
-        listing = AQ.listing_df(
+        listing_raw = AQ.listing_df(
             spark,
             transport,
             cfg.site_url,
@@ -118,6 +123,14 @@ def run_sync(
             cfg.portal_types,
             quick_since=cfg.quick_since,
         )
+    # snapshot: the listing is reused after the state tables are swapped
+    # below — cut its lineage to the pre-swap files (small: ids + stamps;
+    # Delta's transaction log makes this unnecessary in prod). The
+    # UNFILTERED snapshot survives for the deletion step: the reference
+    # preserves quarantined docs that the source still lists
+    # (crawl_plone_restapi.py:99-103) regardless of other filters.
+    listing_raw = listing_raw.localCheckpoint(eager=True)
+    listing = listing_raw
     if cfg.types_blacklist:
         listing = listing.filter(~F.col("doc_type").isin(cfg.types_blacklist))  # P7
     listing = listing.filter(~F.coalesce(F.col("seo_noindex"), F.lit(False)))  # P8
@@ -126,12 +139,28 @@ def run_sync(
 
     # 2. quarantine filter (P9) + diff vs state (J1)
     ledger = _read_quarantine(spark, paths.quarantine)
-    # snapshot: the filtered listing is reused after the state tables are
-    # swapped below — cut its lineage to the pre-swap files (small: ids +
-    # stamps; Delta's transaction log makes this unnecessary in prod)
-    listing = INC.quarantine_filter(listing, ledger).localCheckpoint(eager=True)
+    skip_ids = ledger.filter(F.col("skipped")).select("id")
+    fetch_listing = INC.quarantine_filter(listing, ledger)
     state = _read_state(spark, paths.raw)
-    due = INC.sync_diff(listing, state)
+    due = INC.sync_diff(fetch_listing, state)
+
+    # 2b. deletion guard (J2+J3) — evaluated NOW, against the PRE-sync
+    # state (the reference's prev_es_docs_len denominator,
+    # crawl_plone_restapi.py:44,131-141). Preserved ids = the filtered
+    # listing plus quarantined docs the source still lists (the
+    # 'Document had errors' branch removes them from the deletion map,
+    # :99-103) — quarantine must never cause a serving-index delete.
+    preserved = listing.select("id").unionByName(
+        listing_raw.select("id").join(skip_ids, "id", "left_semi")
+    )
+    cand, allowed, ratio = INC.guarded_deletes(
+        state, preserved, threshold_pct=cfg.threshold_pct
+    )
+    doomed = None
+    if allowed:
+        # snapshot before the swaps: the candidate plan reads the raw
+        # table that the MERGE + deletes below replace
+        doomed = cand.select("id").localCheckpoint(eager=True)
 
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
@@ -163,10 +192,12 @@ def run_sync(
     n_fetched = envelopes.count()
     SK.upsert_index(spark, paths.raw, envelopes, key="id", order_col="indexed_at")
 
-    # 4. failures → quarantine fold (A7)
-    failures = fetched.filter(F.size("errors") > 0).select("id")
-    new_ledger = INC.quarantine_fold(ledger.drop("skipped"), failures)
-    SK.replace_table(new_ledger, paths.quarantine)
+    # 4. quarantine fold (A7): the ledger folds the CURRENT errored set
+    # (docs whose stored envelope has errors after the merge — the
+    # reference's get_all_ids_with_error scan), so a doc refetched
+    # cleanly this run drops out of the ledger immediately
+    if fold_quarantine:
+        fold_app_quarantine(spark, paths, ledger=ledger)
 
     # 5. normalize (§2.5) + per-site plugins (T28) → searchui MERGE
     raw_ok = spark.read.parquet(paths.raw).filter(F.size("errors") == 0)
@@ -176,15 +207,9 @@ def run_sync(
     n_norm = searchui.count()
     SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
 
-    # 6. deletions (J2) behind the threshold guard (J3)
-    cand, allowed, ratio = INC.guarded_deletes(
-        _read_state(spark, paths.raw), listing, threshold_pct=cfg.threshold_pct
-    )
+    # 6. deletions (J2): apply the candidates the step-2b guard approved
     n_del = 0
-    if allowed:
-        # snapshot before the swaps: the candidate plan reads the raw
-        # table that the first delete below replaces
-        doomed = cand.select("id").localCheckpoint(eager=True)
+    if allowed and doomed is not None:
         n_del = doomed.count()
         if n_del:
             SK.delete_from_index(spark, paths.raw, doomed)
@@ -204,6 +229,28 @@ def run_sync(
         "deleted": n_del,
         "delete_allowed": int(allowed),
     }
+
+
+def fold_app_quarantine(
+    spark: SparkSession, paths: SyncPaths, ledger: DataFrame | None = None
+) -> None:
+    """App-level error-budget fold (the reference's one ``test_errors``
+    per ``d1_sync`` sweep): fold the ids currently stored WITH errors
+    into the quarantine ledger; cleanly-stored docs drop out."""
+    if ledger is None:
+        ledger = _read_quarantine(spark, paths.quarantine)
+    try:
+        errored = (
+            spark.read.parquet(paths.raw)
+            .filter(F.size("errors") > 0)
+            .select("id")
+        )
+    except Exception:  # no raw table yet: nothing errored
+        errored = spark.createDataFrame([], "id string")
+    new_ledger = INC.quarantine_fold(
+        ledger.select("id", "error_cnt", "skip_cnt"), errored
+    )
+    SK.replace_table(new_ledger, paths.quarantine)
 
 
 class SyncInProgress(RuntimeError):
@@ -272,7 +319,8 @@ def run_sync_all(
         for cfg in configs:
             try:
                 results[cfg.site_id] = run_sync(
-                    spark, cfg, paths_for(cfg), transport, **kw
+                    spark, cfg, paths_for(cfg), transport,
+                    fold_quarantine=False, **kw
                 )
             except Exception as ex:  # noqa: BLE001 — isolate site failures
                 results[cfg.site_id] = {"error": 1}
@@ -283,6 +331,15 @@ def run_sync_all(
                     "failed",
                     msg=f"{type(ex).__name__}: {ex}",
                 )
+        # one error-budget fold per sweep (d1_sync runs test_errors once
+        # per app, not once per site) over each distinct state-table pair
+        seen: set[tuple[str, str]] = set()
+        for cfg in configs:
+            p = paths_for(cfg)
+            key = (p.raw, p.quarantine)
+            if key not in seen:
+                seen.add(key)
+                fold_app_quarantine(spark, p)
     return results
 
 

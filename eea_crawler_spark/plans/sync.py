@@ -87,6 +87,9 @@ def sync_delete_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quarantine_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (reference-exact test_errors transition): even ids hold ledger
+    entries, ids %3 == 0 are currently errored; entries for no-longer-
+    errored docs drop, at-budget entries skip, expired entries drop."""
     p = load_table(spark, sf_dir, "part")
     ledger = p.filter(F.col("p_partkey") % 2 == 0).select(
         F.col("p_partkey").alias("id"),
@@ -96,10 +99,10 @@ def quarantine_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("skip_cnt"),
     )
-    failures = p.filter(F.col("p_partkey") % 3 == 0).select(
+    errored = p.filter(F.col("p_partkey") % 3 == 0).select(
         F.col("p_partkey").alias("id")
     )
-    return INC.quarantine_fold(ledger, failures).orderBy("id")
+    return INC.quarantine_fold(ledger, errored).orderBy("id")
 
 
 def upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,22 +166,22 @@ WITH ledger AS (
          CAST(CASE WHEN p_partkey % 11 = 0 THEN {INC.SKIP_RUNS}
                    ELSE p_partkey % 7 END AS INT) AS skip_cnt
   FROM part WHERE p_partkey % 2 = 0),
-failures AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 3 = 0),
+errored AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 3 = 0),
 m AS (
-  SELECT COALESCE(l.id, f.id) AS id,
-         COALESCE(l.error_cnt, 0)
-           + CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END AS err,
-         COALESCE(l.skip_cnt, 0) AS skip,
-         COALESCE(l.skip_cnt, 0) >= {INC.SKIP_RUNS} AS expired
-  FROM ledger l FULL OUTER JOIN failures f ON l.id = f.id)
+  SELECT e.id, l.error_cnt AS ec, l.skip_cnt AS sc,
+         l.id IS NOT NULL AS in_l
+  FROM errored e LEFT JOIN ledger l ON e.id = l.id)
 SELECT id,
-       CAST(CASE WHEN expired THEN 0 ELSE err END AS INT) AS error_cnt,
-       CAST(CASE WHEN expired THEN 0
-                 WHEN err > {INC.ALLOWED_ERRORS} THEN skip + 1
-                 ELSE 0 END AS INT) AS skip_cnt,
-       CASE WHEN expired THEN FALSE
-            ELSE err > {INC.ALLOWED_ERRORS} END AS skipped
-FROM m ORDER BY id""",
+       CAST(CASE WHEN NOT in_l THEN 1
+                 WHEN ec >= {INC.ALLOWED_ERRORS} THEN ec
+                 ELSE ec + 1 END AS INT) AS error_cnt,
+       CAST(CASE WHEN NOT in_l THEN 0
+                 WHEN ec >= {INC.ALLOWED_ERRORS} THEN sc + 1
+                 ELSE sc END AS INT) AS skip_cnt,
+       (in_l AND ec >= {INC.ALLOWED_ERRORS}) AS skipped
+FROM m
+WHERE NOT (in_l AND ec >= {INC.ALLOWED_ERRORS} AND sc >= {INC.SKIP_RUNS})
+ORDER BY id""",
     "upsert_last_wins": """
 WITH cur AS (
   SELECT o_orderkey AS id, CAST(o_orderdate AS DATE) AS ord,

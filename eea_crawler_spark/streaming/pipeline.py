@@ -178,10 +178,12 @@ def streaming_quarantine(
     here it lives in the streaming state store, checkpointed and
     restored across activations.
 
-    Per doc id, each failure event increments ``error_cnt``; past
-    ``allowed_errors`` the doc is ``skipped`` and ``skip_cnt`` counts
-    skipped runs; after ``skip_runs`` skips the budget resets so the
-    doc gets retried — identical transition function to the batch
+    Per doc id, each failure event is one errored run in the reference's
+    transition (d1_sync.py:110-133): below budget the event increments
+    ``error_cnt``; at budget (``error_cnt >= allowed_errors``) the doc
+    is ``skipped`` and ``skip_cnt`` counts the skipped runs; once
+    ``skip_cnt >= skip_runs`` the entry expires — state evicted, doc
+    retried fresh — identical transition function to the batch
     ``quarantine_fold``, which the tests pin via stream/batch parity.
 
     State is bounded: one (int, int) pair per failing doc id, evicted
@@ -194,18 +196,27 @@ def streaming_quarantine(
         n_new = sum(len(p) for p in pdfs)
         if state.exists:
             error_cnt, skip_cnt = state.get
+            in_ledger = True
         else:
             error_cnt, skip_cnt = 0, 0
+            in_ledger = False
         skipped = False
         for _ in range(n_new):
-            if skip_cnt >= skip_runs:  # budget expiry → retry the doc
-                error_cnt, skip_cnt, skipped = 0, 0, False
-                continue
-            error_cnt += 1
-            skipped = error_cnt > allowed_errors
-            if skipped:
-                skip_cnt += 1
-        state.update((error_cnt, skip_cnt))
+            if not in_ledger:  # new entry (d1_sync.py:121-124)
+                error_cnt, skip_cnt, skipped, in_ledger = 1, 0, False, True
+            elif error_cnt >= allowed_errors:  # at budget (:126)
+                if skip_cnt >= skip_runs:  # expiry → evict, retry (:127-128)
+                    error_cnt, skip_cnt, skipped, in_ledger = 0, 0, False, False
+                else:
+                    skip_cnt += 1
+                    skipped = True
+            else:
+                error_cnt += 1
+                skipped = False
+        if in_ledger:
+            state.update((error_cnt, skip_cnt))
+        elif state.exists:  # evicted on expiry: bounded state
+            state.remove()
         yield pd.DataFrame(
             {
                 "id": [key[0]],

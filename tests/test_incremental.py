@@ -104,8 +104,9 @@ def test_upsert_idempotent_and_update_wins(spark, cur, upd):
 
 
 def test_quarantine_budget(spark):
-    """A doc failing every run gets skipped after the budget, and the
-    ledger resets after skip_runs (retry window)."""
+    """A doc errored every run: budget builds, then skips, then the
+    entry expires (dropped) and the doc re-enters fresh — the reference
+    test_errors lifecycle (d1_sync.py:110-133)."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -114,16 +115,37 @@ def test_quarantine_budget(spark):
         ]
     )
     ledger = spark.createDataFrame([], schema)
-    fail = spark.createDataFrame([(1,)], "id long")
-    skipped_at = []
-    for run in range(6):
+    errored = spark.createDataFrame([(1,)], "id long")
+    seen = []
+    for run in range(7):
         out = INC.quarantine_fold(
-            ledger, fail, allowed_errors=2, skip_runs=3
+            ledger, errored, allowed_errors=2, skip_runs=3
         )
-        row = out.collect()[0]
-        skipped_at.append(row["skipped"])
+        rows = out.collect()
+        seen.append(
+            (rows[0]["error_cnt"], rows[0]["skip_cnt"], rows[0]["skipped"])
+            if rows
+            else None
+        )
         ledger = out.select("id", "error_cnt", "skip_cnt")
-    # runs 0-1 build the budget; run 2 exceeds it; skip window of 3 runs
-    # then reset → not skipped again immediately after expiry
-    assert skipped_at[:3] == [False, False, True]
-    assert False in skipped_at[3:]
+    assert seen == [
+        (1, 0, False),  # enters the ledger
+        (2, 0, False),  # budget builds (error_cnt >= allowed next run)
+        (2, 1, True),  # at budget: skipped, skip window opens
+        (2, 2, True),
+        (2, 3, True),
+        None,  # skip_cnt >= skip_runs: entry expires (dropped)
+        (1, 0, False),  # re-enters fresh: retried
+    ]
+
+
+def test_quarantine_clears_on_success(spark):
+    """A successful refetch drops the ledger entry immediately — errors
+    must not accumulate across unrelated runs (d1_sync.py:111-117)."""
+    ledger = spark.createDataFrame(
+        [(1, 2, 0), (2, 1, 0)], "id long, error_cnt int, skip_cnt int"
+    )
+    errored = spark.createDataFrame([(2,)], "id long")  # doc 1 recovered
+    out = {r["id"]: r.asDict() for r in INC.quarantine_fold(ledger, errored).collect()}
+    assert 1 not in out  # cleared on success
+    assert out[2]["error_cnt"] == 2 and not out[2]["skipped"]

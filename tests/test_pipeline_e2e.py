@@ -115,3 +115,42 @@ def test_failures_enter_quarantine(spark, paths):
     # broken doc is error-filtered out of searchui
     ok = {r_["id"] for r_ in spark.read.parquet(paths.searchui).collect()}
     assert f"{SITE}/d3" not in ok and len(ok) == 4
+
+
+def test_quarantined_doc_is_not_deleted(spark, paths):
+    """A quarantined doc the source still LISTS must never become a
+    deletion candidate (the reference removes skip_docs from the
+    deletion map, crawl_plone_restapi.py:99-103) — and a recovered doc
+    drops out of the ledger."""
+    site = StubSite()
+    cfg = SyncConfig(site_url=SITE, site_id="eea")
+    site.broken.add(f"{SITE}/d3")
+    # allowed_errors=2: runs 1-2 build the budget, run 3 marks skipped
+    for _ in range(3):
+        run_sync(spark, cfg, paths, site)
+    ledger = {
+        r_["id"]: r_.asDict()
+        for r_ in spark.read.parquet(paths.quarantine).collect()
+    }
+    assert ledger[f"{SITE}/d3"]["skipped"]
+
+    # run 4: d3 is quarantine-filtered from fetching but still listed —
+    # it must survive the deletion step
+    r4 = run_sync(spark, cfg, paths, site)
+    assert r4["deleted"] == 0
+    raw_ids = {r_["id"] for r_ in spark.read.parquet(paths.raw).collect()}
+    assert f"{SITE}/d3" in raw_ids
+
+    # run 5: d3 recovers; refetch succeeds once it leaves quarantine.
+    # (Entry expires only after skip_runs; shrink the window by clearing
+    # the ledger the way an operator would force a retry.)
+    site.broken.clear()
+    import shutil
+
+    shutil.rmtree(paths.quarantine)
+    r5 = run_sync(spark, cfg, paths, site)
+    assert r5["fetched"] >= 1
+    ledger5 = {
+        r_["id"] for r_ in spark.read.parquet(paths.quarantine).collect()
+    }
+    assert f"{SITE}/d3" not in ledger5  # clean refetch → budget cleared

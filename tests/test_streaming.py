@@ -162,7 +162,9 @@ def test_streaming_quarantine_stateful_fold(spark, tmp_path):
         str(in_dir)
     )
     led = drain("q_run2")
-    assert led["d1"]["error_cnt"] == 3 and led["d1"]["skipped"]
+    # at budget: error_cnt freezes at allowed_errors, skip window opens
+    # (reference checks error_cnt >= allowed BEFORE incrementing)
+    assert led["d1"]["error_cnt"] == 2 and led["d1"]["skipped"]
     assert led["d1"]["skip_cnt"] == 1
     assert "d2" not in led  # update mode: untouched keys not re-emitted
 
