@@ -156,9 +156,11 @@ def site_eea(df: DataFrame) -> DataFrame:
         if "themes" in df.columns
         else F.array().cast("array<string>")
     )
+    # list-typed like every reference topic assignment (site_noise.py:38,
+    # site_eionet.py:50-74, add_topic site_eea_europa_eu_en.py:21-25)
     topic = F.when(
-        F.array_contains(themes, "Climate change"), F.lit("climate")
-    ).otherwise(F.lit("various"))
+        F.array_contains(themes, "Climate change"), F.array(F.lit("climate"))
+    ).otherwise(F.array(F.lit("various")))
     out = df.withColumns({"cluster_name": F.lit("eea"), "topic": topic})
     cols = set(df.columns)
     if {"language", "doc_type"} <= cols:
@@ -1123,26 +1125,89 @@ def site_copernicus_demo_land(df: DataFrame) -> DataFrame:
     return site_copernicus_land(df)
 
 
+def _dispatch_by_site(
+    df: DataFrame,
+    registry: dict,
+    site_col: str,
+    default: str,
+    sites: list[str] | None,
+) -> DataFrame:
+    """Union-of-branches dispatch WITHOUT a plan-build corpus scan.
+
+    Round-1 review flag: ``df.select(site_col).distinct().collect()``
+    here meant an extra full scan + shuffle + driver collect on every
+    sync just to enumerate ~20 known sites. The branch list now comes
+    from ``sites`` (callers that know the corpus — e.g. one site per
+    sync run — pass it) or the registry keys; every unmatched or
+    unregistered site routes through ONE catch-all default branch, so
+    semantics are unchanged for arbitrary data."""
+    if sites is None:
+        sites = sorted(k for k in registry if k != default)
+    sites = [s for s in sites if s in registry and s != default]
+    branches = [
+        registry[s](df.filter(F.col(site_col) == s)) for s in sites
+    ]
+    rest = df if not sites else df.filter(
+        F.col(site_col).isNull() | ~F.col(site_col).isin(sites)
+    )
+    branches.append(registry[default](rest))
+    return _union_aligned(branches)
+
+
+def _union_aligned(branches: list[DataFrame]) -> DataFrame:
+    """unionByName with ES-style field typing: when one plugin emits a
+    scalar and another an array for the same field (Elasticsearch treats
+    the two interchangeably — every field is implicitly multi-valued),
+    the scalar side is promoted to a singleton array so the union
+    type-checks without stringifying anything."""
+    from pyspark.sql import types as T
+
+    types: dict[str, T.DataType] = {}
+    for b in branches:
+        for f in b.schema.fields:
+            prev = types.get(f.name)
+            if prev is None or (
+                isinstance(f.dataType, T.ArrayType)
+                and not isinstance(prev, T.ArrayType)
+            ):
+                types[f.name] = f.dataType
+    aligned = []
+    for b in branches:
+        cols, changed = [], False
+        for f in b.schema.fields:
+            want = types[f.name]
+            if isinstance(want, T.ArrayType) and not isinstance(
+                f.dataType, T.ArrayType
+            ):
+                cols.append(
+                    F.when(
+                        F.col(f.name).isNotNull(),
+                        F.array(F.col(f.name).cast(want.elementType)),
+                    ).alias(f.name)
+                )
+                changed = True
+            else:
+                cols.append(F.col(f.name))
+        aligned.append(b.select(cols) if changed else b)
+    out = aligned[0]
+    for b in aligned[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
 def normalize_by_site(
     df: DataFrame,
     site_col: str = "site_id",
     default: str = "eea",
+    sites: list[str] | None = None,
 ) -> DataFrame:
     """Dispatch: per-site filtered branch through that site's plugin,
     unioned by name (missing facet columns null-filled). Sites without
     a registered plugin take the default's (registry fallback,
-    dags/normalizers/registry.py:138-143)."""
-    sites = [r[0] for r in df.select(site_col).distinct().collect()]
-    branches: list[DataFrame] = []
-    for site in sites:
-        plugin = FACETS_NORMALIZERS.get(site, FACETS_NORMALIZERS[default])
-        branches.append(plugin(df.filter(F.col(site_col) == site)))
-    if not branches:
-        return df
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b, allowMissingColumns=True)
-    return out
+    dags/normalizers/registry.py:138-143). Pass ``sites`` (e.g. the one
+    site a sync run owns) to prune branches; the default is the
+    registry's keys — never a data scan at plan-build time."""
+    return _dispatch_by_site(df, FACETS_NORMALIZERS, site_col, default, sites)
 
 
 # ---- NLP preprocessors (the registry's second half) ----------------------
@@ -1187,18 +1252,10 @@ def nlp_preprocess_by_site(
     df: DataFrame,
     site_col: str = "site_id",
     default: str = "eea",
+    sites: list[str] | None = None,
 ) -> DataFrame:
     """NLP dispatch with default fallback (get_nlp_preprocessor,
-    registry.py:30-31), same union-of-branches shape as
+    registry.py:30-31), same scan-free union-of-branches shape as
     normalize_by_site."""
-    sites = [r[0] for r in df.select(site_col).distinct().collect()]
-    branches: list[DataFrame] = []
-    for site in sites:
-        plugin = NLP_PREPROCESSORS.get(site, NLP_PREPROCESSORS[default])
-        branches.append(plugin(df.filter(F.col(site_col) == site)))
-    if not branches:
-        return df
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b, allowMissingColumns=True)
+    out = _dispatch_by_site(df, NLP_PREPROCESSORS, site_col, default, sites)
     return out

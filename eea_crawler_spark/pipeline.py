@@ -373,7 +373,10 @@ def run_renormalize(
 
     normalized = common_normalizer(raw, normalizer)
     if "site_id" in normalized.columns:
-        normalized = normalize_by_site(normalized)
+        # site known → single dispatch branch, no registry fan-out
+        normalized = normalize_by_site(
+            normalized, sites=[site_id] if site_id is not None else None
+        )
     searchui = normalized.withColumn("indexed_at", F.current_timestamp())
 
     if update_only:

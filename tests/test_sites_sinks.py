@@ -76,11 +76,30 @@ def test_dispatch_unions_per_site_plans(spark):
     )
     rows = {r["id"]: r for r in S.normalize_by_site(df).collect()}
     assert rows["d1"]["cluster_name"] == "eea"
-    assert rows["d1"]["topic"] == "climate"
+    assert rows["d1"]["topic"] == ["climate"]  # list-typed, like the reference
     assert rows["d2"]["cluster_name"] == "cca"  # site_climate.py:177
     assert rows["d2"]["update_frequency_label"] == "Annually"
     assert rows["d2"]["themes"] == ["climate-change-adaptation"]
     assert rows["d3"]["cluster_name"] == "eea"  # default fallback
+
+
+def test_dispatch_is_scan_free(spark, monkeypatch):
+    """Plan-building the site dispatch must not run a Spark job (the
+    round-1 shape collected distinct(site_id) — a full corpus scan +
+    shuffle per sync at scale)."""
+    import pyspark.sql.dataframe as D
+
+    df = spark.createDataFrame(
+        [("d1", "eea"), ("d2", "sdi")], "id string, site_id string"
+    )
+
+    def boom(self):  # any collect during plan build = corpus scan
+        raise AssertionError("plan-build must not trigger a job")
+
+    monkeypatch.setattr(D.DataFrame, "collect", boom)
+    out = S.normalize_by_site(df)
+    out2 = S.nlp_preprocess_by_site(df)
+    assert "cluster_name" in out.columns and "nlp_250" in out2.columns
 
 
 def test_full_site_registry():
