@@ -7,6 +7,11 @@ query is planned and fully executed (count-collapsed via a no-op sink
 ``df.write.format("noop")``) after a warm-up pass of the same plan so the
 number reflects steady-state execution, not JVM warm-up.
 
+Each query's reported time is the MEDIAN of ``$SPARK_GRAFT_BENCH_REPS``
+(default 3) timed executions — round 2's numbers drifted ~1.5× on
+untouched trivial scans from run-to-run noise on a loaded box; the
+median keeps one slow run from polluting the recorded number.
+
 Output: {"metric": "total_query_sec", "value": N, "unit": "sec",
          "queries": {"q1": sec, ...}, "sf": 0.1}
 """
@@ -16,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -42,15 +48,19 @@ def main() -> None:
 
     from eea_crawler_spark.plans import CORE_QUERIES, QUERIES
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     if warmup:
         # one full pass to warm codegen/JIT and the file-listing caches
         for name, fn in QUERIES.items():
             run_query(fn(spark, sf_dir))
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_query(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     # headline metric covers the declared core set (BASELINE.md contract);
     # extras are still reported per-query above

@@ -31,6 +31,7 @@ Loaders return plain dicts; :func:`production_config` /
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 from functools import lru_cache
@@ -39,10 +40,17 @@ _DIR = os.path.dirname(__file__)
 
 
 @lru_cache(maxsize=None)
-def load_table(name: str) -> dict:
-    """Load one ported config table by basename (cached)."""
+def _load_table_cached(name: str) -> dict:
     with open(os.path.join(_DIR, f"{name}.json"), encoding="utf-8") as f:
         return json.load(f)
+
+
+def load_table(name: str) -> dict:
+    """Load one ported config table by basename.
+
+    Parsed once (cached); callers get a deep copy so mutating a returned
+    table can never corrupt the cache for later callers."""
+    return copy.deepcopy(_load_table_cached(name))
 
 
 def theme_labels() -> dict[str, str]:

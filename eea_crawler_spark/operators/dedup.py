@@ -153,9 +153,17 @@ def ngram_jaccard_pairs(
     """
     sh = shingles(df, text_col, id_col, n)
     if max_df is None:
+        # the self-join + sizes reuse sh 3×; materialize the explode once
+        sh = sh.localCheckpoint(eager=True)
         scored = _pair_jaccard(sh)
     else:
-        capped = df_capped(sh, max_df)
+        # sh feeds the df histogram, the capped self-join (twice), and
+        # the final full-set scoring — without a checkpoint Catalyst
+        # re-derives the shingle explosion for every consumer (the 4×
+        # bench regression flagged in round 2). One eager materialization
+        # bounds it: everything downstream reads the stored blocks.
+        sh = sh.localCheckpoint(eager=True)
+        capped = df_capped(sh, max_df).localCheckpoint(eager=True)
         pairs = (
             capped.select(F.col("id").alias("doc_a"), "shingle")
             .join(capped.select(F.col("id").alias("doc_b"), "shingle"), ["shingle"])

@@ -98,9 +98,25 @@ class NormalizerConfig:
     norm_obj: dict[str, str] = field(default_factory=dict)
     # one-to-many renames: source column -> output columns
     norm_prop: dict[str, list[str]] = field(default_factory=dict)
-    # default fill; value "field:<col>" copies another column
-    norm_missing: dict[str, str] = field(default_factory=dict)
+    # default fill; value "field:<col>" copies another column; values may
+    # be typed (0, -1, []) — the reference's normMissing carries all of
+    # these (variables.json:1676-1698)
+    norm_missing: dict[str, object] = field(default_factory=dict)
     proplist: list[str] = field(default_factory=list)
+    # ES-mapping null_value defaults (variables.json:2313,2336,2531).
+    # The reference's remove_empty (normalizers.py:130-145) strips
+    # whole-null / empty fields before indexing, so in practice ES only
+    # ever substitutes null *elements inside present arrays* — the chain
+    # stage mirrors exactly that (see _apply_null_values).
+    null_values: dict[str, str] = field(default_factory=dict)
+    # Reference projection/fill semantics: (a) get_attrs_to_delete
+    # snapshots the doc's keys BEFORE the chain mutates it
+    # (normalizers.py:530-533), so fields *added* by normalization
+    # survive the proplist projection even when unlisted; (b)
+    # apply_norm_missing ADDS missing keys (normalizers.py:90-102),
+    # not just fills present-but-null ones. Off by default (the compact
+    # engine default keeps a strict proplist projection).
+    reference_mode: bool = False
     # marker interfaces whitelist for merge_types (normalizers.py:329-345)
     interfaces_whitelist: list[str] = field(default_factory=list)
     theme_labels: dict[str, str] = field(default_factory=dict)
@@ -114,6 +130,45 @@ class NormalizerConfig:
     # A8 recursive provenance collection over raw_value (find_all /
     # get_data_provenance, normalizers.py:424-471) — opt-in Python stage
     collect_provenance: bool = False
+
+    @classmethod
+    def from_tables(
+        cls,
+        table: dict,
+        *,
+        theme_labels: dict[str, str] | None = None,
+        null_values: dict[str, str] | None = None,
+        reference_mode: bool = True,
+        **overrides,
+    ) -> "NormalizerConfig":
+        """Build a config from the reference's normalizer-table shape
+        (camelCase keys, ``dags/variables.json:1666-1972``).
+
+        The table is treated as read-only — the ``"//"`` comment entry
+        is skipped, never popped (loaders cache and share the dict).
+        ``normProp`` string values are coerced to single-element lists
+        (the reference coerces lazily in apply_norm_prop,
+        normalizers.py:83-84 — by mutating its config in place, which
+        this port deliberately does not). ``normMissing`` values pass
+        through typed (``0``, ``-1``, ``[]`` and ``field:`` strings all
+        occur in production config).
+        """
+        norm_prop = {
+            src: ([tgt] if isinstance(tgt, str) else list(tgt))
+            for src, tgt in (table.get("normProp") or {}).items()
+        }
+        return cls(
+            black_map={k: list(v) for k, v in (table.get("blackMap") or {}).items()},
+            white_map={k: list(v) for k, v in (table.get("whiteMap") or {}).items()},
+            norm_obj=dict(table.get("normObj") or {}),
+            norm_prop=norm_prop,
+            norm_missing=dict(table.get("normMissing") or {}),
+            proplist=list(table.get("proplist") or []),
+            theme_labels=dict(theme_labels or {}),
+            null_values=dict(null_values or {}),
+            reference_mode=reference_mode,
+            **overrides,
+        )
 
 
 def _is_array(df: DataFrame, name: str) -> bool:
@@ -218,19 +273,70 @@ def _apply_norm_prop(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     return df.select(*cols)
 
 
+def _default_lit(default, col_type: T.DataType | None = None) -> Column:
+    """A typed literal for a normMissing default (0, -1, [], "", str),
+    adapted to the target column's type when filling an existing column
+    (the reference's dicts are untyped — "text/html" on the list-typed
+    ``format`` is production config; a typed engine wraps the scalar)."""
+    if isinstance(default, list):
+        lit = (
+            F.array().cast("array<string>")
+            if not default
+            else F.array(*[F.lit(v) for v in default])
+        )
+        return lit.cast(col_type) if isinstance(col_type, T.ArrayType) else lit
+    lit = F.lit(default)
+    if isinstance(col_type, T.ArrayType):
+        return F.array(lit.cast(col_type.elementType))
+    return lit
+
+
 def _apply_norm_missing(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
-    """T6 default fill with field: indirection (normalizers.py:90-102)."""
+    """T6 default fill with field: indirection (normalizers.py:90-102).
+
+    Engine-default placement (post-rename): fills present-but-null
+    columns only. Under ``reference_mode`` this stage is a no-op here —
+    the reference applies norm_missing AFTER the geo/temporal/places
+    enrichments (normalizers.py:585-603 ordering), and its
+    ``clean_data.get(key) is None`` check treats missing and null
+    identically, so the reference-mode twin runs later in the chain
+    (see ``_apply_norm_missing_reference``)."""
+    if cfg.reference_mode:
+        return df
     out: dict[str, Column] = {}
     for f_name, default in cfg.norm_missing.items():
         if f_name not in df.columns:
             continue
         c = F.col(f"`{f_name}`")
         if isinstance(default, str) and default.startswith("field:"):
-            other = default.split(":", 1)[1]
+            other = default.split(":", 1)[1].strip()
             if other in df.columns:
                 out[f_name] = N.norm_missing(c, None, F.col(f"`{other}`"))
         else:
             out[f_name] = N.norm_missing(c, default)
+    return df.withColumns(out) if out else df
+
+
+def _apply_norm_missing_reference(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """apply_norm_missing with full reference semantics
+    (normalizers.py:90-102): runs after the enrichment stages, treats
+    missing-or-null identically (``clean_data.get(key) is None``), ADDS
+    absent keys, and copies via ``field:`` indirection. Placed before
+    ``_fulltext`` so chain-computed readingTime/fulltext still win over
+    their config defaults, as in the reference's step order."""
+    out: dict[str, Column] = {}
+    for f_name, default in cfg.norm_missing.items():
+        exists = f_name in df.columns
+        c = F.col(f"`{f_name}`") if exists else None
+        if isinstance(default, str) and default.startswith("field:"):
+            other = default.split(":", 1)[1].strip()
+            if other in df.columns:
+                other_c = F.col(f"`{other}`")
+                out[f_name] = F.coalesce(c, other_c) if exists else other_c
+            # other column missing too: reference sets None (≡ absent)
+        else:
+            lit = _default_lit(default, df.schema[f_name].dataType if exists else None)
+            out[f_name] = F.coalesce(c, lit) if exists else lit
     return df.withColumns(out) if out else df
 
 
@@ -354,12 +460,57 @@ def _counts(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     return df.withColumns(out) if out else df
 
 
-def _project(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
-    """P1 proplist projection (normalizers.py:239-252,531-533)."""
+def _apply_null_values(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
+    """ES-mapping ``null_value`` substitution, index-time semantics.
+
+    The reference's remove_empty (normalizers.py:130-145) strips
+    whole-null / empty-string / empty-list fields before the doc
+    reaches Elasticsearch, so the mapping's ``null_value``
+    (variables.json:2313,2336,2531) only ever fires on null *elements
+    inside a present array* — remove_empty does not descend into lists.
+    This stage mirrors exactly that: null elements of configured array
+    columns become the default; whole-null columns (≡ removed/missing
+    fields in the reference's dict representation, SURVEY §7.3) stay
+    null, as ES never sees them at all."""
+    if not cfg.null_values:
+        return df
+    out: dict[str, Column] = {}
+    for f_name, default in cfg.null_values.items():
+        if f_name not in df.columns:
+            continue
+        dt = df.schema[f_name].dataType
+        if isinstance(dt, T.ArrayType):
+            c = F.col(f"`{f_name}`")
+            out[f_name] = F.when(
+                c.isNotNull(),
+                F.transform(c, lambda x: F.coalesce(x, F.lit(default))),
+            )
+    return df.withColumns(out) if out else df
+
+
+def _project(
+    df: DataFrame, cfg: NormalizerConfig, pre_cols: set[str] | None = None
+) -> DataFrame:
+    """P1 proplist projection (normalizers.py:239-252,531-533).
+
+    With ``pre_cols`` (reference_mode): get_attrs_to_delete snapshots
+    the key set BEFORE normalization mutates the doc, so only
+    *pre-existing* non-proplist columns are dropped — everything the
+    chain added (fulltext, readingTime, renames, counts, fills)
+    survives even when unlisted."""
     if not cfg.proplist:
         return df
-    keep = [c for c in cfg.proplist if c in df.columns]
-    keep += [c for c in df.columns if c.startswith("items_count_") and c not in keep]
+    if pre_cols is not None:
+        keep = [
+            c
+            for c in df.columns
+            if c in cfg.proplist or c not in pre_cols
+        ]
+    else:
+        keep = [c for c in cfg.proplist if c in df.columns]
+        keep += [
+            c for c in df.columns if c.startswith("items_count_") and c not in keep
+        ]
     return df.select(*[F.col(f"`{c}`") for c in keep])
 
 
@@ -370,6 +521,9 @@ def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     searchui-shaped rows. One declarative plan; zero shuffles.
     """
     df = parse_raw(df)
+    # reference_mode: snapshot the pre-mutation column set — the twin of
+    # get_attrs_to_delete's early key snapshot (normalizers.py:530-533)
+    pre_cols = set(df.columns) if cfg.reference_mode else None
     df = _apply_value_maps(df, cfg)
     df = _apply_norm_obj(df, cfg)  # pass 1 (normalizers.py:550-552)
     df = _apply_norm_prop(df, cfg)
@@ -387,9 +541,14 @@ def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
                 ],
             }
         )
+    if cfg.reference_mode:
+        # reference placement: after geo/temporal/places enrichments,
+        # before the computed readingTime/fulltext (normalizers.py order)
+        df = _apply_norm_missing_reference(df, cfg)
     df = _fulltext(df, cfg)
     df = _counts(df, cfg)
-    return _project(df, cfg)
+    df = _apply_null_values(df, cfg)  # index-time ES null_value twin
+    return _project(df, cfg, pre_cols)
 
 
 # A compact default config in the shape of default_normalizers

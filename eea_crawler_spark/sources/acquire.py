@@ -288,3 +288,65 @@ def fetch_docs(
 
 def host_of(url: str) -> str:
     return urlparse(url).netloc
+
+
+# ---- S6: page scrape for scrape-configured sites -------------------------
+
+SCRAPED_SCHEMA = (
+    "id string, web_html string, scrape_errors array<string>"
+)
+
+
+def no_api_url(doc_id: str, api_part: str) -> str:
+    """Strip the REST-API path segment from a doc id
+    (get_no_api_url, dags/lib/plone_rest_api.py:190-202): the scrape
+    hits the rendered page, not the API resource."""
+    if not api_part:
+        return doc_id
+    return doc_id.replace(f"/{api_part.strip('/')}/", "/", 1)
+
+
+def scrape_docs(
+    ids: DataFrame,
+    transport: Transport,
+    api_part: str = "api",
+    retries: int = 5,
+    id_col: str = "id",
+) -> DataFrame:
+    """Distributed page scrape (scrape/scrape_with_retry,
+    dags/lib/plone_rest_api.py:205-258): fetch the no-api URL of each
+    doc, retry ×5, keep the row on failure with the error recorded —
+    a failed scrape must not fail the doc (it just indexes without
+    ``web_html``, as the reference's fulltext falls back to the joined
+    text fields).
+
+    Same partitioning contract as :func:`fetch_docs`: repartition by
+    host so per-host politeness holds inside one task.
+    """
+
+    def _scrape(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "web_html": [], "scrape_errors": []}
+            for doc_id in pdf[id_col]:
+                errors: list[str] = []
+                html = None
+                for _ in range(retries):
+                    try:
+                        status, body = transport(no_api_url(doc_id, api_part))
+                        if status == 200:
+                            html = body
+                            break
+                        errors.append(f"scrape_http:{status}")
+                    except Exception as ex:  # noqa: BLE001 — row survives
+                        errors.append(f"scrape:{type(ex).__name__}")
+                out["id"].append(doc_id)
+                out["web_html"].append(html)
+                out["scrape_errors"].append([] if html is not None else errors)
+            yield pd.DataFrame(out)
+
+    host = F.regexp_extract(F.col(id_col), r"^https?://([^/]+)", 1)
+    return (
+        ids.repartition(host)
+        .select(id_col)
+        .mapInPandas(_scrape, schema=SCRAPED_SCHEMA)
+    )

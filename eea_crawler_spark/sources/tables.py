@@ -3,11 +3,16 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet file each under an ``sf_dir``.
 
-``events.ts`` is written as Parquet TIMESTAMP(NANOS), which Spark cannot
-read natively: we flip ``spark.sql.legacy.parquet.nanosAsLong`` so the
-column arrives as nanosecond longs, then rebuild a microsecond timestamp
-with exact integer division (``ts div 1000``) — bit-identical to DuckDB's
-native nanos→micros truncation, with no double-rounding risk.
+``events.ts`` is written as Parquet TIMESTAMP(NANOS). Depending on the
+Spark runtime it arrives either as nanosecond longs (under
+``spark.sql.legacy.parquet.nanosAsLong``) or as ``TIMESTAMP_NTZ``
+(nanos truncated to micros by the reader). Both are normalized here to
+a plain session-timezone ``TIMESTAMP``: the long path rebuilds it with
+exact integer division (``ts div 1000`` — bit-identical to DuckDB's
+nanos→micros truncation), the NTZ path casts (value-preserving under
+the UTC session timezone). Downstream event-time code (watermarks,
+``window()``/``session_window()``) requires TIMESTAMP — Spark rejects
+NTZ event time in ``withWatermark``.
 """
 
 from __future__ import annotations
@@ -38,8 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from eea_crawler_spark.plans.extras import EXTRA_ORACLE, EXTRA_QUERIES
+from eea_crawler_spark.plans.extras import (
+    EXTRA_ORACLE,
+    EXTRA_QUERIES,
+    UNDECLARED_QUERIES,
+)
 from tests.oracle_utils import assert_match, duckdb_connect
 
 
@@ -21,9 +25,12 @@ def test_extra_matches_oracle(name, spark, sf_dir, con):
     assert_match(name, df, con, EXTRA_ORACLE[name])
 
 
-@pytest.mark.parametrize("name", sorted(set(EXTRA_QUERIES) - set(EXTRA_ORACLE)))
+@pytest.mark.parametrize(
+    "name",
+    sorted((set(EXTRA_QUERIES) - set(EXTRA_ORACLE)) | set(UNDECLARED_QUERIES)),
+)
 def test_oracle_less_extras_run(name, spark, sf_dir):
-    df = EXTRA_QUERIES[name](spark, sf_dir)
+    df = {**EXTRA_QUERIES, **UNDECLARED_QUERIES}[name](spark, sf_dir)
     rows = df.collect()
     assert rows is not None
     assert df.columns  # stable schema
@@ -44,7 +51,7 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
 
 def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
     """LSH top-k rows must be real corpus vectors with sane ranks."""
-    rows = EXTRA_QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
+    rows = UNDECLARED_QUERIES["ann_lsh_topk"](spark, sf_dir).collect()
     assert all(1 <= r.rnk <= 5 for r in rows)
     assert all(r.q_id != r.vec_id for r in rows)
 
@@ -73,7 +80,7 @@ def test_ann_ivf_partial_probe_recall(spark, sf_dir):
     }
     ivf = {
         (r.q_id, r.vec_id)
-        for r in EXTRA_QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+        for r in UNDECLARED_QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"recall={recall:.2f}"
