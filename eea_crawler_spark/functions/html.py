@@ -229,3 +229,24 @@ def extract_html_columns(
             yield pdf
 
     return df.mapInPandas(_run, schema=out_schema)
+
+
+def extract_text_column(config: dict | None = None):
+    """Column form of :func:`extract_text` — an Arrow-batched pandas
+    UDF so the trafilatura-style extraction can sit INSIDE the
+    normalize chain's fulltext expression (T14's scrape leg,
+    reference normalizers.py:260-295) without breaking the chain's
+    single-plan shape. NULL html stays NULL (the chain's fallback to
+    joined text fields must fire, same as the reference's
+    ``if not downloaded`` branch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cfg = dict(config or {})
+
+    @pandas_udf(T.StringType())
+    def _extract(htmls: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if h is None else extract_text(h, cfg) for h in htmls]
+        )
+
+    return _extract

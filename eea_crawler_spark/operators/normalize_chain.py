@@ -130,6 +130,13 @@ class NormalizerConfig:
     # A8 recursive provenance collection over raw_value (find_all /
     # get_data_provenance, normalizers.py:424-471) — opt-in Python stage
     collect_provenance: bool = False
+    # T14 scrape leg: when set, fulltext's html branch runs the
+    # trafilatura-style extraction (functions/html.py, reference
+    # trafilatura_extract.py:66-131) with this site config
+    # (main_by_css_selector / remove_by_selector /
+    # skip_extract_with_trafilatura) as an Arrow-batched pandas UDF
+    # instead of the tag-strip expression. None = expression path.
+    html_extract: dict | None = None
 
     @classmethod
     def from_tables(
@@ -435,9 +442,14 @@ def _fulltext(df: DataFrame, cfg: NormalizerConfig | None = None) -> DataFrame:
             if c in cols
         ]
         joined = N.join_text_fields(fragments)
-    html_text = (
-        TX.clean_html(F.col("web_html")) if "web_html" in cols else F.lit(None)
-    )
+    if "web_html" not in cols:
+        html_text = F.lit(None)
+    elif cfg is not None and cfg.html_extract is not None:
+        from eea_crawler_spark.functions.html import extract_text_column
+
+        html_text = extract_text_column(cfg.html_extract)(F.col("web_html"))
+    else:
+        html_text = TX.clean_html(F.col("web_html"))
     base = F.when(
         html_text.isNotNull() & (F.length(F.trim(html_text)) > 0), F.trim(html_text)
     ).otherwise(joined)

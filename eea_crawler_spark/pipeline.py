@@ -20,7 +20,7 @@ tables, not logic. Every step is the already-tested operator.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,7 +31,10 @@ from eea_crawler_spark.operators.normalize_chain import (
     NormalizerConfig,
     common_normalizer,
 )
-from eea_crawler_spark.operators.sites import normalize_by_site
+from eea_crawler_spark.operators.sites import (
+    normalize_by_site,
+    nlp_preprocess_by_site,
+)
 from eea_crawler_spark.sinks import indexes as SK
 from eea_crawler_spark.sources import acquire as AQ
 
@@ -53,6 +56,26 @@ class SyncConfig:
     # S7 age guard: only docs modified within N days get attachment
     # extraction (0 = no limit; plone_rest_api.py:365-382)
     pdf_days_limit: int = 0
+    # S6 scrape leg (scrape_pages site config, plone_rest_api.py:240-258):
+    # fetch each doc's rendered page (no-api URL) and carry it as
+    # web_html; the chain's fulltext then uses the html extraction
+    # (html_extract below) instead of the joined text fields.
+    scrape_pages: bool = False
+    # site trafilatura config for the html→text extraction
+    # (main_by_css_selector / remove_by_selector / skip_… — reference
+    # trafilatura_extract.py:66-131); routed into the normalizer's
+    # fulltext stage when scraping is on
+    html_extract: dict = field(default_factory=dict)
+    # d5 NLP leg (preprocess_doc, normalizers/normalizer.py:40-112):
+    # chunk fulltext into nlp_250 structs on synced searchui docs
+    # (variables.json:2319-2327 shape). On by default like the
+    # reference's nlp_preprocessing for search sites.
+    nlp: bool = True
+    # chunk embeddings: the reference ships with
+    # ``disable_embeddings = True`` (normalizer.py:42) and the embedding
+    # service behind a seam — mirrored here: off by default; when on,
+    # chunk embeddings are merged into ``SyncPaths.chunks``.
+    embed: bool = False
 
 
 @dataclass
@@ -61,6 +84,8 @@ class SyncPaths:
     searchui: str
     quarantine: str
     status: str
+    # chunk-embedding table (only written when SyncConfig.embed is on)
+    chunks: str | None = None
 
 
 def _empty_state(spark: SparkSession) -> DataFrame:
@@ -93,6 +118,7 @@ def run_sync(
     robots_rules: list[tuple[str, bool]] | None = None,
     converter: AQ.Transport | None = None,
     fold_quarantine: bool = True,
+    scrape_transport: AQ.Transport | None = None,
 ) -> dict[str, int]:
     """One full sync for one site. Returns step counts for the status
     stream (the reference's per-run status docs, status.py:115-163).
@@ -180,9 +206,25 @@ def run_sync(
         )
     else:
         envelopes = envelopes.withColumn("pdf_text", F.lit(None).cast("string"))
+    if cfg.scrape_pages:
+        # S6: rendered-page scrape for this run's due docs only; a failed
+        # scrape records its error but keeps the row (the chain's
+        # fulltext falls back to the joined text fields)
+        scraped = AQ.scrape_docs(
+            due.select("id"), scrape_transport or transport, cfg.api_part
+        )
+        envelopes = (
+            envelopes.join(scraped, "id", "left")
+            .withColumn(
+                "errors",
+                F.concat("errors", F.coalesce("scrape_errors", F.array())),
+            )
+            .drop("scrape_errors")
+        )
+    else:
+        envelopes = envelopes.withColumn("web_html", F.lit(None).cast("string"))
     envelopes = envelopes.withColumns(
         {
-            "web_html": F.lit(None).cast("string"),
             "original_id": F.col("id"),
             "site_id": F.lit(cfg.site_id),
             "site": F.lit(cfg.site_url),
@@ -190,6 +232,10 @@ def run_sync(
         }
     )
     n_fetched = envelopes.count()
+    # id set of THIS run's fetched docs — the only rows the normalize
+    # step may touch. Snapshotted (ids only) because the raw-table swap
+    # below invalidates the lineage it was derived from.
+    changed_ids = envelopes.select("id").localCheckpoint(eager=True)
     SK.upsert_index(spark, paths.raw, envelopes, key="id", order_col="indexed_at")
 
     # 4. quarantine fold (A7): the ledger folds the CURRENT errored set
@@ -199,13 +245,45 @@ def run_sync(
     if fold_quarantine:
         fold_app_quarantine(spark, paths, ledger=ledger)
 
-    # 5. normalize (§2.5) + per-site plugins (T28) → searchui MERGE
-    raw_ok = spark.read.parquet(paths.raw).filter(F.size("errors") == 0)
-    normalized = common_normalizer(raw_ok, cfg.normalizer)
+    # 5. normalize (§2.5) + per-site plugins (T28) → searchui MERGE —
+    # INCREMENTAL: only docs fetched THIS run flow to normalize (the
+    # reference normalizes only what traveled d3→d5 this run,
+    # d3_crawl_fetch_for_id.py:81-100); full reprocessing is
+    # run_renormalize's job. At scale this makes a quick sync
+    # O(changed), not O(corpus) — the id semi-join prunes the raw scan
+    # before the chain ever runs.
+    normalizer = cfg.normalizer
+    if cfg.scrape_pages and cfg.html_extract and normalizer.html_extract is None:
+        normalizer = replace(normalizer, html_extract=cfg.html_extract)
+    raw_ok = (
+        spark.read.parquet(paths.raw)
+        .join(changed_ids, "id", "left_semi")
+        .filter(F.size("errors") == 0)
+    )
+    normalized = common_normalizer(raw_ok, normalizer)
     normalized = normalize_by_site(normalized) if "site_id" in normalized.columns else normalized
+    if cfg.nlp:
+        # d5 NLP leg: nlp_250 chunk structs ride on the searchui doc
+        # (variables.json:2319-2327); narrow transform, no shuffle
+        normalized = nlp_preprocess_by_site(normalized)
     searchui = normalized.withColumn("indexed_at", F.current_timestamp())
     n_norm = searchui.count()
-    SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
+    if n_norm:
+        SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
+        if cfg.embed and paths.chunks and "fulltext" in searchui.columns:
+            from eea_crawler_spark.operators.embeddings import embed_chunks
+
+            chunks = embed_chunks(
+                searchui.select("id", "fulltext"), text_col="fulltext", id_col="id"
+            ).withColumns(
+                {
+                    "chunk_id": F.concat_ws("#", "id", "chunk_idx"),
+                    "indexed_at": F.current_timestamp(),
+                }
+            )
+            SK.upsert_index(
+                spark, paths.chunks, chunks, key="chunk_id", order_col="indexed_at"
+            )
 
     # 6. deletions (J2): apply the candidates the step-2b guard approved
     n_del = 0
@@ -350,6 +428,7 @@ def run_renormalize(
     portal_types: list[str] | None = None,
     update_only: bool = False,
     normalizer: NormalizerConfig = DEFAULT_CONFIG,
+    nlp: bool = True,
 ) -> dict[str, int]:
     """Re-normalize without crawling: the reference's
     d4_prepare_docs_for_searchui (SURVEY §3.2) — rebuild the derived
@@ -377,6 +456,10 @@ def run_renormalize(
         normalized = normalize_by_site(
             normalized, sites=[site_id] if site_id is not None else None
         )
+    if nlp and not update_only:
+        # metadata_only (d4:32-33) skips the NLP leg in the reference
+        # (normalizer.py:110-112 else-branch); full renormalize runs it
+        normalized = nlp_preprocess_by_site(normalized)
     searchui = normalized.withColumn("indexed_at", F.current_timestamp())
 
     if update_only:

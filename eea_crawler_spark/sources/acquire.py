@@ -315,10 +315,11 @@ def scrape_docs(
 ) -> DataFrame:
     """Distributed page scrape (scrape/scrape_with_retry,
     dags/lib/plone_rest_api.py:205-258): fetch the no-api URL of each
-    doc, retry ×5, keep the row on failure with the error recorded —
-    a failed scrape must not fail the doc (it just indexes without
-    ``web_html``, as the reference's fulltext falls back to the joined
-    text fields).
+    doc, retry ×5. The row always survives with the errors recorded;
+    the caller merges ``scrape_errors`` into the envelope's ``errors``
+    so an exhausted retry budget error-quarantines the doc exactly like
+    a failed fetch (the reference's @retry rethrows and fails the d3
+    run for that doc).
 
     Same partitioning contract as :func:`fetch_docs`: repartition by
     host so per-host politeness holds inside one task.

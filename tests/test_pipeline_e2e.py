@@ -70,6 +70,8 @@ def test_full_sync_then_incremental(spark, paths):
     d0 = searchui[f"{SITE}/d0"]
     assert d0["title"] == "Doc 0" and d0["label"] == "Doc 0"  # chain ran
     assert d0["cluster_name"] == "eea"  # site plugin ran
+    # d5 NLP leg ran: nlp_250 chunk structs on the synced doc
+    assert [c["text"] for c in d0["nlp_250"]] == ["Doc 0."]
 
     # run 2: nothing changed — zero fetches, state untouched
     r2 = run_sync(spark, cfg, paths, site)
@@ -83,9 +85,81 @@ def test_full_sync_then_incremental(spark, paths):
     del site.docs[f"{SITE}/d4"]
     r3 = run_sync(spark, cfg, paths, site)
     assert r3["fetched"] == 1 and r3["deleted"] == 1 and r3["delete_allowed"] == 1
+    # INCREMENTAL normalize: only the changed doc flowed through the
+    # chain (the reference normalizes what traveled d3→d5 this run,
+    # d3_crawl_fetch_for_id.py:81-100) — a 1-changed-doc sync is
+    # O(changed), not O(corpus)
+    assert r3["normalized"] == 1
     final = {r["id"]: r.asDict() for r in spark.read.parquet(paths.searchui).collect()}
     assert set(final) == {f"{SITE}/d{i}" for i in range(4)}
     assert final[f"{SITE}/d1"]["title"] == "Doc 1 v2"  # update propagated
+    assert final[f"{SITE}/d0"]["title"] == "Doc 0"  # untouched rows intact
+
+
+def test_scrape_leg_extracts_fulltext(spark, paths):
+    """S6 wired end-to-end: scrape-configured site → web_html fetched
+    from the rendered page, trafilatura-style extraction (selector
+    narrowing + chrome removal) feeds fulltext/readingTime; the raw
+    table keeps the ORIGINAL html so renormalize can re-extract. A doc
+    whose scrape exhausts retries is error-quarantined like a failed
+    fetch."""
+    site = StubSite()
+
+    def scraper(url: str) -> tuple[int, str]:
+        slug = url.rsplit("/", 1)[-1]
+        if slug == "d3":
+            return 500, "scrape down"
+        return 200, (
+            "<html><head><title>Page</title></head><body>"
+            "<nav class='chrome'>menu menu</nav>"
+            f"<main><p>Scraped body for {slug}.</p></main>"
+            "</body></html>"
+        )
+
+    cfg = SyncConfig(
+        site_url=SITE,
+        site_id="eea",
+        scrape_pages=True,
+        html_extract={
+            "main_by_css_selector": "main",
+            "remove_by_selector": [".chrome"],
+        },
+    )
+    r = run_sync(spark, cfg, paths, site, scrape_transport=scraper)
+    assert r["fetched"] == 5
+    assert r["normalized"] == 4  # d3's failed scrape error-filters it
+    searchui = {
+        x["id"]: x.asDict() for x in spark.read.parquet(paths.searchui).collect()
+    }
+    d0 = searchui[f"{SITE}/d0"]
+    assert d0["fulltext"] == "Scraped body for d0."  # not "menu menu"
+    assert d0["readingTime"] is not None
+    # raw table stores the original html, not the extraction
+    raw = {x["id"]: x.asDict() for x in spark.read.parquet(paths.raw).collect()}
+    assert "<main>" in raw[f"{SITE}/d0"]["web_html"]
+    assert raw[f"{SITE}/d3"]["errors"]  # scrape errors recorded
+    ledger = {
+        x["id"] for x in spark.read.parquet(paths.quarantine).collect()
+    }
+    assert f"{SITE}/d3" in ledger
+
+
+def test_embed_leg_writes_chunk_table(spark, paths, tmp_path):
+    """Chunk-embedding sink: embed=True merges (chunk_id, chunk_text,
+    embedding) rows keyed for idempotent re-sync."""
+    site = StubSite()
+    paths.chunks = str(tmp_path / "chunks")
+    cfg = SyncConfig(site_url=SITE, site_id="eea", embed=True)
+    run_sync(spark, cfg, paths, site)
+    chunks = spark.read.parquet(paths.chunks).collect()
+    assert len(chunks) == 5  # one short chunk per doc
+    by_id = {c["chunk_id"]: c.asDict() for c in chunks}
+    c0 = by_id[f"{SITE}/d0#0"]
+    assert c0["chunk_text"] == "Doc 0."
+    assert len(c0["embedding"]) > 0
+    # idempotent: re-sync with no changes adds nothing
+    run_sync(spark, cfg, paths, site)
+    assert spark.read.parquet(paths.chunks).count() == 5
 
 
 def test_delete_threshold_aborts_mass_delete(spark, paths):
