@@ -36,6 +36,7 @@ from eea_crawler_spark.operators.sites import (
     nlp_preprocess_by_site,
 )
 from eea_crawler_spark.sinks import indexes as SK
+from eea_crawler_spark.sinks import lakehouse as LK
 from eea_crawler_spark.sources import acquire as AQ
 
 
@@ -96,14 +97,14 @@ def _empty_state(spark: SparkSession) -> DataFrame:
 
 def _read_state(spark: SparkSession, path: str) -> DataFrame:
     try:
-        return spark.read.parquet(path).select("id", "modified", "errors")
+        return LK.read_table(spark, path).select("id", "modified", "errors")
     except Exception:  # first run: no table yet
         return _empty_state(spark)
 
 
 def _read_quarantine(spark: SparkSession, path: str) -> DataFrame:
     try:
-        return spark.read.parquet(path)
+        return LK.read_table(spark, path)
     except Exception:
         return spark.createDataFrame(
             [], "id string, error_cnt int, skip_cnt int, skipped boolean"
@@ -256,7 +257,7 @@ def run_sync(
     if cfg.scrape_pages and cfg.html_extract and normalizer.html_extract is None:
         normalizer = replace(normalizer, html_extract=cfg.html_extract)
     raw_ok = (
-        spark.read.parquet(paths.raw)
+        LK.read_table(spark, paths.raw)
         .join(changed_ids, "id", "left_semi")
         .filter(F.size("errors") == 0)
     )
@@ -319,7 +320,7 @@ def fold_app_quarantine(
         ledger = _read_quarantine(spark, paths.quarantine)
     try:
         errored = (
-            spark.read.parquet(paths.raw)
+            LK.read_table(spark, paths.raw)
             .filter(F.size("errors") > 0)
             .select("id")
         )
@@ -444,7 +445,7 @@ def run_renormalize(
     One lazy plan: raw scan → filters → §2.5 chain → site plugins →
     MERGE; Catalyst prunes the raw columns the chain doesn't read.
     """
-    raw = spark.read.parquet(paths.raw).filter(F.size("errors") == 0)
+    raw = LK.read_table(spark, paths.raw).filter(F.size("errors") == 0)
     if site_id is not None:
         raw = raw.filter(F.col("site_id") == site_id)
     if portal_types:
@@ -464,7 +465,7 @@ def run_renormalize(
 
     if update_only:
         try:
-            existing = spark.read.parquet(paths.searchui).select("id")
+            existing = LK.read_table(spark, paths.searchui).select("id")
         except Exception:  # no searchui yet: update-only is a no-op
             return {"renormalized": 0}
         searchui = searchui.join(existing, "id", "left_semi")

@@ -43,15 +43,11 @@ def upsert_index(
 def delete_from_index(
     spark: SparkSession, table_path: str, doomed: DataFrame, key: str = "id"
 ) -> None:
-    """S14: DELETE WHERE id IN (…) — anti-join rewrite + swap."""
-    current = spark.read.parquet(table_path)
-    kept = current.join(doomed.select(key), on=key, how="left_anti")
-    tmp = f"{table_path}__tmp_del"
-    kept.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_path)
-    os.rename(tmp, table_path)
-    spark.catalog.refreshByPath(table_path)
-    spark.catalog.refreshByPath(tmp)
+    """S14: DELETE WHERE id IN (…) — Delta ``WHEN MATCHED DELETE`` on a
+    lakehouse runtime, anti-join rewrite + swap on parquet."""
+    from eea_crawler_spark.sinks.lakehouse import merge_delete
+
+    merge_delete(spark, table_path, doomed, key=key)
 
 
 def replace_table(df: DataFrame, table_path: str) -> None:

@@ -24,17 +24,10 @@ evicted as the watermark advances.
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.utils import AnalysisException
-
-from eea_crawler_spark.operators.incremental import upsert_last_wins
 
 
 def state_merge(
@@ -44,35 +37,19 @@ def state_merge(
     key: str = "id",
     order_col: str = "indexed_at",
 ) -> None:
-    """Keyed last-wins merge of ``updates`` into a parquet state dir.
+    """Keyed last-wins merge of ``updates`` into a state table.
 
-    Plain-parquet emulation of Delta ``MERGE INTO`` (the production
-    sink): read current state, upsert, write alongside, swap the
-    directory. The swap is what Delta's transaction log does properly;
-    this version is crash-safe only up to the rename and exists so the
-    merge *semantics* are testable without a lakehouse runtime.
+    Backend-dispatched (sinks.lakehouse): Delta ``MERGE INTO`` when the
+    runtime has delta-spark — transactional, touches O(changed files) —
+    else the plain-parquet emulation (read current state, upsert, write
+    alongside, swap the directory). The swap is what Delta's transaction
+    log does properly; the parquet version is crash-safe only up to the
+    rename and exists so the merge *semantics* are testable without a
+    lakehouse runtime.
     """
-    try:
-        current = spark.read.parquet(state_path)
-        has_state = True
-    except AnalysisException:
-        has_state = False
-    deduped = updates
-    if has_state:
-        merged = upsert_last_wins(current, updates, key=key, order_col=order_col)
-    else:
-        # dedup the first batch against itself (last-wins within batch)
-        empty = updates.limit(0)
-        merged = upsert_last_wins(empty, deduped, key=key, order_col=order_col)
-    tmp = f"{state_path}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    os.rename(tmp, state_path)
-    # the swap happened outside Spark: drop the stale shared file-status
-    # cache entries or later reads resolve to the deleted files
-    spark.catalog.refreshByPath(state_path)
-    spark.catalog.refreshByPath(tmp)
+    from eea_crawler_spark.sinks.lakehouse import merge_upsert
+
+    merge_upsert(spark, state_path, updates, key=key, order_col=order_col)
 
 
 def incremental_upsert_stream(

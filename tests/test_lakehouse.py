@@ -1,0 +1,98 @@
+"""Backend-parametrized merge semantics (sinks.lakehouse).
+
+The same last-wins upsert / keyed delete contract must hold on both
+backends: the parquet swap emulation (always runnable here) and Delta
+``MERGE INTO`` (runs only where delta-spark is importable and the
+session carries the Delta extension — skipped otherwise, so a lakehouse
+runtime exercises the real DML path with zero test changes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from eea_crawler_spark.sinks import lakehouse as LK
+
+BACKENDS = ["parquet", "delta"]
+
+
+def _needs(spark, backend):
+    if backend == "delta" and not LK.delta_available(spark):
+        pytest.skip("delta-spark not available in this session")
+
+
+def _rows(spark, path):
+    return {
+        r["id"]: (r["v"], r["indexed_at"])
+        for r in LK.read_table(spark, path).collect()
+    }
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, dt.datetime(2024, 1, d)) for i, v, d in rows],
+        "id string, v string, indexed_at timestamp",
+    )
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_upsert_last_wins(spark, tmp_path, backend):
+    _needs(spark, backend)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend=backend)
+    # update a (newer), insert c; stale update for b is ignored
+    LK.merge_upsert(
+        spark,
+        path,
+        _df(spark, [("a", "v2", 2), ("c", "v1", 2)]),
+        backend=backend,
+    )
+    LK.merge_upsert(spark, path, _df(spark, [("b", "stale", 1)]), backend=backend)
+    got = _rows(spark, path)
+    assert got["a"][0] == "v2" and got["c"][0] == "v1"
+    # equal-timestamp update wins (idempotent re-apply), so "stale" at
+    # the SAME stamp replaces — but an older stamp must not:
+    LK.merge_upsert(spark, path, _df(spark, [("a", "old", 1)]), backend=backend)
+    assert _rows(spark, path)["a"][0] == "v2"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_upsert_within_batch_dedup(spark, tmp_path, backend):
+    _needs(spark, backend)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark,
+        path,
+        _df(spark, [("a", "first", 1), ("a", "last", 3), ("a", "mid", 2)]),
+        backend=backend,
+    )
+    assert _rows(spark, path)["a"][0] == "last"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_delete(spark, tmp_path, backend):
+    _needs(spark, backend)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark,
+        path,
+        _df(spark, [("a", "v", 1), ("b", "v", 1), ("c", "v", 1)]),
+        backend=backend,
+    )
+    doomed = spark.createDataFrame([("b",), ("zz",)], "id string")
+    LK.merge_delete(spark, path, doomed, backend=backend)
+    assert set(_rows(spark, path)) == {"a", "c"}
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_idempotent_replay(spark, tmp_path, backend):
+    """At-least-once safety: re-applying the same batch is a no-op."""
+    _needs(spark, backend)
+    path = str(tmp_path / "t")
+    batch = _df(spark, [("a", "v1", 1), ("b", "v1", 1)])
+    LK.merge_upsert(spark, path, batch, backend=backend)
+    before = _rows(spark, path)
+    LK.merge_upsert(spark, path, batch, backend=backend)
+    assert _rows(spark, path) == before
