@@ -157,27 +157,77 @@ def ngram_jaccard_pairs(
         sh = sh.localCheckpoint(eager=True)
         scored = _pair_jaccard(sh)
     else:
-        # sh feeds the df histogram, the capped self-join (twice), and
-        # the final full-set scoring — without a checkpoint Catalyst
-        # re-derives the shingle explosion for every consumer (the 4×
-        # bench regression flagged in round 2). One eager materialization
-        # bounds it: everything downstream reads the stored blocks.
+        # sh feeds the df histogram, the capped self-join, the hot-count
+        # per doc, and the final full-set scoring — without a checkpoint
+        # Catalyst re-derives the shingle explosion for every consumer
+        # (the 4× bench regression flagged in round 2). One eager
+        # materialization bounds it.
         sh = sh.localCheckpoint(eager=True)
-        capped = df_capped(sh, max_df).localCheckpoint(eager=True)
-        pairs = (
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        capped = sh.join(F.broadcast(hot), ["shingle"], "left_anti")
+        # Candidate pruning WITHOUT materializing the pair set: the
+        # capped self-join aggregates straight to per-pair intersection
+        # counts (map-side combinable — never a distinct over the
+        # candidate blow-up; at sf0.1 the cap leaves >1.1M candidate
+        # pairs and enumerating them dominated the round-2/3 runtime).
+        # Then prune by an EXACT upper bound on full-set Jaccard:
+        #   inter_full ≤ inter_capped + min(hot_a, hot_b)
+        # (a pair can share at most min(hot_a, hot_b) hot shingles), and
+        # J = i/(na+nb-i) is increasing in i. Only survivors — the
+        # near-dup shortlist — get the exact full-set rescore, whose
+        # values equal the uncapped join's for every surviving pair.
+        inter_c = (
             capped.select(F.col("id").alias("doc_a"), "shingle")
             .join(capped.select(F.col("id").alias("doc_b"), "shingle"), ["shingle"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        # exact Jaccard over candidate docs' FULL shingle sets (values
-        # identical to the uncapped join for every surviving pair)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        hot_cnt = (
+            sh.join(F.broadcast(hot), ["shingle"], "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("hn"))
+        )
+        stats = sizes.join(hot_cnt, ["id"], "left").select(
+            "id", "n", F.coalesce("hn", F.lit(0)).alias("hn")
+        )
+        i_max = F.col("c") + F.least(F.col("ha"), F.col("hb"))
+        pairs = (
+            inter_c.join(
+                stats.select(
+                    F.col("id").alias("doc_a"),
+                    F.col("n").alias("na"),
+                    F.col("hn").alias("ha"),
+                ),
+                ["doc_a"],
+            )
+            .join(
+                stats.select(
+                    F.col("id").alias("doc_b"),
+                    F.col("n").alias("nb"),
+                    F.col("hn").alias("hb"),
+                ),
+                ["doc_b"],
+            )
+            .filter(
+                i_max.cast("double") / (F.col("na") + F.col("nb") - i_max)
+                >= threshold
+            )
+            .select("doc_a", "doc_b")
+        ).localCheckpoint(eager=True)  # tiny: the near-dup shortlist
         cand_ids = (
             pairs.select(F.col("doc_a").alias("id"))
             .union(pairs.select(F.col("doc_b").alias("id")))
             .distinct()
         )
+        # cand_ids is usually broadcast-sized, but a dup-heavy corpus
+        # can make it large — leave the strategy to AQE
         scored = _pair_jaccard(
             sh.join(cand_ids, ["id"], "left_semi"), pairs=pairs
         )

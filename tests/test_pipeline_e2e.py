@@ -96,6 +96,27 @@ def test_full_sync_then_incremental(spark, paths):
     assert final[f"{SITE}/d0"]["title"] == "Doc 0"  # untouched rows intact
 
 
+def test_sync_with_production_config(spark, paths):
+    """The full ported production config (config/*.json via
+    NormalizerConfig.from_tables, reference_mode) drives a real sync:
+    renames (title→label, @type→objectProvides), norm_missing creation,
+    and the early-snapshot projection all hold end-to-end."""
+    from eea_crawler_spark.config import production_config
+
+    site = StubSite()
+    cfg = SyncConfig(site_url=SITE, site_id="eea", normalizer=production_config())
+    r = run_sync(spark, cfg, paths, site)
+    assert r["normalized"] == 5
+    d0 = {
+        x["id"]: x.asDict() for x in spark.read.parquet(paths.searchui).collect()
+    }[f"{SITE}/d0"]
+    assert d0["title"] == "Doc 0" and d0["label"] == "Doc 0"
+    assert d0["language"] == "en"
+    assert d0["creator"] == "European Environment Agency (EEA)"  # normMissing add
+    assert d0["fulltext"] == "Doc 0."  # chain-added column survives projection
+    assert d0["cluster_name"] == "eea"  # site plugin still composes on top
+
+
 def test_scrape_leg_extracts_fulltext(spark, paths):
     """S6 wired end-to-end: scrape-configured site → web_html fetched
     from the rendered page, trafilatura-style extraction (selector
