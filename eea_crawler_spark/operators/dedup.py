@@ -258,7 +258,11 @@ def minhash_signatures(
     Docs with fewer than ``n`` words have no shingles and are absent
     from the output (they can never pass a positive Jaccard threshold).
     """
-    sh = shingles(df, text_col, id_col, n)
+    return _signatures_from(shingles(df, text_col, id_col, n), num_hashes)
+
+
+def _signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature aggregate over an existing (id, shingle) relation."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
         for i in range(num_hashes)
@@ -289,7 +293,12 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, est_jaccard, jaccard) for jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # the shingle explode feeds both the signatures and the exact-verify
+    # leg; the signature table feeds banding + the est join twice — both
+    # are recomputed per consumer without materialization (sigs is tiny:
+    # one 64-long row per doc)
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sigs = _signatures_from(sh, num_hashes).localCheckpoint(eager=True)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
@@ -303,7 +312,7 @@ def minhash_lsh_pairs(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)  # the near-dup candidate shortlist
     est = (
         cand.join(sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")), ["doc_a"])
         .join(sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")), ["doc_b"])
@@ -330,7 +339,7 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias("id")))
         .distinct()
     )
-    sh_cand = shingles(df, text_col, id_col, n).join(cand_ids, ["id"], "left_semi")
+    sh_cand = sh.join(cand_ids, ["id"], "left_semi")
     exact = _pair_jaccard(sh_cand, pairs=cand)
     return (
         est.join(exact, ["doc_a", "doc_b"])
