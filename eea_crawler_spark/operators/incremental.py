@@ -201,7 +201,9 @@ def upsert_last_wins(
         F.col(order_col).desc(), F.col("__src").desc()
     )
     return (
-        cur.unionByName(upd)
+        # allowMissingColumns = schema evolution (Delta autoMerge twin):
+        # a batch adding or lacking a column fills the other side NULL
+        cur.unionByName(upd, allowMissingColumns=True)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")

@@ -465,10 +465,19 @@ def run_renormalize(
 
     if update_only:
         try:
-            existing = LK.read_table(spark, paths.searchui).select("id")
+            existing = LK.read_table(spark, paths.searchui)
         except Exception:  # no searchui yet: update-only is a no-op
             return {"renormalized": 0}
-        searchui = searchui.join(existing, "id", "left_semi")
+        # ES partial-doc semantics (doc_as_upsert with a metadata-only
+        # body): fields the update does not carry — e.g. nlp_250, which
+        # the metadata_only path never recomputes — keep their stored
+        # values instead of being nulled by the row replacement
+        inherited = [c for c in existing.columns if c not in searchui.columns]
+        if inherited:
+            searchui = searchui.join(
+                existing.select("id", *inherited), "id", "left"
+            )
+        searchui = searchui.join(existing.select("id"), "id", "left_semi")
 
     n = searchui.count()
     if n:
