@@ -30,15 +30,20 @@ from eea_crawler_spark.functions.text import clean_html
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's default parallelism.
+    """Round-robin repartition to the cluster's default parallelism —
+    only when the input is narrower than the cluster.
 
-    Heavy narrow transforms (shingling, hashing) inherit the scan's
-    partitioning; a small/single-file local scan would serialize them on
-    one core. One cheap row-shuffle up front buys full-width execution —
-    at real scale, input splits already provide width and this becomes a
-    near-no-op rebalance before CPU-bound work.
+    Heavy narrow transforms (shingling, hashing, the normalize chain)
+    inherit the scan's partitioning; a small/single-row-group local
+    scan would serialize them on one core. One cheap row-shuffle up
+    front buys full-width execution. At real scale input splits already
+    provide width, and the guard makes this a no-op there — never a
+    corpus-wide shuffle.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def keyed_dedup_first_wins(

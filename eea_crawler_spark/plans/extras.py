@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from eea_crawler_spark.functions import text as TX
 from eea_crawler_spark.operators import dedup as DD
+from eea_crawler_spark.operators.dedup import _spread as spread
 from eea_crawler_spark.operators import multimodal as MM
 from eea_crawler_spark.operators import similarity as SIM
 from eea_crawler_spark.operators.normalize_chain import (
@@ -64,7 +65,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # marker-LIKE scans are per-row CPU; widen the single-row-group scan
+    docs = spread(load_table(spark, sf_dir, "documents"))
     scores = TX.lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
@@ -74,7 +76,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     cols = TX.quality_columns(F.col("text"))
     return docs.select(
         "doc_id",
@@ -92,7 +94,7 @@ CHUNK_OVERLAP = 10  # production: 50 (dags/variables.json:2791-2792)
 
 
 def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from eea_crawler_spark.operators.embeddings import chunk_texts
 
     return chunk_texts(
@@ -101,7 +103,7 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from eea_crawler_spark.operators.embeddings import embed_chunks
 
     out = embed_chunks(docs, words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
@@ -244,7 +246,7 @@ def _doc_envelopes(docs: DataFrame) -> DataFrame:
 
 def normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    out = common_normalizer(_doc_envelopes(docs), NORM_QUERY_CONFIG)
+    out = common_normalizer(spread(_doc_envelopes(docs)), NORM_QUERY_CONFIG)
     # serialize array columns as JSON text — the driver's pandas canon
     # crashes on list cells (unhashable in sort_values); the oracle twin
     # wraps the same columns in DuckDB's to_json
