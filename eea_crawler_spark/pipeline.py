@@ -3,9 +3,16 @@
 Composes the layers into the SURVEY §3.1 "Spark shape":
 
     listing scan → robots/type/quarantine filters → diff vs state (J1)
-      → distributed fetch (S5) → raw upsert → normalize chain (§2.5)
-      → per-site plugins (T28) → searchui upsert → guarded deletes (J2/J3)
+      → distributed fetch (S5) [+ page scrape S6, attachments S7]
+      → raw upsert → normalize chain (§2.5, changed ids ONLY)
+      → per-site plugins (T28) → NLP chunking [+ chunk embeddings]
+      → searchui upsert → guarded deletes (J2/J3)
       → quarantine fold (A7) → status events
+
+The normalize leg is incremental: only docs fetched this run flow
+through the chain (the reference's d3→d5 unit of work); re-deriving the
+whole corpus is ``run_renormalize``'s job. A zero-change quick sync
+reads the listing, joins ids, and stops — O(changed), not O(corpus).
 
 What was five Airflow DAG hops through a scheduler database collapses
 into two lazy plans separated by the raw-table MERGE barrier; every
