@@ -125,3 +125,65 @@ def test_sync_diff_joins_on_id_without_fact_broadcast(spark, sf_dir):
     # hint nothing: both sides same size — Spark must not pick BNLJ
     plan = _plan(sync_diff(listing, state))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_capped_materializes_shingles_once(spark, sf_dir):
+    """The capped Jaccard plan must read the documents scan ZERO times
+    in its final DataFrame: every consumer (histogram, capped self-join,
+    hot counts, full-set rescore) reads the checkpointed shingle blocks
+    instead of re-deriving the explode (the round-2 4× regression)."""
+    from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id",
+                             threshold=0.8, max_df=20)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan  # no re-derivation from the file
+    assert "ExistingRDD" in plan  # consumers read the checkpoint
+
+
+def test_minhash_lsh_materializes_shingles_and_sigs_once(spark, sf_dir):
+    """Same property for the LSH plan: signatures + shingles feed
+    multiple consumers through checkpoints, never via file re-scans."""
+    from eea_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id", threshold=0.8)
+    plan = _plan(df)
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_incremental_sync_normalize_is_semi_join_pruned(spark, sf_dir, tmp_path):
+    """run_sync's normalize input: raw scan semi-joined on the run's
+    changed ids BEFORE the chain — the plan shape that keeps a quick
+    sync O(changed) at 100 TB. Audited on the same composition the
+    pipeline builds (read → semi-join → error filter → chain)."""
+    from eea_crawler_spark.operators.normalize_chain import (
+        DEFAULT_CONFIG,
+        common_normalizer,
+    )
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [
+            (
+                "u1", "Document", "eea", "https://site.example", 200,
+                [], "2024-01-01", None, None, None, '{"title": "T"}',
+            )
+        ],
+        "id string, doc_type string, site_id string, site string, "
+        "status_code int, errors array<string>, modified string, "
+        "indexed_at timestamp, pdf_text string, web_html string, "
+        "raw_value string",
+    )
+    path = str(tmp_path / "raw")
+    raw.write.parquet(path)
+    changed = spark.createDataFrame([("u1",)], "id string").localCheckpoint()
+    raw_ok = (
+        spark.read.parquet(path)
+        .join(changed, "id", "left_semi")
+        .filter(F.size("errors") == 0)
+    )
+    plan = _plan(common_normalizer(raw_ok, DEFAULT_CONFIG))
+    assert "LeftSemi" in plan  # id pruning happens below the chain
