@@ -295,6 +295,11 @@ def _default_lit(default, col_type: T.DataType | None = None) -> Column:
     lit = F.lit(default)
     if isinstance(col_type, T.ArrayType):
         return F.array(lit.cast(col_type.elementType))
+    if col_type is not None:
+        # adapt to the existing column's type: otherwise coalesce()
+        # unifies the pair upward (string col + int default → bigint)
+        # and silently retypes stored values ('0' → 0)
+        return lit.cast(col_type)
     return lit
 
 

@@ -139,3 +139,64 @@ def test_null_values_semantics(spark):
     row = common_normalizer(df, cfg).collect()[0]
     assert row["themes"] == ["climate", "Various other issues"]
     assert row["description"] is None
+
+
+# ---- property tier: norm_missing reference semantics vs a direct ----
+# ---- Python model of the reference fold (normalizers.py:90-102)  ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from eea_crawler_spark.operators.normalize_chain import (
+    _apply_norm_missing_reference,
+)
+
+_KEYS = ["k1", "k2", "k3", "k4"]
+_NM = {
+    "k1": "default-1",  # plain literal
+    "k2": "field:k1",  # indirection onto another configured key
+    "k3": 7,  # typed literal
+    "k5": "created-fresh",  # key with NO column: must be created
+    "k6": "field:k9",  # indirection onto a missing column: stays absent
+}
+
+
+def _py_model(doc: dict) -> dict:
+    """The reference's apply_norm_missing, verbatim semantics:
+    ``clean_data.get(key) is None`` → literal or doc.get(other). One
+    typed-engine delta: a typed default filling an EXISTING column
+    adapts to the column's type (str here) — the untyped dict fold
+    would mix types inside one field, which a columnar schema cannot."""
+    out = dict(doc)
+    for key, val in _NM.items():
+        if out.get(key) is None:
+            if isinstance(val, str) and val.startswith("field:"):
+                other = val.split("field:")[-1].strip()
+                # the chain only creates the column when the source
+                # column exists; doc.get(None-valued) stays None either way
+                if other in _KEYS:
+                    out[key] = doc.get(other)
+            else:
+                out[key] = str(val) if key in _KEYS else val
+    return out
+
+
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.fixed_dictionaries(
+        {k: st.one_of(st.none(), st.text(min_size=1, max_size=8)) for k in _KEYS}
+    )
+)
+def test_norm_missing_reference_matches_python_model(spark, doc):
+    cfg = NormalizerConfig(norm_missing=dict(_NM), reference_mode=True)
+    df = spark.createDataFrame(
+        [tuple(doc[k] for k in _KEYS)],
+        ", ".join(f"{k} string" for k in _KEYS),
+    )
+    row = _apply_norm_missing_reference(df, cfg).collect()[0].asDict()
+    expected = _py_model(doc)
+    for key in set(_KEYS) | set(_NM):
+        got = row.get(key)
+        want = expected.get(key)
+        assert got == want, (key, got, want, doc)
