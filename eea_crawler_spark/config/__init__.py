@@ -23,6 +23,12 @@ The JSON files in this package are a verbatim port of that config *data*
   *explicit* nulls at index time (missing fields stay missing); the
   Spark chain applies them the same way — only to present-but-null
   values of existing columns.
+- ``sites.json`` — the ``app_global_search`` ``Sites`` registry with
+  each site's crawl config (url/api part, portal types, scrape +
+  trafilatura settings, nlp text props, normalizer variable), the
+  engine-relevant subset of the per-site config variables.
+  :func:`site_sync_config` turns one entry into a runnable
+  ``SyncConfig``.
 
 Loaders return plain dicts; :func:`production_config` /
 :func:`sdi_config` assemble them into the engine's
@@ -90,3 +96,62 @@ def sdi_config():
         theme_labels=theme_labels(),
         null_values=load_table("null_values"),
     )
+
+
+def site_table() -> dict:
+    """The production per-site crawl config (``sites.json``): the
+    ``app_global_search`` app's ``Sites`` registry resolved through its
+    per-site config variables (``dags/variables.json`` —
+    ``config_eea``, ``config_sdi_prod``, …), engine-relevant keys only.
+    A migrating user's own site variables drop in unchanged."""
+    return load_table("sites")
+
+
+def site_sync_config(site_id: str, **overrides):
+    """Build the engine's :class:`~eea_crawler_spark.pipeline.SyncConfig`
+    from one ported site entry — the d1→d2 config plumbing
+    (``dags/d2_crawl_site.py`` reads the site variable; normalizer
+    choice via ``normalizers_variable``, nlp text props via
+    ``nlp_preprocessing.text``, scrape + trafilatura settings via
+    ``scrape_pages``/``trafilatura``).
+
+    ``overrides`` pass through to ``SyncConfig`` (e.g. a test
+    ``site_url`` pointing at a stub)."""
+    from dataclasses import replace as dc_replace
+
+    from eea_crawler_spark.pipeline import SyncConfig
+
+    cfg = site_table()[site_id]
+    normalizer = (
+        sdi_config()
+        if cfg.get("normalizers_variable") == "sdi_normalizers"
+        else production_config()
+    )
+    nlp_text = (cfg.get("nlp_preprocessing") or {}).get("text")
+    if nlp_text is not None:
+        # dynamic-key fulltext discovery (join_text_fields whitelist/
+        # blacklist, reference normalizers.py:162-207)
+        normalizer = dc_replace(
+            normalizer,
+            txt_props=list(nlp_text.get("whitelist") or []),
+            txt_props_black=list(nlp_text.get("blacklist") or []),
+        )
+    kw = dict(
+        site_url=cfg["url"],
+        site_id=site_id,
+        api_part=(cfg.get("url_api_part") or "").strip("/") or "api",
+        portal_types=list(cfg.get("portal_types") or ["Document"]),
+        types_blacklist=list(cfg.get("types_blacklist") or []),
+        scrape_pages=bool(cfg.get("scrape_pages")),
+        html_extract=dict(cfg.get("trafilatura") or {}),
+        pdf_days_limit=int(cfg.get("pdf_days_limit") or 0),
+        nlp=nlp_text is not None,
+        normalizer=normalizer,
+    )
+    kw.update(overrides)
+    return SyncConfig(**kw)
+
+
+def all_site_sync_configs(**overrides) -> dict:
+    """One SyncConfig per registered site (the d0 trigger-all set)."""
+    return {sid: site_sync_config(sid, **overrides) for sid in site_table()}

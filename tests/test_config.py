@@ -141,6 +141,33 @@ def test_null_values_semantics(spark):
     assert row["description"] is None
 
 
+def test_site_sync_configs_build():
+    """Every registered production site builds a runnable SyncConfig
+    with the reference's per-site settings mapped through."""
+    from eea_crawler_spark.config import all_site_sync_configs, site_table
+
+    cfgs = all_site_sync_configs()
+    assert len(cfgs) == len(site_table()) == 15
+    eea = cfgs["eea"]
+    assert eea.site_url.endswith("eea.europa.eu")
+    assert eea.api_part == "api/SITE"
+    assert eea.scrape_pages
+    assert any("header" in s for s in eea.html_extract["remove_by_selector"])
+    assert eea.nlp and eea.normalizer.txt_props  # whitelist wired in
+    assert "GIS Application" in eea.portal_types
+    assert eea.pdf_days_limit == 730
+    sdi = cfgs["sdi"]
+    # sdi_normalizers variant selected via normalizers_variable
+    assert sdi.normalizer.norm_prop.get("OrgForResource") == ["organisation"]
+    assert sdi.normalizer.txt_props == [
+        "resourceTitleObject.default",
+        "resourceAbstractObject.default",
+    ]
+    # overrides pass through (test harness pointing at a stub)
+    stub = all_site_sync_configs(site_url="https://stub.example")["eea"]
+    assert stub.site_url == "https://stub.example"
+
+
 # ---- property tier: norm_missing reference semantics vs a direct ----
 # ---- Python model of the reference fold (normalizers.py:90-102)  ----
 

@@ -183,6 +183,37 @@ def test_embed_leg_writes_chunk_table(spark, paths, tmp_path):
     assert spark.read.parquet(paths.chunks).count() == 5
 
 
+def test_sync_with_ported_eea_site_config(spark, paths):
+    """The ported production site registry (config/sites.json) drives a
+    sync end-to-end: config_eea's scrape + trafilatura selectors, the
+    nlp whitelist (dynamic-key fulltext), and the default_normalizers
+    chain all come straight from the reference's own variables."""
+    from eea_crawler_spark.config import site_sync_config
+
+    site = StubSite()
+    cfg = site_sync_config("eea", site_url=SITE, portal_types=["Document"])
+
+    def scraper(url: str) -> tuple[int, str]:
+        slug = url.rsplit("/", 1)[-1]
+        return 200, (
+            "<html><body><div class='header-wrapper'>chrome chrome</div>"
+            f"<p>Rendered {slug} page body.</p></body></html>"
+        )
+
+    r = run_sync(spark, cfg, paths, site, scrape_transport=scraper)
+    assert r["normalized"] == 5
+    d0 = {
+        x["id"]: x.asDict() for x in spark.read.parquet(paths.searchui).collect()
+    }[f"{SITE}/d0"]
+    # config_eea's trafilatura remove_by_selector stripped the chrome
+    assert d0["fulltext"] == "Rendered d0 page body."
+    assert "chrome" not in d0["fulltext"]
+    # nlp_preprocessing present in config → nlp_250 chunks attached
+    assert [c["text"] for c in d0["nlp_250"]] == ["Rendered d0 page body."]
+    # production normalizer ran (reference_mode projection + renames)
+    assert d0["label"] == "Doc 0"
+
+
 def test_delete_threshold_aborts_mass_delete(spark, paths):
     site = StubSite()
     cfg = SyncConfig(site_url=SITE, site_id="eea")
