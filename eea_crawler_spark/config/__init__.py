@@ -147,6 +147,9 @@ def site_sync_config(site_id: str, **overrides):
         pdf_days_limit=int(cfg.get("pdf_days_limit") or 0),
         nlp=nlp_text is not None,
         normalizer=normalizer,
+        # production URL plumbing: fetch the API form of listed URLs
+        api_url_rewrite=True,
+        fix_items_url=cfg.get("fix_items_url"),
     )
     kw.update(overrides)
     return SyncConfig(**kw)

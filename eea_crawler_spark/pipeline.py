@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field, replace
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,6 +85,12 @@ class SyncConfig:
     # service behind a seam — mirrored here: off by default; when on,
     # chunk embeddings are merged into ``SyncPaths.chunks``.
     embed: bool = False
+    # reference URL plumbing (get_api_url, plone_rest_api.py:10-47):
+    # when on, fetch targets the doc's API URL (url_api_part inserted,
+    # or the fix_items_url prefix swap) while ids stay the listed URLs.
+    # Off by default — test transports serve listed ids verbatim.
+    api_url_rewrite: bool = False
+    fix_items_url: dict | None = None
 
 
 @dataclass
@@ -198,7 +205,14 @@ def run_sync(
 
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
-    fetched = AQ.fetch_docs(due.select("id"), transport).localCheckpoint(eager=True)
+    url_of = None
+    if cfg.api_url_rewrite:
+        url_of = partial(
+            AQ.api_url, api_part=cfg.api_part, fix_items_url=cfg.fix_items_url
+        )
+    fetched = AQ.fetch_docs(
+        due.select("id"), transport, url_of=url_of
+    ).localCheckpoint(eager=True)
     envelopes = fetched.join(due.select("id", "doc_type", "modified"), "id")
     if converter is not None:
         # S7: attachment text via the converter service; per-doc errors
@@ -219,7 +233,10 @@ def run_sync(
         # scrape records its error but keeps the row (the chain's
         # fulltext falls back to the joined text fields)
         scraped = AQ.scrape_docs(
-            due.select("id"), scrape_transport or transport, cfg.api_part
+            due.select("id"),
+            scrape_transport or transport,
+            cfg.api_part,
+            fix_items_url=cfg.fix_items_url,
         )
         envelopes = (
             envelopes.join(scraped, "id", "left")

@@ -238,6 +238,7 @@ def fetch_docs(
     backoff_s: float = 0.0,
     min_interval_s: float = 0.0,
     id_col: str = "id",
+    url_of=None,
 ) -> DataFrame:
     """Per-doc fetch as an Arrow-batched ``mapInPandas`` stage.
 
@@ -249,6 +250,9 @@ def fetch_docs(
     Airflow slots=1 pool, re-expressed).
 
     ``transport`` must be picklable (it ships to executors).
+    ``url_of`` optionally rewrites the fetched URL (the doc's API form,
+    :func:`api_url`) while the ``id`` column keeps the listed id — the
+    reference's get_api_url step before fetch_and_prepare_doc.
     """
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -258,13 +262,14 @@ def fetch_docs(
             for doc_id in pdf[id_col]:
                 errors: list[str] = []
                 status, body = 0, None
+                target = url_of(doc_id) if url_of is not None else doc_id
                 for attempt in range(retries):
                     wait = last_call + min_interval_s - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
                     last_call = time.monotonic()
                     try:
-                        status, body = transport(doc_id)
+                        status, body = transport(target)
                         if status == 200:
                             break
                         errors.append(f"http:{status}")
@@ -297,10 +302,43 @@ SCRAPED_SCHEMA = (
 )
 
 
-def no_api_url(doc_id: str, api_part: str) -> str:
-    """Strip the REST-API path segment from a doc id
-    (get_no_api_url, dags/lib/plone_rest_api.py:190-202): the scrape
-    hits the rendered page, not the API resource."""
+def api_url(doc_id: str, api_part: str, fix_items_url: dict | None = None) -> str:
+    """Rewrite a listed doc URL to its API form before fetching
+    (get_api_url, dags/lib/plone_rest_api.py:10-47): ``fix_items_url``
+    sites swap a configured prefix (without_api → with_api, e.g.
+    ``/en`` → ``/++api++/en``); otherwise the ``url_api_part`` segment
+    is inserted after the host unless already present."""
+    if fix_items_url:
+        wo, wi = fix_items_url["without_api"], fix_items_url["with_api"]
+        if f"{wo}/" in doc_id:
+            return doc_id.replace(wo, wi)
+        if doc_id == wo:
+            return wi
+        return doc_id
+    part = (api_part or "").strip("/")
+    if not part:
+        return doc_id
+    if f"/{part}" in doc_id:
+        return doc_id
+    parts = doc_id.split("/")
+    parts.insert(3 if "://" in doc_id else 1, part)
+    return "/".join(parts)
+
+
+def no_api_url(
+    doc_id: str, api_part: str, fix_items_url: dict | None = None
+) -> str:
+    """Strip the REST-API path back off a doc URL
+    (get_no_api_url, dags/lib/plone_rest_api.py:51-80): the scrape
+    hits the rendered page, not the API resource. ``fix_items_url``
+    sites invert their prefix swap (with_api → without_api)."""
+    if fix_items_url:
+        wo, wi = fix_items_url["without_api"], fix_items_url["with_api"]
+        if f"{wo}/" in doc_id:
+            return doc_id
+        if f"{wi}/" in doc_id:
+            return doc_id.replace(wi, wo)
+        return doc_id
     if not api_part:
         return doc_id
     return doc_id.replace(f"/{api_part.strip('/')}/", "/", 1)
@@ -312,6 +350,7 @@ def scrape_docs(
     api_part: str = "api",
     retries: int = 5,
     id_col: str = "id",
+    fix_items_url: dict | None = None,
 ) -> DataFrame:
     """Distributed page scrape (scrape/scrape_with_retry,
     dags/lib/plone_rest_api.py:205-258): fetch the no-api URL of each
@@ -333,7 +372,9 @@ def scrape_docs(
                 html = None
                 for _ in range(retries):
                     try:
-                        status, body = transport(no_api_url(doc_id, api_part))
+                        status, body = transport(
+                            no_api_url(doc_id, api_part, fix_items_url)
+                        )
                         if status == 200:
                             html = body
                             break

@@ -129,3 +129,46 @@ def test_fetch_retries_and_error_accumulation(spark):
     dead = out[f"{SITE}/dead"]
     assert dead["status_code"] == 500 and dead["raw_value"] is None
     assert dead["errors"] == ["http:500", "http:500", "http:500"]  # never raises
+
+
+def test_api_url_and_no_api_url_twins():
+    """get_api_url / get_no_api_url parity (plone_rest_api.py:10-80):
+    api-part insertion after the host, already-api passthrough, and
+    the fix_items_url prefix swap + inverse."""
+    from eea_crawler_spark.sources.acquire import api_url, no_api_url
+
+    # plain insertion / stripping
+    assert (
+        api_url("https://site.example/d0", "api/SITE")
+        == "https://site.example/api/SITE/d0"
+    )
+    assert api_url("https://site.example/api/SITE/d0", "api/SITE") == (
+        "https://site.example/api/SITE/d0"
+    )  # already api: unchanged
+    assert (
+        no_api_url("https://site.example/api/SITE/d0", "api/SITE")
+        == "https://site.example/d0"
+    )
+    assert api_url("https://site.example/d0", "") == "https://site.example/d0"
+
+    # fix_items_url prefix swap (the eea_en / wise shape)
+    fix = {
+        "without_api": "https://www.eea.europa.eu/en",
+        "with_api": "https://www.eea.europa.eu/++api++/en",
+    }
+    assert (
+        api_url("https://www.eea.europa.eu/en/topics/x", "api", fix)
+        == "https://www.eea.europa.eu/++api++/en/topics/x"
+    )
+    assert api_url("https://www.eea.europa.eu/en", "api", fix) == fix["with_api"]
+    assert (
+        api_url("https://other.example/x", "api", fix) == "https://other.example/x"
+    )  # outside the prefix: untouched
+    assert (
+        no_api_url("https://www.eea.europa.eu/++api++/en/topics/x", "api", fix)
+        == "https://www.eea.europa.eu/en/topics/x"
+    )
+    assert (
+        no_api_url("https://www.eea.europa.eu/en/topics/x", "api", fix)
+        == "https://www.eea.europa.eu/en/topics/x"
+    )  # already rendered form: unchanged

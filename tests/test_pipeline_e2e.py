@@ -193,14 +193,26 @@ def test_sync_with_ported_eea_site_config(spark, paths):
     site = StubSite()
     cfg = site_sync_config("eea", site_url=SITE, portal_types=["Document"])
 
+    def api_site(url: str) -> tuple[int, str]:
+        # config-driven fetches MUST target the API form of the listed
+        # URL (get_api_url inserts url_api_part after the host) — a
+        # fetch of the bare listed URL means the rewrite didn't run
+        if "@search" in url:
+            return site(url)
+        if "/api/SITE/" not in url:
+            return 404, "not the api form"
+        return site(url.replace("/api/SITE/", "/", 1))
+
     def scraper(url: str) -> tuple[int, str]:
         slug = url.rsplit("/", 1)[-1]
+        if "/api/SITE/" in url:  # scrape must hit the rendered page
+            return 500, "scraped the api form"
         return 200, (
             "<html><body><div class='header-wrapper'>chrome chrome</div>"
             f"<p>Rendered {slug} page body.</p></body></html>"
         )
 
-    r = run_sync(spark, cfg, paths, site, scrape_transport=scraper)
+    r = run_sync(spark, cfg, paths, api_site, scrape_transport=scraper)
     assert r["normalized"] == 5
     d0 = {
         x["id"]: x.asDict() for x in spark.read.parquet(paths.searchui).collect()
