@@ -147,9 +147,12 @@ def site_sync_config(site_id: str, **overrides):
         pdf_days_limit=int(cfg.get("pdf_days_limit") or 0),
         nlp=nlp_text is not None,
         normalizer=normalizer,
-        # production URL plumbing: fetch the API form of listed URLs
+        # production URL plumbing: fetch the API request form of
+        # listed URLs, with per-site cache busting
         api_url_rewrite=True,
         fix_items_url=cfg.get("fix_items_url"),
+        avoid_cache_api=bool(cfg.get("avoid_cache_api")),
+        avoid_cache_web=bool(cfg.get("avoid_cache_web")),
     )
     kw.update(overrides)
     return SyncConfig(**kw)

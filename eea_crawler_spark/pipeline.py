@@ -26,6 +26,7 @@ tables, not logic. Every step is the already-tested operator.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field, replace
 from functools import partial
@@ -85,12 +86,18 @@ class SyncConfig:
     # service behind a seam — mirrored here: off by default; when on,
     # chunk embeddings are merged into ``SyncPaths.chunks``.
     embed: bool = False
-    # reference URL plumbing (get_api_url, plone_rest_api.py:10-47):
-    # when on, fetch targets the doc's API URL (url_api_part inserted,
-    # or the fix_items_url prefix swap) while ids stay the listed URLs.
-    # Off by default — test transports serve listed ids verbatim.
+    # reference URL plumbing (get_api_url/get_doc_from_plone,
+    # plone_rest_api.py:10-47,190-199): when on, fetch targets the
+    # doc's API request URL (url_api_part inserted or the fix_items_url
+    # prefix swap, plus expand=object_provides&eea_index=1) while ids
+    # stay the listed URLs. Off by default — test transports serve
+    # listed ids verbatim.
     api_url_rewrite: bool = False
     fix_items_url: dict | None = None
+    # cache-busting stamps (avoid_cache_api / avoid_cache_web sites):
+    # &crawler=<stamp> on fetches, ?scrape=<stamp> on scrapes
+    avoid_cache_api: bool = False
+    avoid_cache_web: bool = False
 
 
 @dataclass
@@ -206,9 +213,13 @@ def run_sync(
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
     url_of = None
+    run_stamp = uuid.uuid4().hex[:12]
     if cfg.api_url_rewrite:
         url_of = partial(
-            AQ.api_url, api_part=cfg.api_part, fix_items_url=cfg.fix_items_url
+            AQ.fetch_query_url,
+            api_part=cfg.api_part,
+            fix_items_url=cfg.fix_items_url,
+            cache_bust=run_stamp if cfg.avoid_cache_api else None,
         )
     fetched = AQ.fetch_docs(
         due.select("id"), transport, url_of=url_of
@@ -237,6 +248,7 @@ def run_sync(
             scrape_transport or transport,
             cfg.api_part,
             fix_items_url=cfg.fix_items_url,
+            cache_bust=run_stamp if cfg.avoid_cache_web else None,
         )
         envelopes = (
             envelopes.join(scraped, "id", "left")

@@ -325,6 +325,22 @@ def api_url(doc_id: str, api_part: str, fix_items_url: dict | None = None) -> st
     return "/".join(parts)
 
 
+def fetch_query_url(
+    doc_id: str,
+    api_part: str,
+    fix_items_url: dict | None = None,
+    cache_bust: str | None = None,
+) -> str:
+    """The per-doc request URL the reference actually issues
+    (get_doc_from_plone, plone_rest_api.py:190-199): the API form plus
+    ``?expand=object_provides&eea_index=1``, with an optional
+    ``&crawler=<stamp>`` cache-buster (``avoid_cache_api`` sites)."""
+    url = f"{api_url(doc_id, api_part, fix_items_url)}?expand=object_provides&eea_index=1"
+    if cache_bust:
+        url = f"{url}&crawler={cache_bust}"
+    return url
+
+
 def no_api_url(
     doc_id: str, api_part: str, fix_items_url: dict | None = None
 ) -> str:
@@ -351,6 +367,7 @@ def scrape_docs(
     retries: int = 5,
     id_col: str = "id",
     fix_items_url: dict | None = None,
+    cache_bust: str | None = None,
 ) -> DataFrame:
     """Distributed page scrape (scrape/scrape_with_retry,
     dags/lib/plone_rest_api.py:205-258): fetch the no-api URL of each
@@ -370,11 +387,13 @@ def scrape_docs(
             for doc_id in pdf[id_col]:
                 errors: list[str] = []
                 html = None
+                s_url = no_api_url(doc_id, api_part, fix_items_url)
+                if cache_bust:
+                    # avoid_cache_web sites (plone_rest_api.py:251-256)
+                    s_url = f"{s_url}?scrape={cache_bust}"
                 for _ in range(retries):
                     try:
-                        status, body = transport(
-                            no_api_url(doc_id, api_part, fix_items_url)
-                        )
+                        status, body = transport(s_url)
                         if status == 200:
                             html = body
                             break

@@ -172,3 +172,16 @@ def test_api_url_and_no_api_url_twins():
         no_api_url("https://www.eea.europa.eu/en/topics/x", "api", fix)
         == "https://www.eea.europa.eu/en/topics/x"
     )  # already rendered form: unchanged
+
+
+def test_fetch_query_url_and_cache_bust():
+    """get_doc_from_plone's request URL: expand params always, crawler
+    stamp only for avoid_cache_api sites; scrape side uses ?scrape=."""
+    from eea_crawler_spark.sources.acquire import fetch_query_url
+
+    assert fetch_query_url("https://s.example/d0", "api") == (
+        "https://s.example/api/d0?expand=object_provides&eea_index=1"
+    )
+    assert fetch_query_url("https://s.example/d0", "api", cache_bust="r1") == (
+        "https://s.example/api/d0?expand=object_provides&eea_index=1&crawler=r1"
+    )

@@ -194,14 +194,14 @@ def test_sync_with_ported_eea_site_config(spark, paths):
     cfg = site_sync_config("eea", site_url=SITE, portal_types=["Document"])
 
     def api_site(url: str) -> tuple[int, str]:
-        # config-driven fetches MUST target the API form of the listed
-        # URL (get_api_url inserts url_api_part after the host) — a
-        # fetch of the bare listed URL means the rewrite didn't run
+        # config-driven fetches MUST target the API request form of the
+        # listed URL (get_api_url + the expand params,
+        # get_doc_from_plone) — a bare listed URL means no rewrite ran
         if "@search" in url:
             return site(url)
-        if "/api/SITE/" not in url:
-            return 404, "not the api form"
-        return site(url.replace("/api/SITE/", "/", 1))
+        if "/api/SITE/" not in url or "expand=object_provides" not in url:
+            return 404, "not the api request form"
+        return site(url.replace("/api/SITE/", "/", 1).split("?")[0])
 
     def scraper(url: str) -> tuple[int, str]:
         slug = url.rsplit("/", 1)[-1]
