@@ -139,7 +139,11 @@ def site_sync_config(site_id: str, **overrides):
     kw = dict(
         site_url=cfg["url"],
         site_id=site_id,
-        api_part=(cfg.get("url_api_part") or "").strip("/") or "api",
+        # empty url_api_part means NO api segment (get_api_url
+        # plone_rest_api.py:30-31, build_queries_list :101-103) —
+        # discomap/eionet/ias/noise serve @search at the site root,
+        # so '' must pass through, never be coerced to 'api'
+        api_part=(cfg.get("url_api_part") or "").strip("/"),
         portal_types=list(cfg.get("portal_types") or ["Document"]),
         types_blacklist=list(cfg.get("types_blacklist") or []),
         scrape_pages=bool(cfg.get("scrape_pages")),
@@ -151,6 +155,7 @@ def site_sync_config(site_id: str, **overrides):
         # listed URLs, with per-site cache busting
         api_url_rewrite=True,
         fix_items_url=cfg.get("fix_items_url"),
+        url_to_parse=cfg.get("url_to_parse"),
         avoid_cache_api=bool(cfg.get("avoid_cache_api")),
         avoid_cache_web=bool(cfg.get("avoid_cache_web")),
     )

@@ -94,6 +94,9 @@ class SyncConfig:
     # listed ids verbatim.
     api_url_rewrite: bool = False
     fix_items_url: dict | None = None
+    # get_no_api_url's site-level scrape-URL override
+    # (plone_rest_api.py:54-55): when set, every scrape hits this URL
+    url_to_parse: str | None = None
     # cache-busting stamps (avoid_cache_api / avoid_cache_web sites):
     # &crawler=<stamp> on fetches, ?scrape=<stamp> on scrapes
     avoid_cache_api: bool = False
@@ -161,6 +164,7 @@ def run_sync(
             api_part=cfg.api_part,
             portal_types=cfg.portal_types,
             quick_since=cfg.quick_since,
+            fix_items_url=cfg.fix_items_url,
         )
     else:
         listing_raw = AQ.listing_df(
@@ -170,6 +174,7 @@ def run_sync(
             cfg.api_part,
             cfg.portal_types,
             quick_since=cfg.quick_since,
+            fix_items_url=cfg.fix_items_url,
         )
     # snapshot: the listing is reused after the state tables are swapped
     # below — cut its lineage to the pre-swap files (small: ids + stamps;
@@ -243,13 +248,17 @@ def run_sync(
         # S6: rendered-page scrape for this run's due docs only; a failed
         # scrape records its error but keeps the row (the chain's
         # fulltext falls back to the joined text fields)
+        # snapshot: like fetch_docs above, ONE network pass — envelopes
+        # is executed three times below (count, changed_ids checkpoint,
+        # raw upsert) and a re-run would re-scrape every page
         scraped = AQ.scrape_docs(
             due.select("id"),
             scrape_transport or transport,
             cfg.api_part,
             fix_items_url=cfg.fix_items_url,
             cache_bust=run_stamp if cfg.avoid_cache_web else None,
-        )
+            url_to_parse=cfg.url_to_parse,
+        ).localCheckpoint(eager=True)
         envelopes = (
             envelopes.join(scraped, "id", "left")
             .withColumn(

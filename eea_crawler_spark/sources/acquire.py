@@ -59,6 +59,25 @@ FETCHED_SCHEMA = T.StructType(
 # ---- S1: Plone-REST listing ---------------------------------------------
 
 
+def listing_search_base(
+    site_url: str, api_part: str, fix_items_url: dict | None = None
+) -> str:
+    """The site-URL prefix listing queries are issued against
+    (build_queries_list, plone_rest_api.py:93-103): ``fix_items_url``
+    sites swap their configured prefix (without_api → with_api) and
+    never append the api segment; otherwise the ``url_api_part``
+    segment is appended only when non-empty — an empty part means the
+    site serves ``@search`` at its root (discomap/eionet/ias/noise)."""
+    base = site_url.rstrip("/")
+    if fix_items_url:
+        wo = fix_items_url["without_api"]
+        if wo in base:
+            base = base.replace(wo, fix_items_url["with_api"])
+        return base
+    part = (api_part or "").strip("/")
+    return f"{base}/{part}" if part else base
+
+
 def listing_query_url(
     site_url: str,
     api_part: str,
@@ -66,13 +85,14 @@ def listing_query_url(
     b_start: int = 0,
     b_size: int = 500,
     quick_since: str | None = None,
+    fix_items_url: dict | None = None,
 ) -> str:
     """One page of the per-portal-type ``@search`` query
     (plone_rest_api.py:87-141): metadata_fields for the diff join,
     newest-first, and the quick-mode ``modified >= since`` pushdown
     (P13) that makes incremental listings cheap on the remote side."""
     url = (
-        f"{site_url.rstrip('/')}/{api_part}/@search"
+        f"{listing_search_base(site_url, api_part, fix_items_url)}/@search"
         f"?portal_type={portal_type}"
         "&metadata_fields=modified&metadata_fields=seo_noindex"
         "&sort_on=Date&sort_order=reverse"
@@ -91,6 +111,7 @@ def walk_listing(
     b_size: int = 500,
     quick_since: str | None = None,
     max_pages: int = 10_000,
+    fix_items_url: dict | None = None,
 ) -> list[dict]:
     """Driver-side page walk (pagination loop plone_rest_api.py:169-187):
     follows ``batching.next`` until exhausted, per portal type."""
@@ -99,7 +120,10 @@ def walk_listing(
         b_start = 0
         for _ in range(max_pages):
             status, body = transport(
-                listing_query_url(site_url, api_part, ptype, b_start, b_size, quick_since)
+                listing_query_url(
+                    site_url, api_part, ptype, b_start, b_size, quick_since,
+                    fix_items_url=fix_items_url,
+                )
             )
             if status != 200:
                 break
@@ -127,9 +151,11 @@ def listing_df(
     portal_types: list[str] | None = None,
     b_size: int = 500,
     quick_since: str | None = None,
+    fix_items_url: dict | None = None,
 ) -> DataFrame:
     rows = walk_listing(
-        transport, site_url, api_part, portal_types or ["Document"], b_size, quick_since
+        transport, site_url, api_part, portal_types or ["Document"], b_size,
+        quick_since, fix_items_url=fix_items_url,
     )
     return spark.createDataFrame(rows, LISTING_SCHEMA) if rows else spark.createDataFrame(
         [], LISTING_SCHEMA
@@ -304,10 +330,14 @@ SCRAPED_SCHEMA = (
 
 def api_url(doc_id: str, api_part: str, fix_items_url: dict | None = None) -> str:
     """Rewrite a listed doc URL to its API form before fetching
-    (get_api_url, dags/lib/plone_rest_api.py:10-47): ``fix_items_url``
-    sites swap a configured prefix (without_api → with_api, e.g.
-    ``/en`` → ``/++api++/en``); otherwise the ``url_api_part`` segment
-    is inserted after the host unless already present."""
+    (get_api_url, dags/lib/plone_rest_api.py:12-48): the
+    ``www.eea.europa.eu`` legacy ``/api/`` short-circuit, then
+    ``fix_items_url`` sites swap a configured prefix (without_api →
+    with_api, e.g. ``/en`` → ``/++api++/en``); otherwise the
+    ``url_api_part`` segment (empty = no segment) is inserted after
+    the host unless already present."""
+    if "www.eea.europa.eu" in doc_id and "/api/" in doc_id:
+        return doc_id
     if fix_items_url:
         wo, wi = fix_items_url["without_api"], fix_items_url["with_api"]
         if f"{wo}/" in doc_id:
@@ -342,22 +372,47 @@ def fetch_query_url(
 
 
 def no_api_url(
-    doc_id: str, api_part: str, fix_items_url: dict | None = None
+    doc_id: str,
+    api_part: str,
+    fix_items_url: dict | None = None,
+    url_to_parse: str | None = None,
 ) -> str:
     """Strip the REST-API path back off a doc URL
-    (get_no_api_url, dags/lib/plone_rest_api.py:51-80): the scrape
-    hits the rendered page, not the API resource. ``fix_items_url``
-    sites invert their prefix swap (with_api → without_api)."""
+    (get_no_api_url, dags/lib/plone_rest_api.py:51-84): the scrape
+    hits the rendered page, not the API resource.
+
+    Full reference branch set: the ``url_to_parse`` site override wins
+    outright; ``fix_items_url`` sites invert their prefix swap
+    (with_api → without_api, incl. the secondary ``with_api2`` prefix
+    and the exact-URL-equality fallback) and FALL THROUGH to the
+    segment strip when no prefix matches; the segment strip removes
+    every ``/{api_part}/`` occurrence (the reference splits, not
+    replace-first), and ``www.eea.europa.eu`` URLs additionally shed
+    legacy ``/api/`` segments."""
+    if url_to_parse:
+        return url_to_parse
     if fix_items_url:
-        wo, wi = fix_items_url["without_api"], fix_items_url["with_api"]
+        wo = fix_items_url.get("without_api", "")
+        wi = fix_items_url.get("with_api", "")
+        wa2 = fix_items_url.get("with_api2")
         if f"{wo}/" in doc_id:
             return doc_id
         if f"{wi}/" in doc_id:
             return doc_id.replace(wi, wo)
-        return doc_id
-    if not api_part:
-        return doc_id
-    return doc_id.replace(f"/{api_part.strip('/')}/", "/", 1)
+        if wa2 is not None and f"{wa2}/" in doc_id:
+            return doc_id.replace(wa2, wo)
+        if doc_id in (wo, wi, wa2 or ""):
+            return wo
+        # no prefix matched: the reference falls through to the strip
+    if "://" in doc_id:
+        protocol, rest = doc_id.split("://", 1)
+    else:
+        protocol, rest = None, doc_id
+    part = (api_part or "").strip("/")
+    ret = "/".join(rest.split(f"/{part}/")) if part else rest
+    if "www.eea.europa.eu" in rest and "/api/" in rest:
+        ret = "/".join(ret.split("/api/"))
+    return f"{protocol}://{ret}" if protocol else ret
 
 
 def scrape_docs(
@@ -368,6 +423,7 @@ def scrape_docs(
     id_col: str = "id",
     fix_items_url: dict | None = None,
     cache_bust: str | None = None,
+    url_to_parse: str | None = None,
 ) -> DataFrame:
     """Distributed page scrape (scrape/scrape_with_retry,
     dags/lib/plone_rest_api.py:205-258): fetch the no-api URL of each
@@ -387,7 +443,7 @@ def scrape_docs(
             for doc_id in pdf[id_col]:
                 errors: list[str] = []
                 html = None
-                s_url = no_api_url(doc_id, api_part, fix_items_url)
+                s_url = no_api_url(doc_id, api_part, fix_items_url, url_to_parse)
                 if cache_bust:
                     # avoid_cache_web sites (plone_rest_api.py:251-256)
                     s_url = f"{s_url}?scrape={cache_bust}"

@@ -29,6 +29,7 @@ transport is stdlib urllib (no extra deps), for live use.
 from __future__ import annotations
 
 import base64
+import json
 import urllib.request
 from dataclasses import dataclass
 from typing import Iterator, Sequence
@@ -97,6 +98,8 @@ class PloneListingReader(DataSourceReader):
         ]
         self.b_size = int(options.get("b_size", "500"))
         self.quick_since = options.get("quick_since") or None
+        fix_blob = options.get("fix_items_url")
+        self.fix_items_url = json.loads(fix_blob) if fix_blob else None
         blob = options.get("transport_b64")
         self.transport: Transport = (
             _decode_transport(blob) if blob else urllib_transport
@@ -144,6 +147,7 @@ class PloneListingReader(DataSourceReader):
             [partition.portal_type],
             self.b_size,
             self.quick_since,
+            fix_items_url=self.fix_items_url,
         )
         for r in rows:
             yield (r["id"], r["doc_type"], r["modified"], r["seo_noindex"])
@@ -173,6 +177,7 @@ def plone_listing_df(
     portal_types: Sequence[str] = ("Document",),
     b_size: int = 500,
     quick_since: str | None = None,
+    fix_items_url: dict | None = None,
 ):
     """Convenience wrapper: register the format (idempotent) and read.
     ``transport`` (a callable) or ``transport_key`` (registry lookup)
@@ -185,6 +190,8 @@ def plone_listing_df(
         .option("portal_types", ",".join(portal_types))
         .option("b_size", str(b_size))
     )
+    if fix_items_url:
+        reader = reader.option("fix_items_url", json.dumps(fix_items_url))
     if transport is None and transport_key:
         transport = TRANSPORT_REGISTRY[transport_key]
     if transport is not None:

@@ -174,6 +174,120 @@ def test_api_url_and_no_api_url_twins():
     )  # already rendered form: unchanged
 
 
+def test_no_api_url_reference_branches():
+    """The get_no_api_url branch set (plone_rest_api.py:51-84) the
+    round-3 port missed: url_to_parse override, with_api2, exact-URL
+    equality fallback, fall-through to the segment strip, splitting
+    ALL api-segment occurrences, and the eea legacy /api/ shed."""
+    from eea_crawler_spark.sources.acquire import api_url, no_api_url
+
+    fix = {
+        "without_api": "https://water.europa.eu/freshwater",
+        "with_api": "https://water.europa.eu/freshwater/++api++",
+        "with_api2": "https://water.europa.eu/fresh2/++api++",
+    }
+    # url_to_parse wins outright
+    assert (
+        no_api_url("https://x/any", "api", fix, url_to_parse="https://x/home")
+        == "https://x/home"
+    )
+    # with_api2 prefix inverts to without_api
+    assert (
+        no_api_url("https://water.europa.eu/fresh2/++api++/rivers", "", fix)
+        == "https://water.europa.eu/freshwater/rivers"
+    )
+    # exact equality fallback → without_api. Only reachable when no
+    # prefix-containment branch fires first, i.e. shapes where
+    # without_api is NOT a prefix of with_api (the eea_en swap)
+    fix_en = {
+        "without_api": "https://www.eea.europa.eu/en",
+        "with_api": "https://www.eea.europa.eu/++api++/en",
+        "with_api2": "https://www.eea.europa.eu/api/en",
+    }
+    for exact in (fix_en["with_api"], fix_en["with_api2"]):
+        assert no_api_url(exact, "", fix_en) == fix_en["without_api"]
+    # wise shape: with_api == without_api + '/++api++', so the wo/
+    # containment branch fires first and the URL passes through —
+    # reference-exact (plone_rest_api.py:57-58)
+    assert no_api_url(fix["with_api"], "", fix) == fix["with_api"]
+    # no prefix matched → falls through to the segment strip
+    assert (
+        no_api_url("https://other.example/api/x", "api", fix)
+        == "https://other.example/x"
+    )
+    # the strip removes EVERY occurrence (reference splits, not
+    # replace-first)
+    assert (
+        no_api_url("https://s.example/api/a/api/b", "api")
+        == "https://s.example/a/b"
+    )
+    # eea legacy: /api/ segments shed even when url_api_part differs
+    assert (
+        no_api_url("https://www.eea.europa.eu/api/x", "++api++")
+        == "https://www.eea.europa.eu/x"
+    )
+    # ...and get_api_url's matching short-circuit: /api/ already there
+    assert (
+        api_url("https://www.eea.europa.eu/api/x", "++api++")
+        == "https://www.eea.europa.eu/api/x"
+    )
+
+
+def test_listing_search_base_per_site_shapes():
+    """build_queries_list's URL prefix (plone_rest_api.py:93-103) for
+    every registered production site shape: empty api parts stay
+    segment-free, fix_items_url sites swap without→with_api and never
+    append the api part."""
+    from eea_crawler_spark.config import site_table
+    from eea_crawler_spark.sources.acquire import listing_search_base
+
+    expected = {
+        # empty url_api_part → @search at the site root
+        "discomap": "https://discomap.eea.europa.eu",
+        "eionet": "https://www.eionet.europa.eu",
+        "ias": "https://ias.eea.europa.eu",
+        "noise": "https://noise.eea.europa.eu",
+        # plain api segment appended
+        "energy": "https://climate-energy.eea.europa.eu/api",
+        "bise": "https://biodiversity.europa.eu/++api++",
+        "eea": "http://www.eea.europa.eu/api/SITE",
+        # fix_items_url prefix swap, NO api part appended
+        "eea_en": "https://www.eea.europa.eu/++api++/en",
+        "wise_freshwater": "https://water.europa.eu/freshwater/++api++",
+        "wise_marine": "https://water.europa.eu/marine/++api++",
+    }
+    sites = site_table()
+    for sid, want in expected.items():
+        cfg = sites[sid]
+        got = listing_search_base(
+            cfg["url"],
+            (cfg.get("url_api_part") or "").strip("/"),
+            cfg.get("fix_items_url"),
+        )
+        assert got == want, f"{sid}: {got} != {want}"
+
+
+def test_site_sync_config_preserves_empty_api_part():
+    """site_sync_config must pass '' through (the round-3 `or 'api'`
+    coercion broke discomap/eionet/ias/noise listing + scrape URLs)."""
+    from eea_crawler_spark.config import site_sync_config
+
+    assert site_sync_config("discomap").api_part == ""
+    assert site_sync_config("energy").api_part == "api"
+    # listing leg: the full page URL for an empty-part site has no
+    # spurious /api/ segment
+    from eea_crawler_spark.sources.acquire import listing_query_url
+
+    url = listing_query_url("https://discomap.eea.europa.eu/", "", "Document")
+    assert url.startswith("https://discomap.eea.europa.eu/@search?")
+    # fix_items_url listing leg: eea_en lists against the ++api++ form
+    cfg = site_sync_config("eea_en")
+    url = listing_query_url(
+        cfg.site_url, cfg.api_part, "Document", fix_items_url=cfg.fix_items_url
+    )
+    assert url.startswith("https://www.eea.europa.eu/++api++/en/@search?")
+
+
 def test_fetch_query_url_and_cache_bust():
     """get_doc_from_plone's request URL: expand params always, crawler
     stamp only for avoid_cache_api sites; scrape side uses ?scrape=."""
