@@ -160,85 +160,171 @@ def ngram_jaccard_pairs(
     if max_df is None:
         # the self-join + sizes reuse sh 3×; materialize the explode once
         sh = sh.localCheckpoint(eager=True)
-        scored = _pair_jaccard(sh)
+        return (
+            _pair_jaccard(sh)
+            .filter(F.col("jaccard") >= threshold)
+            .orderBy("doc_a", "doc_b", "jaccard")
+        )
     else:
-        # sh feeds the df histogram, the capped self-join, the hot-count
-        # per doc, and the final full-set scoring — without a checkpoint
-        # Catalyst re-derives the shingle explosion for every consumer
-        # (the 4× bench regression flagged in round 2). One eager
-        # materialization bounds it.
-        sh = sh.localCheckpoint(eager=True)
-        hot = (
+        # sh feeds the df histogram, the capped self-join, the per-doc
+        # stats, and the hot rescore — without a checkpoint Catalyst
+        # re-derives the shingle explosion for every consumer (the 4×
+        # bench regression flagged in round 2). One eager
+        # materialization bounds it. Shingles are hashed to int64 up
+        # front: every downstream shuffle/join/aggregate moves 8-byte
+        # longs instead of n-gram strings. Set cardinalities survive
+        # short of an xxhash64 collision among the corpus's distinct
+        # shingles (~1e-9 at 1M distinct; the capped==uncapped pytest
+        # pin compares against the string-exact uncapped path and
+        # would surface one).
+        sh = sh.select(
+            "id", F.xxhash64("shingle").alias("shingle")
+        ).localCheckpoint(eager=True)
+        # hot shingles: small by construction (≤ shingle_rows/max_df).
+        # Under ~10k of them the set ships as an InSet literal — every
+        # consumer filters in codegen with zero extra exchanges; a
+        # pathological hot set falls back to a broadcast-join flag so
+        # the plan never carries a multi-megabyte literal.
+        hot_probe = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        capped = sh.join(F.broadcast(hot), ["shingle"], "left_anti")
+        hot_rows = hot_probe.limit(10_001).collect()
+        if len(hot_rows) <= 10_000:
+            hot_list = [r["shingle"] for r in hot_rows]
+            is_hot = (
+                F.col("shingle").isin(hot_list) if hot_list else F.lit(False)
+            )
+            flagged = sh.withColumn(
+                "__hot", F.when(is_hot, F.lit(1))
+            )
+        else:
+            hot = hot_probe.localCheckpoint(eager=True)
+            flagged = sh.join(
+                F.broadcast(hot.withColumn("__hot", F.lit(1))),
+                ["shingle"],
+                "left",
+            )
+        stats = flagged.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__hot").alias("hn"),
+        )
         # Candidate pruning WITHOUT materializing the pair set: the
         # capped self-join aggregates straight to per-pair intersection
         # counts (map-side combinable — never a distinct over the
         # candidate blow-up; at sf0.1 the cap leaves >1.1M candidate
         # pairs and enumerating them dominated the round-2/3 runtime).
-        # Then prune by an EXACT upper bound on full-set Jaccard:
-        #   inter_full ≤ inter_capped + min(hot_a, hot_b)
-        # (a pair can share at most min(hot_a, hot_b) hot shingles), and
-        # J = i/(na+nb-i) is increasing in i. Only survivors — the
-        # near-dup shortlist — get the exact full-set rescore, whose
-        # values equal the uncapped join's for every surviving pair.
+        # Pruning, earliest-first, all EXACT bounds on full-set Jaccard:
+        #   1. size-ratio, pre-aggregation: J ≤ min(na,nb)/max(na,nb)
+        #      (i ≤ min(na,nb) and J=i/(na+nb-i) is increasing in i) —
+        #      applied inside the self-join, it drops ~3/4 of the pair
+        #      blow-up before the aggregate shuffle ever sees it;
+        #   2. hot-count, post-aggregation:
+        #      inter_full ≤ inter_capped + min(hot_a, hot_b)
+        #      (a pair shares at most min(hot_a, hot_b) hot shingles).
+        # Only survivors — the near-dup shortlist — get the exact
+        # rescore, whose values equal the uncapped join's for every
+        # surviving pair. Stats ride the join sides (broadcast: one
+        # narrow row per doc) so no post-aggregation stats join exists.
+        side = (
+            flagged.filter(F.col("__hot").isNull())
+            .select("id", "shingle")
+            .join(F.broadcast(stats), ["id"])
+        )
+        a = side.select(
+            F.col("id").alias("doc_a"), "shingle",
+            F.col("n").alias("na"), F.col("hn").alias("ha"),
+        )
+        b = side.select(
+            F.col("id").alias("doc_b"), "shingle",
+            F.col("n").alias("nb"), F.col("hn").alias("hb"),
+        )
         inter_c = (
-            capped.select(F.col("id").alias("doc_a"), "shingle")
-            .join(capped.select(F.col("id").alias("doc_b"), "shingle"), ["shingle"])
+            # shuffle-hash beats sort-merge here: both sides are narrow
+            # long-keyed rows and the per-partition sort would dominate
+            a.hint("shuffle_hash").join(b, ["shingle"])
             .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
+            .filter(
+                F.least("na", "nb").cast("double")
+                / F.greatest("na", "nb")
+                >= threshold
+            )
+            .groupBy("doc_a", "doc_b", "na", "nb", "ha", "hb")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-        hot_cnt = (
-            sh.join(F.broadcast(hot), ["shingle"], "left_semi")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("hn"))
-        )
-        stats = sizes.join(hot_cnt, ["id"], "left").select(
-            "id", "n", F.coalesce("hn", F.lit(0)).alias("hn")
-        )
         i_max = F.col("c") + F.least(F.col("ha"), F.col("hb"))
+        # Survivors carry their capped intersection count and set sizes
+        # through the checkpoint: the exact rescore below never re-joins
+        # the full inverted index — inter_full = c + (hot shingles the
+        # pair shares), and only the hot-only correction join remains.
         pairs = (
-            inter_c.join(
-                stats.select(
-                    F.col("id").alias("doc_a"),
-                    F.col("n").alias("na"),
-                    F.col("hn").alias("ha"),
-                ),
-                ["doc_a"],
-            )
-            .join(
-                stats.select(
-                    F.col("id").alias("doc_b"),
-                    F.col("n").alias("nb"),
-                    F.col("hn").alias("hb"),
-                ),
-                ["doc_b"],
-            )
-            .filter(
+            inter_c.filter(
                 i_max.cast("double") / (F.col("na") + F.col("nb") - i_max)
                 >= threshold
             )
-            .select("doc_a", "doc_b")
+            .select("doc_a", "doc_b", "c", "na", "nb")
         ).localCheckpoint(eager=True)  # tiny: the near-dup shortlist
         cand_ids = (
             pairs.select(F.col("doc_a").alias("id"))
             .union(pairs.select(F.col("doc_b").alias("id")))
             .distinct()
         )
-        # cand_ids is usually broadcast-sized, but a dup-heavy corpus
-        # can make it large — leave the strategy to AQE
-        scored = _pair_jaccard(
-            sh.join(cand_ids, ["id"], "left_semi"), pairs=pairs
+        # hot-only correction: each candidate doc's HOT shingle set as
+        # one array (hot sets are ≤ |hot| long by construction and the
+        # docs are the near-dup shortlist), broadcast onto the survivor
+        # pairs; the shared-hot count is then a codegen array_intersect
+        # — no second inverted-index join of any kind
+        hotsets = (
+            flagged.filter(F.col("__hot").isNotNull())
+            .select("id", "shingle")
+            .join(F.broadcast(cand_ids), ["id"], "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("shingle").alias("hs"))
         )
+        empty = F.array().cast("array<bigint>")
+        i_full = F.col("c") + F.size(
+            F.array_intersect(
+                F.coalesce("hs_a", empty), F.coalesce("hs_b", empty)
+            )
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(
+                    hotsets.select(
+                        F.col("id").alias("doc_a"), F.col("hs").alias("hs_a")
+                    )
+                ),
+                ["doc_a"],
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    hotsets.select(
+                        F.col("id").alias("doc_b"), F.col("hs").alias("hs_b")
+                    )
+                ),
+                ["doc_b"],
+                "left",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    i_full.cast("double")
+                    / (F.col("na") + F.col("nb") - i_full),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+    # single-pass global sort: the result is a near-dup shortlist, and
+    # orderBy's range-partition sampling would execute the rescore plan
+    # twice just to order it
     return (
         scored.filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b", "jaccard")
+        .coalesce(1)
+        .sortWithinPartitions("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -81,6 +81,7 @@ def embed_chunks(
     words: int = 250,
     overlap: int = 50,
     embed: Column | None = None,
+    target_partitions: int | None = None,
 ) -> DataFrame:
     """Chunk and embed: (id, chunk_idx, chunk_text, embedding).
 
@@ -88,7 +89,19 @@ def embed_chunks(
     embeddings back to chunks by text equality (nlp.py:99-121), which
     breaks on duplicate chunk text; carrying the index through the UDF
     output removes that failure mode entirely.
+
+    Parallelism: the embed UDF inherits the scan's partitioning — at
+    scale input splits already fan the chunks out, and an unconditional
+    repartition would pay a shuffle plus per-worker Python startup that
+    dominates small batches (the round-3 chunk_embed regression: 32
+    workers spun up for ~1k chunks of stub work). ``target_partitions``
+    is the knob for the inverse case — an expensive real model fed from
+    a narrow input (few splits, heavy per-chunk compute): set it to the
+    cluster's parallelism and the chunk rows (NOT the docs — chunks are
+    the unit the UDF consumes) are spread before the model runs.
     """
     chunks = chunk_texts(df, text_col, id_col, words, overlap)
+    if target_partitions:
+        chunks = chunks.repartition(target_partitions)
     embedder = embed if embed is not None else fake_embed(F.col("chunk_text"))
     return chunks.withColumn("embedding", embedder)

@@ -103,15 +103,23 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # NO doc-side spread (the round-3 regression): the embed UDF
+    # inherits the scan's partitioning — real input splits provide the
+    # width at scale, and chunks, not docs, are the unit the UDF
+    # consumes (embed_chunks' target_partitions is the knob for heavy
+    # models on narrow inputs)
+    docs = load_table(spark, sf_dir, "documents")
     from eea_crawler_spark.operators.embeddings import embed_chunks
 
     out = embed_chunks(docs, words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
     # the driver's pandas canon cannot sort/hash list cells — serialize
-    # the vector as JSON text (rows-only check either way: model stub)
-    return out.select(
+    # the vector as JSON text (rows-only check either way: model stub).
+    # Materialize once (the tiny result), then sort without a range-
+    # partition sampling pass — orderBy's sampler re-runs the UDF stage.
+    out = out.select(
         "doc_id", "chunk_idx", F.to_json("embedding").alias("embedding")
-    ).orderBy("doc_id", "chunk_idx")
+    ).localCheckpoint(eager=True)
+    return out.coalesce(1).sortWithinPartitions("doc_id", "chunk_idx")
 
 
 def _chunks_sql() -> str:
