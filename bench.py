@@ -50,6 +50,7 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     if warmup:
         # one full pass to warm codegen/JIT and the file-listing caches
         for name, fn in QUERIES.items():
@@ -61,6 +62,10 @@ def main() -> None:
             run_query(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        # best-of-reps rides along so a noisy-neighbor window on one rep
+        # is visible as (median >> best) instead of reading as a plan
+        # regression
+        best[name] = round(min(samples), 4)
 
     # headline metric covers the declared core set (BASELINE.md contract);
     # extras are still reported per-query above
@@ -72,6 +77,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_best": best,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -51,11 +51,21 @@ def _fake_vector(text: str, dim: int) -> list[float]:
     return [float(x) for x in (v / nrm)]
 
 
-# DataType object (not a DDL string): string return types are parsed at
-# decoration time and would require an active SparkSession at import
-@pandas_udf(T.ArrayType(T.FloatType()))
-def fake_embed(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: _fake_vector(t or "", EMBED_DIM))
+def make_fake_embed(dim: int = EMBED_DIM):
+    """Deterministic stub embedder at an arbitrary width — dim 768 is
+    the reference's production vector size (variables.json:2322); the
+    throughput test drives the Arrow batch path at that width."""
+
+    # DataType object (not a DDL string): string return types are
+    # parsed at decoration time and would need an active SparkSession
+    @pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _fake_vector(t or "", dim))
+
+    return _embed
+
+
+fake_embed = make_fake_embed(EMBED_DIM)
 
 
 def chunk_texts(

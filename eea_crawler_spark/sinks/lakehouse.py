@@ -101,11 +101,25 @@ def merge_upsert(
         if not table_exists(path):
             src.write.format("delta").save(path)
             return
-        (
+        mb = (
             DeltaTable.forPath(spark, path)
             .alias("t")
             .merge(src.alias("u"), f"t.`{key}` = u.`{key}`")
-            .whenMatchedUpdateAll(condition=f"u.`{order_col}` >= t.`{order_col}`")
+        )
+        # schema-evolution parity with the parquet twin's
+        # allowMissingColumns union: batches that add columns (nlp_250 /
+        # chunk fields arriving after first write) or omit stored ones
+        # (update-only renormalize) must merge, not throw. delta-spark
+        # ≥3.1 has the per-merge builder; older runtimes use the session
+        # autoMerge flag.
+        if hasattr(mb, "withSchemaEvolution"):
+            mb = mb.withSchemaEvolution()
+        else:  # pragma: no cover - depends on delta-spark version
+            spark.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", "true"
+            )
+        (
+            mb.whenMatchedUpdateAll(condition=f"u.`{order_col}` >= t.`{order_col}`")
             .whenNotMatchedInsertAll()
             .execute()
         )

@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Scale benchmark: core queries at sf1 (~6M lineitem), Spark vs DuckDB.
+
+BASELINE.md's contract defense is a growth-rate argument — Spark's
+per-query time is overhead-bound (near-flat in SF) while DuckDB's grows
+with data, so the curves cross somewhere around a few GB. This script
+produces the measurement instead of the argument:
+
+1. **Generate sf1** (once, deterministic): 10 key-offset replicas of
+   the driver's sf0.1 tables under ``.scale/sf1`` — join relationships
+   survive because every foreign key is shifted by the same per-replica
+   offset as its referenced primary key; region/nation stay the shared
+   25-row dims. Nothing outside the repo directory is touched and the
+   driver's testdata is read-only input.
+2. **Time the declared core queries (q1-q32)** on both engines over the
+   SAME parquet files: per query, one untimed warm-up then
+   ``REPS`` timed runs, median + best reported. Spark executes the full
+   plan through the noop sink (no driver materialization); DuckDB runs
+   the declared oracle SQL with fetchall (its result sets are the same
+   small aggregates).
+
+Output: one JSON line (machine) plus a markdown table (for BASELINE.md).
+
+Usage: python scripts/bench_scale.py [--sf-dir DIR] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+# key column → (table that owns it); every occurrence of the key in any
+# table is shifted by replica_idx * (max_key + 1) of the OWNING table,
+# so foreign keys keep pointing at the same replica's rows
+KEY_OWNERS = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+SHARED_DIMS = {"region", "nation"}  # stay 5/25 rows at every SF
+
+
+def generate(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst_dir, exist_ok=True)
+    offsets = {}
+    for owner, key in set(KEY_OWNERS.values()):
+        df = spark.read.parquet(f"{src_dir}/{owner}.parquet")
+        offsets[(owner, key)] = int(df.agg(F.max(key)).first()[0]) + 1
+    for t in TABLES:
+        dst = f"{dst_dir}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(f"{src_dir}/{t}.parquet")
+        if t in SHARED_DIMS:
+            base.write.mode("overwrite").parquet(dst)
+            continue
+        parts = []
+        for i in range(replicas):
+            rep = base
+            for col in base.columns:
+                if col in KEY_OWNERS:
+                    step = offsets[KEY_OWNERS[col]]
+                    rep = rep.withColumn(
+                        col, (F.col(col) + F.lit(i * step)).cast(
+                            dict(base.dtypes)[col]
+                        )
+                    )
+            parts.append(rep)
+        out = parts[0]
+        for rep in parts[1:]:
+            out = out.unionByName(rep)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"generated {t}: {out.count()} rows", file=sys.stderr)
+
+
+def time_fn(fn, reps: int = REPS) -> tuple[float, float]:
+    fn()  # warm-up (codegen / buffer cache), untimed
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4), round(min(samples), 4)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".scale", "sf1"))
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--queries", default="")  # comma list; default core
+    args = ap.parse_args()
+
+    from eea_crawler_spark.session import get_spark
+
+    spark = get_spark("eea_crawler_spark-scale", data_dir=args.sf_dir)
+    generate(spark, args.src_dir, args.sf_dir, args.replicas)
+    # re-init session configs now that the data exists (shuffle
+    # partitions / AQE are sized from input bytes at session build)
+    spark.stop()
+    spark = get_spark("eea_crawler_spark-scale", data_dir=args.sf_dir)
+
+    from eea_crawler_spark.plans import CORE_QUERIES, QUERIES
+    import __spark_entry__ as entry
+
+    names = (
+        [q.strip() for q in args.queries.split(",") if q.strip()]
+        or sorted(CORE_QUERIES, key=lambda n: int(n[1:]) if n[1:].isdigit() else 99)
+    )
+    osql = entry.oracle_sql()
+
+    spark_med, spark_best = {}, {}
+    for name in names:
+        fn = QUERIES[name]
+        med, best = time_fn(
+            lambda: fn(spark, args.sf_dir)
+            .write.format("noop").mode("overwrite").save()
+        )
+        spark_med[name], spark_best[name] = med, best
+        print(f"spark {name}: med={med} best={best}", file=sys.stderr)
+    spark.stop()
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        # Spark writes <table>.parquet as a directory of part files
+        p = f"{args.sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    duck_med, duck_best = {}, {}
+    for name in names:
+        sql = osql.get(name)
+        if not sql:
+            continue
+        med, best = time_fn(lambda: con.execute(sql).fetchall())
+        duck_med[name], duck_best[name] = med, best
+        print(f"duckdb {name}: med={med} best={best}", file=sys.stderr)
+
+    ratios = {
+        n: round(spark_med[n] / duck_med[n], 2)
+        for n in names
+        if n in duck_med and duck_med[n] > 0
+    }
+    spark_total = round(sum(spark_med.values()), 3)
+    duck_total = round(sum(duck_med.values()), 3)
+    within_2x = sum(1 for r in ratios.values() if r <= 2.0)
+    print(json.dumps({
+        "metric": "scale_bench",
+        "sf_dir": args.sf_dir,
+        "replicas": args.replicas,
+        "spark_total_sec": spark_total,
+        "duckdb_total_sec": duck_total,
+        "total_ratio": round(spark_total / duck_total, 2) if duck_total else None,
+        "within_2x": within_2x,
+        "n_queries": len(ratios),
+        "spark": spark_med,
+        "spark_best": spark_best,
+        "duckdb": duck_med,
+        "ratio": ratios,
+    }))
+    # markdown table for BASELINE.md
+    print("\n| query | spark med (s) | duckdb med (s) | ratio |", file=sys.stderr)
+    print("|---|---|---|---|", file=sys.stderr)
+    for n in names:
+        if n in ratios:
+            print(
+                f"| {n} | {spark_med[n]} | {duck_med[n]} | {ratios[n]} |",
+                file=sys.stderr,
+            )
+    print(
+        f"| **total** | **{spark_total}** | **{duck_total}** | "
+        f"**{round(spark_total / duck_total, 2) if duck_total else '-'}** |",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,32 @@ def test_merge_delete(spark, tmp_path, backend):
 
 
 @pytest.mark.parametrize("backend", BACKENDS)
+def test_merge_schema_evolution(spark, tmp_path, backend):
+    """Batches adding or omitting columns merge on BOTH backends: the
+    parquet twin unions with allowMissingColumns, the Delta leg must
+    carry withSchemaEvolution/autoMerge (round-3 divergence: it threw
+    on a real Delta runtime while parquet succeeded)."""
+    _needs(spark, backend)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1)]), backend=backend)
+    # batch ADDS a column the table lacks
+    wider = spark.createDataFrame(
+        [("b", "v1", dt.datetime(2024, 1, 2), "extra")],
+        "id string, v string, indexed_at timestamp, nlp string",
+    )
+    LK.merge_upsert(spark, path, wider, backend=backend)
+    # batch OMITS a column the table has (update-only renormalize shape)
+    narrower = spark.createDataFrame(
+        [("a", "v2", dt.datetime(2024, 1, 3))],
+        "id string, v string, indexed_at timestamp",
+    )
+    LK.merge_upsert(spark, path, narrower, backend=backend)
+    got = {r["id"]: r.asDict() for r in LK.read_table(spark, path).collect()}
+    assert got["a"]["v"] == "v2" and got["a"]["nlp"] is None
+    assert got["b"]["nlp"] == "extra"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
 def test_merge_idempotent_replay(spark, tmp_path, backend):
     """At-least-once safety: re-applying the same batch is a no-op."""
     _needs(spark, backend)

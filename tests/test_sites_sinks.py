@@ -387,6 +387,55 @@ def test_es_options_shape():
     assert opts["es.write.operation"] == "upsert"
 
 
+class _RecordingWriter:
+    """DataFrameWriter stand-in: records the exact format/options/mode
+    the serving write issues, `save` is a no-op."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def format(self, fmt):
+        self.calls["format"] = fmt
+        return self
+
+    def options(self, **opts):
+        self.calls.setdefault("options", {}).update(opts)
+        return self
+
+    def mode(self, m):
+        self.calls["mode"] = m
+        return self
+
+    def save(self, *a, **kw):
+        self.calls["saved"] = True
+
+
+def test_es_write_contract(spark, monkeypatch):
+    """S11 serving-leg contract without the connector jar: es_write must
+    issue the es-hadoop write with the search_pipeline.conf:12-29
+    semantics — keyed by doc id, doc_as_upsert for the default path
+    (``action=update + doc_as_upsert`` in logstash), plain index op for
+    the non-upsert path (the ``![update_only]`` branch)."""
+    df = spark.createDataFrame([("d1", "t")], "id string, title string")
+
+    for upsert in (True, False):
+        calls = {}
+        monkeypatch.setattr(
+            type(df), "write", property(lambda self, c=calls: _RecordingWriter(c))
+        )
+        SK.es_write(df, "data_searchui", upsert=upsert)
+        assert calls["format"] == "org.elasticsearch.spark.sql"
+        assert calls["mode"] == "append" and calls["saved"]
+        opts = calls["options"]
+        assert opts["es.resource"] == "data_searchui"
+        assert opts["es.mapping.id"] == "id"  # document_id => %{id}
+        assert opts["es.batch.size.entries"] == "500"
+        if upsert:  # doc_as_upsert branch
+            assert opts["es.write.operation"] == "upsert"
+        else:  # plain index branch
+            assert "es.write.operation" not in opts
+
+
 def test_climate_cca_facets(spark):
     df = spark.createDataFrame(
         [
