@@ -145,8 +145,10 @@ def site_sync_config(site_id: str, **overrides):
         # so '' must pass through, never be coerced to 'api'
         api_part=(cfg.get("url_api_part") or "").strip("/"),
         portal_types=list(cfg.get("portal_types") or ["Document"]),
+        languages=list(cfg.get("languages") or []),
         types_blacklist=list(cfg.get("types_blacklist") or []),
         scrape_pages=bool(cfg.get("scrape_pages")),
+        scrape_with_js=bool(cfg.get("scrape_with_js")),
         html_extract=dict(cfg.get("trafilatura") or {}),
         pdf_days_limit=int(cfg.get("pdf_days_limit") or 0),
         nlp=nlp_text is not None,

@@ -55,6 +55,10 @@ class SyncConfig:
     site_id: str
     api_part: str = "api"
     portal_types: list[str] = field(default_factory=lambda: ["Document"])
+    # per-language listing walks (build_queries_list
+    # plone_rest_api.py:114-118 — un-typed {site}/{lang}/@search
+    # queries; the eea site lists 32 language trees this way)
+    languages: list[str] = field(default_factory=list)
     types_blacklist: list[str] = field(default_factory=list)
     threshold_pct: int = INC.DELETE_THRESHOLD_PCT
     quick_since: str | None = None
@@ -71,6 +75,12 @@ class SyncConfig:
     # web_html; the chain's fulltext then uses the html extraction
     # (html_extract below) instead of the joined text fields.
     scrape_pages: bool = False
+    # scrape_with_js sites render through the headless-chrome endpoint
+    # (scrape_with_retry's js branch, plone_rest_api.py:206-223): the
+    # flag rides the config; the POST-vs-GET behavior lives in the
+    # injected scrape transport (acquire.headless_chrome_transport
+    # builds the reference's request shape)
+    scrape_with_js: bool = False
     # site trafilatura config for the html→text extraction
     # (main_by_css_selector / remove_by_selector / skip_… — reference
     # trafilatura_extract.py:66-131); routed into the normalizer's
@@ -152,6 +162,7 @@ def run_sync(
     the caller (``run_sync_all`` folds ONCE per sweep, the reference's
     one ``test_errors`` per ``d1_sync``, instead of once per site)."""
     SK.status_event(spark, paths.status, f"sync:{cfg.site_id}", "started")
+    run_stamp = uuid.uuid4().hex[:12]
 
     # 1. listing scan (S1) + source-side filters (P2-P8)
     if cfg.listing_source == "datasource":
@@ -165,7 +176,13 @@ def run_sync(
             portal_types=cfg.portal_types,
             quick_since=cfg.quick_since,
             fix_items_url=cfg.fix_items_url,
+            languages=cfg.languages,
         )
+        if cfg.languages:
+            # language partitions are un-typed, so a doc can be listed
+            # by both its portal-type and language walk — collapse to
+            # the reference's id-keyed dict semantics
+            listing_raw = listing_raw.dropDuplicates(["id"])
     else:
         listing_raw = AQ.listing_df(
             spark,
@@ -175,6 +192,10 @@ def run_sync(
             cfg.portal_types,
             quick_since=cfg.quick_since,
             fix_items_url=cfg.fix_items_url,
+            languages=cfg.languages,
+            # the reference stamps every listing query (&ts=,
+            # build_queries_list :104) — one stamp per run here
+            ts=run_stamp,
         )
     # snapshot: the listing is reused after the state tables are swapped
     # below — cut its lineage to the pre-swap files (small: ids + stamps;
@@ -218,7 +239,6 @@ def run_sync(
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
     url_of = None
-    run_stamp = uuid.uuid4().hex[:12]
     if cfg.api_url_rewrite:
         url_of = partial(
             AQ.fetch_query_url,

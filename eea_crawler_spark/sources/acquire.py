@@ -81,25 +81,39 @@ def listing_search_base(
 def listing_query_url(
     site_url: str,
     api_part: str,
-    portal_type: str,
+    portal_type: str | None,
     b_start: int = 0,
     b_size: int = 500,
     quick_since: str | None = None,
     fix_items_url: dict | None = None,
+    language: str | None = None,
+    ts: str | None = None,
 ) -> str:
-    """One page of the per-portal-type ``@search`` query
-    (plone_rest_api.py:87-141): metadata_fields for the diff join,
-    newest-first, and the quick-mode ``modified >= since`` pushdown
-    (P13) that makes incremental listings cheap on the remote side."""
+    """One page of the ``@search`` listing query
+    (build_queries_list, plone_rest_api.py:87-141): metadata_fields for
+    the diff join, ``show_inactive`` like the reference, newest-first,
+    and the quick-mode ``modified >= since`` pushdown (P13) that makes
+    incremental listings cheap on the remote side.
+
+    ``language`` builds the per-language variant (``{site}/{lang}/
+    @search`` with no portal_type, :114-118); ``ts`` is the reference's
+    listing cache-bust stamp (``&ts=``, :104,111)."""
+    base = listing_search_base(site_url, api_part, fix_items_url)
+    if language:
+        base = f"{base}/{language}"
     url = (
-        f"{listing_search_base(site_url, api_part, fix_items_url)}/@search"
-        f"?portal_type={portal_type}"
-        "&metadata_fields=modified&metadata_fields=seo_noindex"
+        f"{base}/@search"
+        f"?b_size={b_size}&b_start={b_start}"
+        "&metadata_fields=modification_date&metadata_fields=modified"
+        "&metadata_fields=seo_noindex&show_inactive=true"
         "&sort_on=Date&sort_order=reverse"
-        f"&b_size={b_size}&b_start={b_start}"
     )
+    if portal_type:
+        url += f"&portal_type={portal_type}"
     if quick_since:
         url += f"&modified.query:date={quick_since}&modified.range=min"
+    if ts:
+        url += f"&ts={ts}"
     return url
 
 
@@ -112,35 +126,47 @@ def walk_listing(
     quick_since: str | None = None,
     max_pages: int = 10_000,
     fix_items_url: dict | None = None,
+    languages: list[str] | None = None,
+    ts: str | None = None,
 ) -> list[dict]:
     """Driver-side page walk (pagination loop plone_rest_api.py:169-187):
-    follows ``batching.next`` until exhausted, per portal type."""
-    items: list[dict] = []
-    for ptype in portal_types:
+    follows ``batching.next`` until exhausted, per portal type, plus one
+    un-typed walk per configured language (build_queries_list
+    :114-118 — the eea site lists 32 language trees this way). Items
+    collapse into an id-keyed dict exactly like the reference's
+    ``docs_dict`` (crawl_plone_restapi.py get_docs consumer) — a doc
+    listed by both its portal-type and language query appears once,
+    last listing wins."""
+    by_id: dict[str, dict] = {}
+
+    def _walk(ptype: str | None, language: str | None) -> None:
         b_start = 0
         for _ in range(max_pages):
             status, body = transport(
                 listing_query_url(
                     site_url, api_part, ptype, b_start, b_size, quick_since,
-                    fix_items_url=fix_items_url,
+                    fix_items_url=fix_items_url, language=language, ts=ts,
                 )
             )
             if status != 200:
                 break
             page = json.loads(body)
             for it in page.get("items", []):
-                items.append(
-                    {
-                        "id": it.get("@id"),
-                        "doc_type": it.get("@type", ptype),
-                        "modified": it.get("modified"),
-                        "seo_noindex": bool(it.get("seo_noindex", False)),
-                    }
-                )
+                by_id[it.get("@id")] = {
+                    "id": it.get("@id"),
+                    "doc_type": it.get("@type", ptype),
+                    "modified": it.get("modified"),
+                    "seo_noindex": bool(it.get("seo_noindex", False)),
+                }
             if not page.get("batching", {}).get("next"):
                 break
             b_start += b_size
-    return items
+
+    for ptype in portal_types:
+        _walk(ptype, None)
+    for language in languages or []:
+        _walk(None, language)
+    return list(by_id.values())
 
 
 def listing_df(
@@ -152,10 +178,12 @@ def listing_df(
     b_size: int = 500,
     quick_since: str | None = None,
     fix_items_url: dict | None = None,
+    languages: list[str] | None = None,
+    ts: str | None = None,
 ) -> DataFrame:
     rows = walk_listing(
         transport, site_url, api_part, portal_types or ["Document"], b_size,
-        quick_since, fix_items_url=fix_items_url,
+        quick_since, fix_items_url=fix_items_url, languages=languages, ts=ts,
     )
     return spark.createDataFrame(rows, LISTING_SCHEMA) if rows else spark.createDataFrame(
         [], LISTING_SCHEMA
@@ -413,6 +441,37 @@ def no_api_url(
     if "www.eea.europa.eu" in rest and "/api/" in rest:
         ret = "/".join(ret.split("/api/"))
     return f"{protocol}://{ret}" if protocol else ret
+
+
+def headless_chrome_transport(
+    endpoint: str, js: bool = True, opener: Callable | None = None
+) -> Transport:
+    """Build the ``scrape_with_js`` transport (scrape_with_retry's js
+    branch, plone_rest_api.py:206-218): rendered pages come from a
+    headless-chrome service via POST ``{"url": …, "js": true,
+    "raw": true}`` instead of a plain GET. The returned callable is a
+    normal :data:`Transport`, so it plugs into ``scrape_docs`` /
+    ``run_sync(scrape_transport=…)`` unchanged and ships to executors.
+
+    ``opener(endpoint, payload_bytes) -> (status, body)`` injects the
+    HTTP client (tests use a stub); default is stdlib urllib."""
+
+    def _default_opener(url: str, data: bytes) -> tuple[int, str]:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=data, headers={"Content-Type": "application/json"}
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:  # noqa: S310
+            return resp.status, resp.read().decode("utf-8", "replace")
+
+    do_open = opener or _default_opener
+
+    def _transport(page_url: str) -> tuple[int, str]:
+        payload = json.dumps({"url": page_url, "js": js, "raw": True})
+        return do_open(endpoint, payload.encode("utf-8"))
+
+    return _transport
 
 
 def scrape_docs(

@@ -84,7 +84,12 @@ def urllib_transport(url: str) -> tuple[int, str]:
 
 @dataclass
 class PortalTypePartition(InputPartition):
-    portal_type: str
+    """One listing walk: a portal-type query (language None) or a
+    per-language query (portal_type None, build_queries_list
+    plone_rest_api.py:114-118)."""
+
+    portal_type: str | None
+    language: str | None = None
 
 
 class PloneListingReader(DataSourceReader):
@@ -100,6 +105,11 @@ class PloneListingReader(DataSourceReader):
         self.quick_since = options.get("quick_since") or None
         fix_blob = options.get("fix_items_url")
         self.fix_items_url = json.loads(fix_blob) if fix_blob else None
+        self.languages = [
+            p.strip()
+            for p in options.get("languages", "").split(",")
+            if p.strip()
+        ]
         blob = options.get("transport_b64")
         self.transport: Transport = (
             _decode_transport(blob) if blob else urllib_transport
@@ -137,17 +147,23 @@ class PloneListingReader(DataSourceReader):
     # -- scan -------------------------------------------------------------
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [PortalTypePartition(p) for p in self.portal_types]
+        # one partition per portal-type walk + one per language walk
+        # (language walks are un-typed, so doc_type pushdown cannot
+        # prune them — Spark's re-applied filter keeps correctness)
+        return [PortalTypePartition(p) for p in self.portal_types] + [
+            PortalTypePartition(None, lang) for lang in self.languages
+        ]
 
     def read(self, partition: PortalTypePartition) -> Iterator[tuple]:
         rows = walk_listing(
             self.transport,
             self.site_url,
             self.api_part,
-            [partition.portal_type],
+            [partition.portal_type] if partition.portal_type else [],
             self.b_size,
             self.quick_since,
             fix_items_url=self.fix_items_url,
+            languages=[partition.language] if partition.language else None,
         )
         for r in rows:
             yield (r["id"], r["doc_type"], r["modified"], r["seo_noindex"])
@@ -178,6 +194,7 @@ def plone_listing_df(
     b_size: int = 500,
     quick_since: str | None = None,
     fix_items_url: dict | None = None,
+    languages: Sequence[str] | None = None,
 ):
     """Convenience wrapper: register the format (idempotent) and read.
     ``transport`` (a callable) or ``transport_key`` (registry lookup)
@@ -192,6 +209,8 @@ def plone_listing_df(
     )
     if fix_items_url:
         reader = reader.option("fix_items_url", json.dumps(fix_items_url))
+    if languages:
+        reader = reader.option("languages", ",".join(languages))
     if transport is None and transport_key:
         transport = TRANSPORT_REGISTRY[transport_key]
     if transport is not None:

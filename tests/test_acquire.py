@@ -58,6 +58,76 @@ def test_quick_mode_pushdown_in_url():
     assert "modified.query:date=2024-03-01" in url and "modified.range=min" in url
 
 
+def test_listing_url_reference_params():
+    """build_queries_list param parity (plone_rest_api.py:104-121):
+    show_inactive, both modified metadata fields, the ts stamp, and the
+    per-language un-typed variant."""
+    url = AQ.listing_query_url(SITE, "api", "Document", ts="r1")
+    assert "show_inactive=true" in url
+    assert "metadata_fields=modification_date" in url
+    assert "&ts=r1" in url and "portal_type=Document" in url
+    # language query: {site}/{api}/{lang}/@search, no portal_type
+    lurl = AQ.listing_query_url(SITE, "api", None, language="de")
+    assert lurl.startswith(f"{SITE}/api/de/@search?")
+    assert "portal_type" not in lurl
+
+
+class LanguageListingTransport:
+    """Documents under the typed walk; one extra doc (plus a repeat of
+    d0) under the /de/ language walk."""
+
+    def __call__(self, url: str) -> tuple[int, str]:
+        if "/de/@search" in url:
+            assert "portal_type" not in url
+            return 200, _page(
+                [
+                    {"@id": f"{SITE}/de/x0", "@type": "Document",
+                     "modified": "2024-02-01"},
+                    {"@id": f"{SITE}/d0", "@type": "Document",
+                     "modified": "2024-01-01"},
+                ],
+                False,
+            )
+        return 200, _page(
+            [{"@id": f"{SITE}/d0", "@type": "Document", "modified": "2024-01-01"}],
+            False,
+        )
+
+
+def test_listing_language_walks_dedup_by_id(spark):
+    df = AQ.listing_df(
+        spark,
+        LanguageListingTransport(),
+        SITE,
+        "api",
+        ["Document"],
+        languages=["de"],
+    )
+    rows = {r["id"] for r in df.collect()}
+    # d0 listed by BOTH walks appears once (reference docs_dict)
+    assert rows == {f"{SITE}/d0", f"{SITE}/de/x0"}
+
+
+def test_headless_chrome_transport_request_shape():
+    """scrape_with_js request parity (scrape_with_retry js branch,
+    plone_rest_api.py:206-218): POST to the hc endpoint with
+    {"url":…, "js":true, "raw":true}."""
+    seen = {}
+
+    def opener(endpoint, data):
+        seen["endpoint"] = endpoint
+        seen["payload"] = json.loads(data)
+        return 200, "<html>rendered</html>"
+
+    t = AQ.headless_chrome_transport("http://hc:3000/api/render", opener=opener)
+    status, body = t("https://site.example/page")
+    assert status == 200 and body == "<html>rendered</html>"
+    assert seen["endpoint"] == "http://hc:3000/api/render"
+    assert seen["payload"] == {
+        "url": "https://site.example/page", "js": True, "raw": True,
+    }
+
+
 SITEMAP = """<?xml version="1.0"?>
 <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
   <url><loc>https://site.example/a</loc><lastmod>2024-01-01</lastmod></url>
