@@ -18,6 +18,7 @@ Output: {"metric": "total_query_sec", "value": N, "unit": "sec",
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -61,6 +62,12 @@ def main() -> None:
             t0 = time.perf_counter()
             run_query(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            # drop the rep plan's references so ContextCleaner can
+            # release its localCheckpoint blocks — without this the
+            # session accumulates every rep's checkpointed RDDs and
+            # later queries pay the GC pressure of the whole run
+            # (median ≫ best); the collect itself is untimed
+            gc.collect()
         timings[name] = round(statistics.median(samples), 4)
         # best-of-reps rides along so a noisy-neighbor window on one rep
         # is visible as (median >> best) instead of reading as a plan

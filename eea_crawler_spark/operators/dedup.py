@@ -46,6 +46,25 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def _wide_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on a join key at full cluster width.
+
+    The session sizes ``spark.sql.shuffle.partitions`` to the input
+    volume, which rightly collapses small-SF reduce stages to one
+    partition — but the inverted-index / banding self-joins below do
+    super-linear work per input row (pair expansion), so even a small
+    input deserves the cluster's full width. ``max(defaultParallelism,
+    conf)`` keeps this a no-op at scale: once the conf exceeds the core
+    count the explicit exchange is the same one EnsureRequirements
+    would insert for the join anyway (co-partitioned on the join key,
+    same partition count → no second exchange).
+    """
+    spark = df.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = max(spark.sparkContext.defaultParallelism, conf_parts)
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def keyed_dedup_first_wins(
     df: DataFrame, key: F.Column, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -97,8 +116,11 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     ``pairs`` (doc_a, doc_b) optionally restricts to candidate pairs.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    # pair expansion is the hot stage — run it at cluster width even
+    # when the session's shuffle sizing collapsed reduces to 1 partition
+    sh_w = _wide_by(sh, "shingle")
+    a = sh_w.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh_w.select(F.col("id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -193,7 +215,9 @@ def ngram_jaccard_pairs(
         )
         hot_rows = hot_probe.limit(10_001).collect()
         if len(hot_rows) <= 10_000:
-            hot_list = [r["shingle"] for r in hot_rows]
+            # sorted: collect order varies run-to-run and a stable InSet
+            # literal keeps the generated plan identical across reps
+            hot_list = sorted(r["shingle"] for r in hot_rows)
             is_hot = (
                 F.col("shingle").isin(hot_list) if hot_list else F.lit(False)
             )
@@ -228,10 +252,11 @@ def ngram_jaccard_pairs(
         # rescore, whose values equal the uncapped join's for every
         # surviving pair. Stats ride the join sides (broadcast: one
         # narrow row per doc) so no post-aggregation stats join exists.
-        side = (
+        side = _wide_by(
             flagged.filter(F.col("__hot").isNull())
             .select("id", "shingle")
-            .join(F.broadcast(stats), ["id"])
+            .join(F.broadcast(stats), ["id"]),
+            "shingle",
         )
         a = side.select(
             F.col("id").alias("doc_a"), "shingle",
@@ -394,8 +419,12 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
     )
-    banded = sigs.filter(F.size("sig") > 0).select(
-        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    banded = _wide_by(
+        sigs.filter(F.size("sig") > 0).select(
+            "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        ),
+        "band_idx",
+        "band_hash",
     )
     cand = (
         banded.alias("x")
