@@ -126,9 +126,15 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FIRST (region filter → ~1/5 of nations → ~1/5 of customers and
     # orders), so the expensive lineitem join sees the already-filtered
     # orders instead of joining 100% of lineitem to 100% of orders and
-    # filtering last — measured 9% at sf10, and the intermediate-size
-    # win grows with the region's selectivity. No CBO join reordering
-    # exists to do this for us (spark.sql.cbo off by default).
+    # filtering last; the intermediate-size win grows with the region's
+    # selectivity. No CBO join reordering exists to do this for us
+    # (spark.sql.cbo off by default). The filtered sides carry
+    # shuffle_hash hints: their post-join cardinality is unknowable to
+    # the static planner (which falls back to sort-merge), but they are
+    # 1/5-of-a-dimension builds — hashing them skips the sort of the
+    # 100%-side (lineitem at sf10: 60M rows sorted for nothing). Builds
+    # stay per-partition-sized at scale because shuffle partitions are
+    # sized to input bytes (session.py).
     asia_cust = (
         customer.join(
             F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
@@ -140,10 +146,12 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     o_asia = orders.join(
-        asia_cust, F.col("o_custkey") == F.col("c_custkey")
+        asia_cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "n_name")
     return (
-        lineitem.join(o_asia, F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.join(
+            o_asia.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("rev"))
         .orderBy("n_name", "rev")

@@ -20,8 +20,14 @@ _TARGET_PARTITION_BYTES = 64 << 20
 _MAX_SHUFFLE_PARTITIONS = 10_000
 # Below this input volume there is nothing for AQE to adapt (every stage is
 # a handful of partitions already) and its per-stage replanning latency
-# dominates: measured ~3 s across the 32-query bench at sf0.1.
-_AQE_MIN_BYTES = 1 << 30
+# dominates: measured ~3 s across the 32-query bench at sf0.1 (17.6 MB).
+# Above it AQE's runtime re-plan pays for itself immediately — at sf1
+# (176 MB) converting q7's post-filter joins to broadcast at runtime is
+# worth ~2.4 s on that one query, far more than the replanning cost. The
+# boundary sits where intermediate results become large enough that static
+# planning (no CBO, no post-join cardinalities) picks sort-merge joins AQE
+# would undo: ~128 MB.
+_AQE_MIN_BYTES = 1 << 27
 
 
 def _dir_bytes(path: str) -> int:
@@ -36,11 +42,23 @@ def _dir_bytes(path: str) -> int:
 
 
 def scaled_shuffle_partitions(data_dir: str | None, cpus: int) -> tuple[int, bool]:
-    """(shuffle partitions, enable AQE) sized to the input volume."""
+    """(shuffle partitions, enable AQE) sized to the input volume.
+
+    Below one partition's worth of data (64 MB) every reduce collapses
+    to a single task — scheduling 32 empty tasks per trivial stage was
+    measured pure overhead at sf0.1. Past that point the floor is one
+    partition per core: at sf1 (176 MB) the byte count alone gives 2-3
+    partitions and join/agg reduce stages run on 2 of 32 cores (q7 paid
+    ~2× for it). The cap (10 k) and the bytes-based growth are
+    unchanged, so production sizing is identical.
+    """
     if data_dir is None or not os.path.isdir(data_dir):
         return max(cpus, 2), True
     total = _dir_bytes(data_dir)
-    parts = max(1, min(total // _TARGET_PARTITION_BYTES, _MAX_SHUFFLE_PARTITIONS))
+    parts = -(-total // _TARGET_PARTITION_BYTES)  # ceil
+    if parts > 1:
+        parts = min(max(parts, cpus), _MAX_SHUFFLE_PARTITIONS)
+    parts = max(1, parts)
     return int(parts), total >= _AQE_MIN_BYTES
 
 

@@ -114,6 +114,11 @@ def main() -> None:
     ap.add_argument("--queries", default="")  # comma list; default core
     args = ap.parse_args()
 
+    # local-mode execution memory is shared by all 32 task threads in one
+    # JVM; the 8g default OOMs a 600M-row sort/hash build at sf100
+    # (~18 GB input). A real cluster sizes executors per-node instead.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
     from eea_crawler_spark.session import get_spark
 
     spark = get_spark("eea_crawler_spark-scale", data_dir=args.sf_dir)
