@@ -82,7 +82,13 @@ def get_spark(
         # partitions and push the quick-mode date predicate remotely
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode has ONE JVM shared by all task threads: its heap is
+        # the entire cluster's execution+storage memory. 8g across 32
+        # threads (~250 MB each) was measured to GC-thrash the full bench
+        # (median ≫ best on queries that run 3-4× faster in isolation);
+        # 32g restores headroom. A real cluster sizes per-executor memory
+        # instead, so this constant is local-mode-only.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
