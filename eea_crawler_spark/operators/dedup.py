@@ -116,19 +116,32 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     ``pairs`` (doc_a, doc_b) optionally restricts to candidate pairs.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # pair expansion is the hot stage — run it at cluster width even
-    # when the session's shuffle sizing collapsed reduces to 1 partition
-    sh_w = _wide_by(sh, "shingle")
-    a = sh_w.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh_w.select(F.col("id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        # Candidate pairs are known up front: anchor the intersection on
+        # the pair list instead of expanding the inverted index and
+        # filtering after. Cost is Σ|shingles(doc_a)| over pairs — linear
+        # in candidate volume — where the index expansion is quadratic in
+        # per-shingle document frequency among candidate docs (hot
+        # shingles shared by many near-dups blow it up exactly when LSH
+        # finds many candidates).
+        inter = (
+            pairs.join(_wide_by(sh, "id").select(F.col("id").alias("doc_a"), "shingle"), ["doc_a"])
+            .join(sh.select(F.col("id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # pair expansion is the hot stage — run it at cluster width even
+        # when the session's shuffle sizing collapsed reduces to 1 partition
+        sh_w = _wide_by(sh, "shingle")
+        a = sh_w.select(F.col("id").alias("doc_a"), "shingle")
+        b = sh_w.select(F.col("id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, ["shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na")), ["doc_a"])
         .join(sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb")), ["doc_b"])

@@ -70,6 +70,7 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     parts, aqe = scaled_shuffle_partitions(data_dir, cpus)
+    _mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -83,12 +84,21 @@ def get_spark(
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # local-mode has ONE JVM shared by all task threads: its heap is
-        # the entire cluster's execution+storage memory. 8g across 32
-        # threads (~250 MB each) was measured to GC-thrash the full bench
-        # (median ≫ best on queries that run 3-4× faster in isolation);
-        # 32g restores headroom. A real cluster sizes per-executor memory
-        # instead, so this constant is local-mode-only.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # the entire cluster's execution+storage memory. Size it fixed
+        # (-Xms=-Xmx) and pre-touch it at JVM start: this sandbox
+        # demand-faults fresh guest pages from the host at ~100 MB/s
+        # (measured; GC time stayed ≤100 ms through 6-14 s task stalls),
+        # so a lazily-growing heap turns every G1 expansion into a
+        # multi-second straggler in whatever stage is running. Pre-touch
+        # moves that cost to startup — once per boot it's expensive,
+        # afterwards freed guest pages stay host-backed and a warm
+        # pre-touch costs ~8 s. A real cluster sizes per-executor memory
+        # instead, so this block is local-mode-only.
+        .config("spark.driver.memory", _mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{_mem} -XX:+AlwaysPreTouch",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

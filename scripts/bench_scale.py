@@ -115,9 +115,12 @@ def main() -> None:
     args = ap.parse_args()
 
     # local-mode execution memory is shared by all 32 task threads in one
-    # JVM; the 8g default OOMs a 600M-row sort/hash build at sf100
-    # (~18 GB input). A real cluster sizes executors per-node instead.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # JVM; the old 8g default OOMed a 600M-row sort/hash build at sf100
+    # (~18 GB input). 16g clears that with spill headroom while keeping
+    # the session's AlwaysPreTouch startup cost bounded (the sandbox
+    # faults fresh guest pages at ~100 MB/s — see session.py). A real
+    # cluster sizes executors per-node instead.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
     from eea_crawler_spark.session import get_spark
 
