@@ -147,16 +147,18 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The filtered build sides (asia_cust, o_asia) are what a CBO/AQE
     # would broadcast: each is ~1/5 of a dimension. When AQE is on
-    # (session enables it past ~128 MB input) leave the decision to its
-    # runtime stats via shuffle_hash hints — it converts to broadcast
-    # exactly while the build fits, and degrades to a hashed shuffle
-    # join when it doesn't (sf100: o_asia is 300M rows — broadcasting
-    # would OOM the driver). When AQE is off the input is tiny by
-    # construction, so force the broadcast the static planner can't
-    # infer; this removed the fact-side shuffle of lineitem (q7
-    # 1.07 s → 0.63 s at sf0.1).
+    # (session enables it past ~128 MB input) leave them unhinted — AQE
+    # converts the planned sort-merge join to broadcast from runtime
+    # shuffle stats while the build side fits the session's adaptive
+    # broadcast threshold, and keeps SMJ when it doesn't (sf100:
+    # o_asia is 300M rows — broadcasting would OOM the driver). An
+    # explicit shuffle_hash hint here was measured WORSE at sf1: AQE
+    # honors the hint and skips the broadcast conversion (3.2 s vs
+    # 1.2 s). When AQE is off the input is tiny by construction, so
+    # force the broadcast the static planner can't infer; this removed
+    # the fact-side shuffle of lineitem (q7 1.07 s → 0.63 s at sf0.1).
     aqe = spark.conf.get("spark.sql.adaptive.enabled", "false") == "true"
-    _build = (lambda df: df.hint("shuffle_hash")) if aqe else F.broadcast
+    _build = (lambda df: df) if aqe else F.broadcast
     o_asia = orders.join(
         _build(asia_cust), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "n_name")
