@@ -77,6 +77,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE turn a planned sort-merge join into a shuffled hash
+        # join when the measured build side is ≤256 MB per map
+        # partition: skips sorting the (much larger) probe side — q7's
+        # 60M-row lineitem sort at sf10 — while bounding per-task build
+        # memory, which is what keeps the conversion safe at any scale
+        # (bigger builds stay SMJ; ≤10 MB builds still broadcast)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource scans (sources/plone_datasource) prune
