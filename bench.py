@@ -50,29 +50,32 @@ def main() -> None:
     from eea_crawler_spark.plans import CORE_QUERIES, QUERIES
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in QUERIES}
     if warmup:
         # one full pass to warm codegen/JIT and the file-listing caches
         for name, fn in QUERIES.items():
             run_query(fn(spark, sf_dir))
-    for name, fn in QUERIES.items():
-        samples = []
-        for _ in range(reps):
+    # reps are interleaved as full passes over all queries: this host
+    # has multi-second noisy-neighbor bursts, and with back-to-back
+    # reps one burst poisons every sample of whichever query it lands
+    # on (median reads as a fake 3-10x regression). Spacing a query's
+    # reps minutes apart keeps its median/min burst-robust.
+    for _ in range(reps):
+        for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             run_query(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
             # drop the rep plan's references so ContextCleaner can
             # release its localCheckpoint blocks — without this the
             # session accumulates every rep's checkpointed RDDs and
             # later queries pay the GC pressure of the whole run
             # (median ≫ best); the collect itself is untimed
             gc.collect()
-        timings[name] = round(statistics.median(samples), 4)
-        # best-of-reps rides along so a noisy-neighbor window on one rep
-        # is visible as (median >> best) instead of reading as a plan
-        # regression
-        best[name] = round(min(samples), 4)
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    # best-of-reps rides along so a noisy-neighbor window on one rep
+    # is visible as (median >> best) instead of reading as a plan
+    # regression
+    best = {n: round(min(s), 4) for n, s in samples.items()}
 
     # headline metric covers the declared core set (BASELINE.md contract);
     # extras are still reported per-query above
