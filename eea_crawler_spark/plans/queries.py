@@ -114,11 +114,35 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q7 multi-way join + group agg (J4 hydration shape; TPC-H Q5 style) ---
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
+    return q7_plan(
+        spark,
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def q7_plan(
+    spark: SparkSession,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """q7's logical plan over caller-supplied relations.
+
+    Split out so the same plan runs over plain parquet (``q7``) or a
+    bucketed lakehouse layout: lineitem and orders bucketed on their
+    order key (``sinks.indexes.save_bucketed``) join with ZERO
+    fact-side Exchange — the production answer to q7's dominant cost
+    at sf100, where shuffling 600M plain-parquet lineitem rows is
+    ~15x a single-node shared-memory hash join. Pinned by
+    tests/test_skew_bucketing.py::test_q7_bucketed_* and measured by
+    scripts/bench_q7_bucketed.py.
+    """
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast(
         "decimal(9,4)"
     )

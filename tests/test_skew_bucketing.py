@@ -113,3 +113,57 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_q7_bucketed_fact_join_no_shuffle(spark, sf_dir, tmp_path):
+    """q7's hydration join on a bucketed lakehouse layout: lineitem and
+    orders bucketed on their order key join with zero fact-side
+    Exchange, and the result is identical to the plain-parquet plan.
+
+    This is the production shape for the J4 hydration join at 100 TB —
+    the sf100 measurement (BASELINE.md) shows the plain layout's
+    lineitem shuffle is q7's dominant cost; bucketing removes it."""
+    from eea_crawler_spark.plans.queries import q7, q7_plan
+    from eea_crawler_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    save_bucketed(li, "t_bli", str(tmp_path / "bli"), key="l_orderkey", n_buckets=8)
+    save_bucketed(od, "t_bod", str(tmp_path / "bod"), key="o_orderkey", n_buckets=8)
+    prev_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_adapt = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_static)
+    # disable broadcast so the planner faces the shuffle-vs-bucket
+    # choice the fact join faces at scale (where the build side is far
+    # past any broadcast threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = q7_plan(
+            spark,
+            read_bucketed(spark, "t_bli"),
+            read_bucketed(spark, "t_bod"),
+            load_table(spark, sf_dir, "customer"),
+            load_table(spark, sf_dir, "nation"),
+            load_table(spark, sf_dir, "region"),
+        )
+        rows = bucketed.collect()  # materialize the final adaptive plan
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        # the corpus-sized side rides the bucket layout: lineitem (4x
+        # orders, the dominant shuffle at sf100) is never exchanged —
+        # its bucketed scan satisfies the join's distribution. With
+        # broadcast force-disabled here the o_asia side still aligns
+        # itself to lineitem's buckets via one ENSURE_REQUIREMENTS
+        # exchange of the 5x-smaller filtered orders projection (in
+        # production the dim join broadcasts and o_asia inherits
+        # orders' bucketing outright); the n_name aggregate exchange
+        # is O(groups).
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "Bucketed: true" in plan
+        # identical answer to the plain-parquet plan
+        expected = q7(spark, sf_dir).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in expected]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_adapt)
+        spark.sql("DROP TABLE IF EXISTS t_bli")
+        spark.sql("DROP TABLE IF EXISTS t_bod")
