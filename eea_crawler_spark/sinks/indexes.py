@@ -172,7 +172,15 @@ def save_bucketed(
     and MUST match across tables that join co-located.
     """
     (
-        df.write.mode("overwrite")
+        # repartition on the bucket key first: each write task then
+        # holds exactly one bucket's rows (repartition and bucketBy use
+        # the same murmur3 hash), so every bucket is ONE sorted file —
+        # the layout Spark requires to trust bucket sortedness at scan
+        # time (multi-file buckets silently re-sort in every SMJ,
+        # SPARK-24528), and the difference between a sort-free merge
+        # join and re-sorting the corpus on every state join.
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, key)
         .sortBy(key)

@@ -43,6 +43,13 @@ def main() -> None:
     from eea_crawler_spark.plans.queries import q7, q7_plan
 
     spark = get_spark("q7-bucketed", data_dir=args.sf_dir)
+    # the region-filtered customer projection measures ~36 MB at sf100
+    # — just past AQE's 10 MB runtime-broadcast default, which would
+    # shuffle 150M orders rows on custkey AND destroy orders' bucket
+    # alignment. 64 MB is still runtime-stat-gated (a side that
+    # measures bigger keeps the shuffle join), so the conversion stays
+    # scale-safe.
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
 
     bdir = os.path.join(args.sf_dir, "_bucketed")
     t0 = time.perf_counter()
