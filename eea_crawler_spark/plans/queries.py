@@ -374,10 +374,14 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    t1 = customer.select(F.col("c_nationkey").alias("x")).intersect(
-        supplier.select("s_nationkey")
-    )
-    t2 = nation.select(F.col("n_nationkey").alias("x")).subtract(supplier.select("s_nationkey"))
+    # reduce-before-exchange: both set ops broadcast the supplier side
+    # into a semi/anti join — dedupe its keys first so the broadcast
+    # relation is |distinct keys| (25) instead of |supplier| (1.5M rows
+    # built single-threaded twice at sf100); the distinct itself is a
+    # partial-agg shuffle of ~25 values per partition
+    s_keys = supplier.select("s_nationkey").distinct()
+    t1 = customer.select(F.col("c_nationkey").alias("x")).intersect(s_keys)
+    t2 = nation.select(F.col("n_nationkey").alias("x")).subtract(s_keys)
     return t1.union(t2).orderBy("x")
 
 
