@@ -88,25 +88,41 @@ def prefix_dedup(df: DataFrame, text_col: str = "text", n: int = 20) -> DataFram
     return keyed_dedup_first_wins(df, key).orderBy("dropped_id", "keep_id", "key")
 
 
-def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
 
     Built with sequence+transform (codegen) rather than a UDF; documents
     shorter than n words produce no shingles (matches the DuckDB oracle
     where generate_series(1, len-2) is empty).
+
+    ``hashed=True`` emits ``xxhash64(shingle)`` longs instead of the
+    n-gram strings — the form every hash-based consumer (MinHash
+    signatures, the df-capped inverted index) wants anyway. Hashing
+    INSIDE the per-doc array makes the distinct, the explode, the
+    checkpoint, and every downstream shuffle operate on 8-byte longs
+    instead of ~n-word strings; set cardinalities are preserved short
+    of an xxhash64 collision among a doc's shingles (~1e-9 at 1M
+    distinct — the capped==uncapped and recall pytest pins compare
+    against the string-exact paths and would surface one).
     """
     w = F.split(F.col(text_col), " ")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(w, i - 1 + j) for j in range(n)]
+    )
+    mk = (lambda i: F.xxhash64(gram(i))) if hashed else gram
+    empty_t = "array<bigint>" if hashed else "array<string>"
     grams = F.when(
         F.size(w) >= n,
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.get(w, i - 1 + j) for j in range(n)]
-                ),
-            )
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), mk)
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast(empty_t))
     return _spread(df).select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
 
 
@@ -191,10 +207,11 @@ def ngram_jaccard_pairs(
     point; at scale pass ``max_df`` to cap candidate enumeration
     (sizes/Jaccard still use full shingle sets — see ``df_capped``).
     """
-    sh = shingles(df, text_col, id_col, n)
     if max_df is None:
-        # the self-join + sizes reuse sh 3×; materialize the explode once
-        sh = sh.localCheckpoint(eager=True)
+        # the self-join + sizes reuse sh 3×; materialize the explode
+        # once — STRING shingles here: the uncapped path is the
+        # oracle-exact reference the hashed paths are pinned against
+        sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
         return (
             _pair_jaccard(sh)
             .filter(F.col("jaccard") >= threshold)
@@ -205,16 +222,14 @@ def ngram_jaccard_pairs(
         # stats, and the hot rescore — without a checkpoint Catalyst
         # re-derives the shingle explosion for every consumer (the 4×
         # bench regression flagged in round 2). One eager
-        # materialization bounds it. Shingles are hashed to int64 up
-        # front: every downstream shuffle/join/aggregate moves 8-byte
-        # longs instead of n-gram strings. Set cardinalities survive
-        # short of an xxhash64 collision among the corpus's distinct
-        # shingles (~1e-9 at 1M distinct; the capped==uncapped pytest
-        # pin compares against the string-exact uncapped path and
-        # would surface one).
-        sh = sh.select(
-            "id", F.xxhash64("shingle").alias("shingle")
-        ).localCheckpoint(eager=True)
+        # materialization bounds it. Shingles are hashed to int64
+        # inside the per-doc array (see ``shingles(hashed=True)``):
+        # every downstream shuffle/join/aggregate moves 8-byte longs
+        # instead of n-gram strings; the capped==uncapped pytest pin
+        # compares against the string-exact uncapped path.
+        sh = shingles(df, text_col, id_col, n, hashed=True).localCheckpoint(
+            eager=True
+        )
         # hot shingles: small by construction (≤ shingle_rows/max_df).
         # Under ~10k of them the set ships as an InSet literal — every
         # consumer filters in codegen with zero extra exchanges; a
@@ -387,11 +402,18 @@ def minhash_signatures(
     Docs with fewer than ``n`` words have no shingles and are absent
     from the output (they can never pass a positive Jaccard threshold).
     """
-    return _signatures_from(shingles(df, text_col, id_col, n), num_hashes)
+    return _signatures_from(
+        shingles(df, text_col, id_col, n, hashed=True), num_hashes
+    )
 
 
 def _signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """Signature aggregate over an existing (id, shingle) relation."""
+    """Signature aggregate over an existing (id, shingle) relation.
+
+    ``sh`` should carry hashed (long) shingles: each of the
+    ``num_hashes`` permutations then re-hashes 12 bytes (seed + long)
+    instead of traversing the n-gram string again — the string is
+    hashed exactly once, in ``shingles(hashed=True)``."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
         for i in range(num_hashes)
@@ -426,7 +448,7 @@ def minhash_lsh_pairs(
     # leg; the signature table feeds banding + the est join twice — both
     # are recomputed per consumer without materialization (sigs is tiny:
     # one 64-long row per doc)
-    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = shingles(df, text_col, id_col, n, hashed=True).localCheckpoint(eager=True)
     sigs = _signatures_from(sh, num_hashes).localCheckpoint(eager=True)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
