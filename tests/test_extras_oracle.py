@@ -106,3 +106,26 @@ def test_ngram_jaccard_df_cap_preserves_high_pairs(spark, sf_dir):
         ).collect()
     }
     assert capped == exact  # near-dup pairs share rare shingles too
+
+
+def test_hashed_shingles_equal_hashed_string_shingles(spark, sf_dir):
+    """shingles(hashed=True) must emit exactly xxhash64 of the string
+    shingles — the hash moves inside the per-doc array for speed, not
+    to change the set the MinHash/capped paths consume."""
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.operators.dedup import shingles
+    from eea_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    via_strings = sorted(
+        (r["id"], r["h"])
+        for r in shingles(docs, "text", "doc_id", 3)
+        .select("id", F.xxhash64("shingle").alias("h"))
+        .collect()
+    )
+    direct = sorted(
+        (r["id"], r["shingle"])
+        for r in shingles(docs, "text", "doc_id", 3, hashed=True).collect()
+    )
+    assert via_strings == direct and len(direct) > 0
