@@ -103,7 +103,7 @@ def shingles(
 
     ``hashed=True`` emits ``xxhash64(shingle)`` longs instead of the
     n-gram strings — the form every hash-based consumer (MinHash
-    signatures, the df-capped inverted index) wants anyway. Hashing
+    signatures, the LSH verify leg) wants anyway. Hashing
     INSIDE the per-doc array makes the distinct, the explode, the
     checkpoint, and every downstream shuffle operate on 8-byte longs
     instead of ~n-word strings; set cardinalities are preserved short
@@ -130,6 +130,11 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Jaccard for doc pairs sharing ≥1 shingle (inverted-index join).
 
     ``pairs`` (doc_a, doc_b) optionally restricts to candidate pairs.
+    PRECONDITION: ``pairs`` must be distinct and canonical (doc_a <
+    doc_b) — a duplicate pair row would multiply its ``inter`` count
+    and inflate Jaccard past 1 (the pair-anchored join counts one row
+    per (pair row, shared shingle)). Both callers pass ``.distinct()``
+    canonical pairs.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is not None:
@@ -173,22 +178,31 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
-def df_capped(sh: DataFrame, max_df: int) -> DataFrame:
-    """Drop shingles whose document frequency exceeds ``max_df`` from
-    the *pair-generation* side. This is the scale valve for the
-    inverted-index join: one stop-phrase shingle shared by k docs
-    contributes k² candidate rows; capping bounds the hottest join key
-    at max_df². Only the candidate enumeration loses the shingle — a
-    pair whose sole shared shingles are ultra-common can be missed
-    (those pairs sit near Jaccard ≈ 0 anyway, far below any useful
-    threshold)."""
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("shingle")
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-doc distinct hashed shingle set as ONE sorted array<bigint>.
+
+    The array form is the unit the prefix-filtered join wants: the
+    prefix (smallest ``⌊(1-t)·n⌋+1`` hashes under the global int64
+    order) is a codegen ``slice`` of the sorted array, and the exact
+    rescore is a codegen ``array_intersect`` of two full arrays — the
+    inverted index is never materialized for either. All narrow
+    (no shuffle); docs shorter than ``n`` words yield an empty array.
+    """
+    w = F.split(F.col(text_col), " ")
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.get(w, i - 1 + j) for j in range(n)])
     )
-    return sh.join(F.broadcast(hot), ["shingle"], "left_anti")
+    grams = F.when(
+        F.size(w) >= n,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram)
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return _spread(df).select(F.col(id_col).alias("id"), grams.alias("g"))
 
 
 def ngram_jaccard_pairs(
@@ -201,11 +215,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
-    Exact (recall 1.0) when ``max_df`` is None: the inverted-index join
-    enumerates every pair sharing at least one shingle. The shuffle key
-    is the shingle, so hot shingles (common phrases) are the skew
-    point; at scale pass ``max_df`` to cap candidate enumeration
-    (sizes/Jaccard still use full shingle sets — see ``df_capped``).
+    ``max_df=None``: the reference-exact inverted-index join — every
+    pair sharing at least one shingle is enumerated (the oracle twin
+    of the DuckDB SQL; the shuffle key is the shingle, so hot shingles
+    are the skew point). ``max_df`` set: the scale path — PREFIX-
+    FILTERED self-join (see inline comments) that indexes only each
+    doc's ⌊(1-t)·|d|⌋+1 smallest shingle hashes for candidate
+    generation (exact by the prefix principle) with ``max_df`` as a
+    residual hot-key valve, then rescores candidates over full shingle
+    sets. Same output as uncapped at any threshold-relevant pair
+    (pinned capped==uncapped in tests/test_extras_oracle.py).
     """
     if max_df is None:
         # the self-join + sizes reuse sh 3×; materialize the explode
@@ -218,155 +237,149 @@ def ngram_jaccard_pairs(
             .orderBy("doc_a", "doc_b", "jaccard")
         )
     else:
-        # sh feeds the df histogram, the capped self-join, the per-doc
-        # stats, and the hot rescore — without a checkpoint Catalyst
-        # re-derives the shingle explosion for every consumer (the 4×
-        # bench regression flagged in round 2). One eager
-        # materialization bounds it. Shingles are hashed to int64
-        # inside the per-doc array (see ``shingles(hashed=True)``):
-        # every downstream shuffle/join/aggregate moves 8-byte longs
-        # instead of n-gram strings; the capped==uncapped pytest pin
-        # compares against the string-exact uncapped path.
-        sh = shingles(df, text_col, id_col, n, hashed=True).localCheckpoint(
+        # PREFIX-FILTERED set-similarity self-join (exact; the prefix
+        # principle of the public set-similarity-join literature,
+        # PPJoin-family): J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ and
+        # ⌈t·|B|⌉, so under ANY shared global total order on shingles
+        # the two docs' (⌊(1-t)·|d|⌋+1)-prefixes of their sorted
+        # shingle sets must intersect. Candidate generation therefore
+        # indexes ONLY the prefix — ~(1-t) of each doc's shingles, 20%
+        # at t=0.8 — cutting the self-join pair blow-up by ~(1-t)²
+        # (≈25×) versus the full inverted index, at recall 1.0.
+        # The global order is the int64 shingle-hash order itself: it
+        # costs zero extra shuffles (one codegen array_sort per doc at
+        # materialization), where the literature's df-ascending order
+        # would need a document-frequency join plus a per-doc re-sort
+        # (two extra full-relation shuffles) to prune somewhat harder.
+        # All consumers read the one checkpointed array relation.
+        arr = shingle_arrays(df, text_col, id_col, n).localCheckpoint(
             eager=True
         )
-        # hot shingles: small by construction (≤ shingle_rows/max_df).
-        # Under ~10k of them the set ships as an InSet literal — every
-        # consumer filters in codegen with zero extra exchanges; a
-        # pathological hot set falls back to a broadcast-join flag so
-        # the plan never carries a multi-megabyte literal.
-        hot_probe = (
-            sh.groupBy("shingle")
+        base = arr.select("id", "g", F.size("g").alias("n")).filter(
+            F.col("n") > 0
+        )
+        plen = (F.floor(F.lit(1.0 - threshold) * F.col("n")) + 1).cast("int")
+        # posexplode: the 1-based prefix position feeds the positional
+        # filter below (positions along the sorted array are monotone
+        # in the global shingle order)
+        pre = base.select(
+            "id",
+            "n",
+            F.posexplode(F.slice("g", F.lit(1), plen)).alias("pos", "shingle"),
+        ).withColumn("pos", F.col("pos") + 1)
+        # max_df stays as the residual hot-key valve ON TOP of prefix
+        # filtering: a shingle hot even within the prefix index (>
+        # max_df prefix entries — ~(1-t)·df, so the valve engages ~5×
+        # later than the round-2..4 full-index cap) is dropped from
+        # candidate generation, bounding the hottest join key at
+        # max_df². A pair is missed only if EVERY shared prefix shingle
+        # is hot; the capped==uncapped pin and the driver's uncapped
+        # DuckDB oracle hold. The hot set is small by construction
+        # (≤ prefix_rows/max_df) and applied as a broadcast anti-join
+        # INSIDE the candidate job — a driver-side InSet probe was
+        # measured slower here: its blocking collect adds a whole extra
+        # job per invocation, ~0.4 s of the sf0.1 budget.
+        hot = (
+            pre.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        hot_rows = hot_probe.limit(10_001).collect()
-        if len(hot_rows) <= 10_000:
-            # sorted: collect order varies run-to-run and a stable InSet
-            # literal keeps the generated plan identical across reps
-            hot_list = sorted(r["shingle"] for r in hot_rows)
-            is_hot = (
-                F.col("shingle").isin(hot_list) if hot_list else F.lit(False)
-            )
-            flagged = sh.withColumn(
-                "__hot", F.when(is_hot, F.lit(1))
-            )
-        else:
-            hot = hot_probe.localCheckpoint(eager=True)
-            flagged = sh.join(
-                F.broadcast(hot.withColumn("__hot", F.lit(1))),
-                ["shingle"],
-                "left",
-            )
-        stats = flagged.groupBy("id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count("__hot").alias("hn"),
-        )
-        # Candidate pruning WITHOUT materializing the pair set: the
-        # capped self-join aggregates straight to per-pair intersection
-        # counts (map-side combinable — never a distinct over the
-        # candidate blow-up; at sf0.1 the cap leaves >1.1M candidate
-        # pairs and enumerating them dominated the round-2/3 runtime).
-        # Pruning, earliest-first, all EXACT bounds on full-set Jaccard:
-        #   1. size-ratio, pre-aggregation: J ≤ min(na,nb)/max(na,nb)
-        #      (i ≤ min(na,nb) and J=i/(na+nb-i) is increasing in i) —
-        #      applied inside the self-join, it drops ~3/4 of the pair
-        #      blow-up before the aggregate shuffle ever sees it;
-        #   2. hot-count, post-aggregation:
-        #      inter_full ≤ inter_capped + min(hot_a, hot_b)
-        #      (a pair shares at most min(hot_a, hot_b) hot shingles).
-        # Only survivors — the near-dup shortlist — get the exact
-        # rescore, whose values equal the uncapped join's for every
-        # surviving pair. Stats ride the join sides (broadcast: one
-        # narrow row per doc) so no post-aggregation stats join exists.
-        side = _wide_by(
-            flagged.filter(F.col("__hot").isNull())
-            .select("id", "shingle")
-            .join(F.broadcast(stats), ["id"]),
-            "shingle",
-        )
+        cold = pre.join(F.broadcast(hot), ["shingle"], "left_anti")
+        # prefix self-join at cluster width; the size-ratio prune
+        # (exact: J ≥ t ⇒ min(na,nb)/max(na,nb) ≥ t) runs inside the
+        # join, before the distinct ever sees the blow-up
+        side = _wide_by(cold, "shingle")
         a = side.select(
             F.col("id").alias("doc_a"), "shingle",
-            F.col("n").alias("na"), F.col("hn").alias("ha"),
+            F.col("n").alias("na"), F.col("pos").alias("pa"),
         )
         b = side.select(
             F.col("id").alias("doc_b"), "shingle",
-            F.col("n").alias("nb"), F.col("hn").alias("hb"),
+            F.col("n").alias("nb"), F.col("pos").alias("pb"),
         )
-        inter_c = (
+        # POSITIONAL filter (PPJoin's second exact prune), aggregated
+        # per pair: with cp shared prefix shingles whose largest sits
+        # at sorted positions (ia, jb), every further shared shingle is
+        # strictly larger (sorted prefixes are downward-closed: a
+        # shared element smaller than the largest prefix match would
+        # itself be a prefix match in both docs), hence drawn from the
+        # na-ia / nb-jb remaining tails:
+        #     i_full ≤ cp + min(na - ia, nb - jb)
+        # ia = max(pa) and jb = max(pb) are attained at the same
+        # shingle because position is monotone in shingle order. Only
+        # pairs whose bound still clears the threshold reach the
+        # rescore — at sf0.1 this cuts the 80k+ prefix-sharing pairs
+        # (short docs, weak size-ratio pruning) to the true near-dup
+        # shortlist before any full-array work.
+        cand = (
             # shuffle-hash beats sort-merge here: both sides are narrow
             # long-keyed rows and the per-partition sort would dominate
-            a.hint("shuffle_hash").join(b, ["shingle"])
+            a.hint("shuffle_hash")
+            .join(b, ["shingle"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .filter(
-                F.least("na", "nb").cast("double")
-                / F.greatest("na", "nb")
+                F.least("na", "nb").cast("double") / F.greatest("na", "nb")
                 >= threshold
             )
-            .groupBy("doc_a", "doc_b", "na", "nb", "ha", "hb")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(
+                F.count(F.lit(1)).alias("cp"),
+                F.max("pa").alias("ia"),
+                F.max("pb").alias("jb"),
+            )
         )
-        i_max = F.col("c") + F.least(F.col("ha"), F.col("hb"))
-        # Survivors carry their capped intersection count and set sizes
-        # through the checkpoint: the exact rescore below never re-joins
-        # the full inverted index — inter_full = c + (hot shingles the
-        # pair shares), and only the hot-only correction join remains.
+        ub = F.col("cp") + F.least(
+            F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+        )
         pairs = (
-            inter_c.filter(
-                i_max.cast("double") / (F.col("na") + F.col("nb") - i_max)
+            cand.filter(
+                ub.cast("double") / (F.col("na") + F.col("nb") - ub)
                 >= threshold
-            )
-            .select("doc_a", "doc_b", "c", "na", "nb")
-        ).localCheckpoint(eager=True)  # tiny: the near-dup shortlist
+            ).select("doc_a", "doc_b", "na", "nb")
+        ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
+        # exact rescore with ZERO inverted-index passes: candidate
+        # docs' full sorted shingle arrays broadcast onto the pair
+        # shortlist, intersection in codegen. (If the candidate-doc
+        # set ever outgrew a broadcast, _pair_jaccard(sh, pairs) is
+        # the shuffle twin with identical output — the LSH verify leg
+        # uses it.)
         cand_ids = (
             pairs.select(F.col("doc_a").alias("id"))
             .union(pairs.select(F.col("doc_b").alias("id")))
             .distinct()
         )
-        # hot-only correction: each candidate doc's HOT shingle set as
-        # one array (hot sets are ≤ |hot| long by construction and the
-        # docs are the near-dup shortlist), broadcast onto the survivor
-        # pairs; the shared-hot count is then a codegen array_intersect
-        # — no second inverted-index join of any kind
-        hotsets = (
-            flagged.filter(F.col("__hot").isNotNull())
-            .select("id", "shingle")
-            .join(F.broadcast(cand_ids), ["id"], "left_semi")
-            .groupBy("id")
-            .agg(F.collect_set("shingle").alias("hs"))
+        fullsets = base.select("id", "g").join(
+            F.broadcast(cand_ids), ["id"], "left_semi"
         )
-        empty = F.array().cast("array<bigint>")
-        i_full = F.col("c") + F.size(
-            F.array_intersect(
-                F.coalesce("hs_a", empty), F.coalesce("hs_b", empty)
-            )
-        )
+        inter = F.size(F.array_intersect("g_a", "g_b"))
         scored = (
             pairs.join(
                 F.broadcast(
-                    hotsets.select(
-                        F.col("id").alias("doc_a"), F.col("hs").alias("hs_a")
+                    fullsets.select(
+                        F.col("id").alias("doc_a"), F.col("g").alias("g_a")
                     )
                 ),
                 ["doc_a"],
-                "left",
             )
             .join(
                 F.broadcast(
-                    hotsets.select(
-                        F.col("id").alias("doc_b"), F.col("hs").alias("hs_b")
+                    fullsets.select(
+                        F.col("id").alias("doc_b"), F.col("g").alias("g_b")
                     )
                 ),
                 ["doc_b"],
-                "left",
             )
+            # two-step projection: `i` is consumed twice below and
+            # CollapseProject keeps non-cheap aliases used more than
+            # once, so array_intersect evaluates once per pair
+            .select("doc_a", "doc_b", inter.alias("i"), "na", "nb")
             .select(
                 "doc_a",
                 "doc_b",
                 F.round(
-                    i_full.cast("double")
-                    / (F.col("na") + F.col("nb") - i_full),
+                    F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i")),
                     6,
                 ).alias("jaccard"),
             )

@@ -181,7 +181,15 @@ def q7_plan(
     # 1.2 s). When AQE is off the input is tiny by construction, so
     # force the broadcast the static planner can't infer; this removed
     # the fact-side shuffle of lineitem (q7 1.07 s → 0.63 s at sf0.1).
-    aqe = spark.conf.get("spark.sql.adaptive.enabled", "false") == "true"
+    # no fallback literal: a harness-supplied session that never set the
+    # conf must resolve to Spark's BUILT-IN default (true on 3.2+), not a
+    # hardcoded 'false' — which would force F.broadcast(o_asia) (~300M
+    # rows at sf100) on exactly the sessions that rely on AQE to protect
+    # them. conf.get(key) without a default consults the entry's default.
+    try:
+        aqe = spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    except Exception:  # session predating the conf entry: assume no AQE
+        aqe = False
     _build = (lambda df: df) if aqe else F.broadcast
     o_asia = orders.join(
         _build(asia_cust), F.col("o_custkey") == F.col("c_custkey")
@@ -357,7 +365,11 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors: the per-row decimal round-trip before the sort cost
     # 2.5x at sf100 (150M rows) for rows that never reach the output.
     # Order is identical — the oracle sorts on the same raw column, and
-    # equal raw doubles tie-break on o_orderkey either way.
+    # equal raw doubles tie-break on o_orderkey either way. (Data
+    # assumption, per review: raw-vs-rounded sort agreement relies on
+    # stored values being exactly 2-dp, which holds for TPC-H prices;
+    # data with sub-cent noise would need the round inside the sort —
+    # the oracle SQL was changed in lockstep so the contract is atomic.)
     return (
         orders.select("o_orderkey", "o_totalprice")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")

@@ -70,7 +70,23 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     parts, aqe = scaled_shuffle_partitions(data_dir, cpus)
-    _mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # Heap sizing follows the data like the shuffle sizing does: the big
+    # fixed pre-touched heap (rationale below) only pays for itself when
+    # the workload will actually touch gigabytes — for small inputs a
+    # 12 GB -Xms boot either thrashes a small host or burns ~2 min of
+    # cold pre-touch for nothing. Below the AQE boundary default to a
+    # lazily-grown 4 GB; env overrides win in both directions
+    # (SPARK_GRAFT_DRIVER_MEM sizes it, SPARK_GRAFT_FIXED_HEAP=1/0
+    # forces the pre-touch choice — bench.py pins both so measured
+    # numbers keep the fault-stall-free profile).
+    big_input = data_dir is not None and os.path.isdir(data_dir) and (
+        _dir_bytes(data_dir) >= _AQE_MIN_BYTES
+    )
+    _mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "12g" if big_input else "4g"
+    )
+    _fixed_env = os.environ.get("SPARK_GRAFT_FIXED_HEAP")
+    _fixed = _fixed_env == "1" if _fixed_env in ("0", "1") else big_input
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -102,11 +118,12 @@ def get_spark(
         # pre-touch costs ~8 s. A real cluster sizes per-executor memory
         # instead, so this block is local-mode-only.
         .config("spark.driver.memory", _mem)
-        .config(
+    )
+    if _fixed:
+        builder = builder.config(
             "spark.driver.extraJavaOptions",
             f"-Xms{_mem} -XX:+AlwaysPreTouch",
         )
-    )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -37,6 +37,7 @@ def main() -> None:
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")  # stall-free measurement profile
     from eea_crawler_spark.session import get_spark
     from eea_crawler_spark.sinks.indexes import read_bucketed, save_bucketed
     from eea_crawler_spark.sources.tables import load_table

@@ -134,6 +134,7 @@ def main() -> None:
     # faults fresh guest pages at ~100 MB/s — see session.py). A real
     # cluster sizes executors per-node instead.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")  # stall-free measurement profile
 
     from eea_crawler_spark.session import get_spark
 

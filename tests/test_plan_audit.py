@@ -129,9 +129,9 @@ def test_sync_diff_joins_on_id_without_fact_broadcast(spark, sf_dir):
 
 def test_ngram_capped_materializes_shingles_once(spark, sf_dir):
     """The capped Jaccard plan must read the documents scan ZERO times
-    in its final DataFrame: every consumer (histogram, capped self-join,
-    hot counts, full-set rescore) reads the checkpointed shingle blocks
-    instead of re-deriving the explode (the round-2 4× regression)."""
+    in its final DataFrame: every consumer (prefix index, hot valve,
+    full-array rescore) reads the checkpointed shingle-array blocks
+    instead of re-deriving the shingling (the round-2 4× regression)."""
     from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -143,11 +143,12 @@ def test_ngram_capped_materializes_shingles_once(spark, sf_dir):
 
 
 def test_ngram_capped_rescore_is_broadcast_only(spark, sf_dir):
-    """Round-4 shape pin: the capped path's exact rescore must not run
-    a second inverted-index pass. The one shuffle join (capped shingle
-    self-join) happens before the survivor checkpoint, so the FINAL
-    plan — survivors + hot-set correction — may contain only broadcast
-    joins over the materialized shortlist."""
+    """Shape pin (round 4, kept through the round-5 prefix-filter
+    rewrite): the capped path's exact rescore must not run a second
+    inverted-index pass. The one shuffle join (prefix self-join)
+    happens before the survivor checkpoint, so the FINAL plan —
+    survivors + full-array broadcast rescore — may contain only
+    broadcast joins over the materialized shortlist."""
     from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
