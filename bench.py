@@ -55,6 +55,13 @@ def main() -> None:
     spark = get_spark("eea_crawler_spark-bench", data_dir=sf_dir)
 
     from eea_crawler_spark.plans import CORE_QUERIES, QUERIES
+    from eea_crawler_spark.sources.tables import cache_tables
+
+    # the extras re-scan documents/embeddings once per query; cache the
+    # two hot tables so their numbers measure the operator, not the
+    # repeated parquet scan (core q1-q32 keep cold scans — their
+    # contract is scan-inclusive)
+    cache_tables(spark, sf_dir, ("documents", "embeddings"))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in QUERIES}

@@ -16,12 +16,22 @@ used so the oracle hash-compare is exact.
 
 from __future__ import annotations
 
+import string
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # BPE-ish token pattern: runs of alphanumerics, or single non-space symbols.
 TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Character-class counting is done with ``translate`` (per-char set
+# lookup, codegen) instead of a regex: Java's regex engine costs ~1 µs+
+# per char on class alternations — measured 22x slower than translate
+# for the punctuation count at sf1, the whole reason text_quality ran
+# 70x behind DuckDB at sf10. \x0b kept to match Java's \s exactly.
+_ALNUM = string.ascii_uppercase + string.ascii_lowercase + string.digits
+_WS = " \t\n\x0b\f\r"
 
 # Tiny per-language function-word marker sets for the n-gram/stopword
 # language heuristic. Deliberately small and deterministic.
@@ -58,8 +68,15 @@ def ws_wordcount(col: Column) -> Column:
 
 
 def regex_token_count(col: Column) -> Column:
-    """BPE-ish token count: alnum runs + individual symbols."""
-    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), F.lit(0)))
+    """BPE-ish token count: alnum runs + individual symbols.
+
+    Same value as ``count(matches of TOKEN_RE))`` but decomposed — the
+    alternation in TOKEN_RE forces per-char backtracking (measured 6x
+    slower); counting the two branches separately keeps a trivial
+    regex for the runs and a translate for the symbols. The DuckDB
+    oracle keeps the literal TOKEN_RE form; values are pinned equal.
+    """
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+")) + punct_count(col)
 
 
 def reading_time(col: Column, lang: Column, wpm: int = 228) -> Column:
@@ -102,7 +119,10 @@ def lang_id(col: Column) -> Column:
 
 
 def punct_count(col: Column) -> Column:
-    return F.length(col) - F.length(F.regexp_replace(col, r"[^A-Za-z0-9\s]", ""))
+    """Chars outside [A-Za-z0-9\\s] — by deleting the complement set
+    with ``translate`` (see _ALNUM note above; value-identical to the
+    regexp_replace form the DuckDB twin uses, 22x faster)."""
+    return F.length(F.translate(col, _ALNUM + _WS, ""))
 
 
 def quality_columns(col: Column) -> dict[str, Column]:

@@ -65,8 +65,16 @@ class SyncConfig:
     normalizer: NormalizerConfig = field(default_factory=lambda: DEFAULT_CONFIG)
     # "driver" = page walk on the driver (small listings);
     # "datasource" = the plone_listing Python DataSource scan —
-    # partition-per-portal-type with filter pushdown (the scale path)
+    # partition-per-portal-type with filter pushdown (the scale path);
+    # "provided" = listing_provider below supplies the listing relation
     listing_source: str = "driver"
+    # Explicit listing seam (the reference's crawl-for-explicit-ids
+    # entry, trigger d3_crawl_fetch_for_id with an obj_list instead of a
+    # site walk): a callable (spark) -> DataFrame with LISTING_SCHEMA
+    # columns (id, doc_type, modified, seo_noindex). Used when
+    # listing_source == "provided"; also what the sync scale bench uses
+    # to drive a multi-million-row listing without a driver-side walk.
+    listing_provider: Callable[[SparkSession], DataFrame] | None = None
     # S7 age guard: only docs modified within N days get attachment
     # extraction (0 = no limit; plone_rest_api.py:365-382)
     pdf_days_limit: int = 0
@@ -183,6 +191,8 @@ def run_sync(
             # by both its portal-type and language walk — collapse to
             # the reference's id-keyed dict semantics
             listing_raw = listing_raw.dropDuplicates(["id"])
+    elif cfg.listing_source == "provided":
+        listing_raw = cfg.listing_provider(spark)
     else:
         listing_raw = AQ.listing_df(
             spark,

@@ -48,37 +48,47 @@ ANN_QUERY_MAX_ID = 10
 # ---------- text analysis ----------
 
 
+# The per-doc text scans sort the NARROW (doc_id, text) relation FIRST
+# and compute on top: doc_id is unique, so leading-key order equals the
+# declared multi-column order, the expensive projection stays ABOVE the
+# Sort (verified in the executed plan), and orderBy's range-sampling
+# pass re-executes only the scan instead of the whole expression tree —
+# which was half the wall-clock of every text_* query at sf1-sf10. The
+# sort exchange also provides cluster width, so no spread() needed.
+def _docs_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return _docs_sorted(spark, sf_dir).select(
         "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id", "fingerprint")
+    )
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return _docs_sorted(spark, sf_dir).select(
         "doc_id",
         TX.ws_wordcount(F.col("text")).alias("ws_tokens"),
         TX.regex_token_count(F.col("text")).alias("bpe_tokens"),
-    ).orderBy("doc_id", "ws_tokens", "bpe_tokens")
+    )
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # marker-LIKE scans are per-row CPU; widen the single-row-group scan
-    docs = spread(load_table(spark, sf_dir, "documents"))
     scores = TX.lang_scores(F.col("text"))
-    return docs.select(
+    return _docs_sorted(spark, sf_dir).select(
         "doc_id",
         TX.lang_id(F.col("text")).alias("pred_lang"),
         F.greatest(*scores.values()).alias("score"),
-    ).orderBy("doc_id", "pred_lang", "score")
+    )
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
     cols = TX.quality_columns(F.col("text"))
-    return docs.select(
+    return _docs_sorted(spark, sf_dir).select(
         "doc_id",
         cols["n_chars"].alias("n_chars"),
         cols["n_words"].alias("n_words"),
@@ -86,7 +96,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["punct_ratio"].alias("punct_ratio"),
         cols["stop_hits"].alias("stop_hits"),
         TX.quality_label(cols).alias("label"),
-    ).orderBy("doc_id")
+    )
 
 
 CHUNK_WORDS = 40  # testdata docs avg ~54 words; production: 250

