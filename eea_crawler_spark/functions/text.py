@@ -167,7 +167,15 @@ def word_chunks(col: Column, words: int = 250, overlap: int = 50) -> Column:
     it verbatim. Narrow per-row compute: scales with input splits.
     """
     stride = words - overlap
-    w = F.split(col, " ")
+    return word_chunks_of_array(F.split(col, " "), words, overlap)
+
+
+def word_chunks_of_array(w: Column, words: int = 250, overlap: int = 50) -> Column:
+    """``word_chunks`` over an already-split word array. Callers that
+    can materialize the split in an inner projection should (codegen
+    CSE does not reach inside the transform lambda, so an inline split
+    re-evaluates once per chunk)."""
+    stride = words - overlap
     n = F.size(w)
     n_chunks = F.when(
         n > words, ((n - words + (stride - 1)) / stride).cast("long") + 1

@@ -110,8 +110,14 @@ def shingles(
     of an xxhash64 collision among a doc's shingles (~1e-9 at 1M
     distinct — the capped==uncapped and recall pytest pins compare
     against the string-exact paths and would surface one).
+
+    The word array is materialized by an INNER projection: codegen's
+    common-subexpression elimination does not reach across lambda
+    boundaries, so an inline ``split()`` referenced inside the
+    ``transform`` re-splits the text once per shingle position
+    (measured 12x the whole materialization).
     """
-    w = F.split(F.col(text_col), " ")
+    w = F.col("__w")
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.get(w, i - 1 + j) for j in range(n)]
     )
@@ -123,7 +129,14 @@ def shingles(
             F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), mk)
         ),
     ).otherwise(F.array().cast(empty_t))
-    return _spread(df).select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+        .select("id", F.explode(grams).alias("shingle"))
+    )
 
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
@@ -189,8 +202,11 @@ def shingle_arrays(
     rescore is a codegen ``array_intersect`` of two full arrays — the
     inverted index is never materialized for either. All narrow
     (no shuffle); docs shorter than ``n`` words yield an empty array.
+
+    Two-step projection for the same lambda-boundary CSE reason as
+    :func:`shingles` — inlining the split re-splits per shingle, 12x.
     """
-    w = F.split(F.col(text_col), " ")
+    w = F.col("__w")
     gram = lambda i: F.xxhash64(  # noqa: E731
         F.concat_ws(" ", *[F.get(w, i - 1 + j) for j in range(n)])
     )
@@ -202,7 +218,14 @@ def shingle_arrays(
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return _spread(df).select(F.col(id_col).alias("id"), grams.alias("g"))
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+        .select("id", grams.alias("g"))
+    )
 
 
 def ngram_jaccard_pairs(

@@ -75,10 +75,15 @@ def chunk_texts(
     words: int = 250,
     overlap: int = 50,
 ) -> DataFrame:
-    """Explode overlapping word chunks: (id, chunk_idx, chunk_text)."""
-    return df.select(
+    """Explode overlapping word chunks: (id, chunk_idx, chunk_text).
+
+    Split materialized in an inner projection (lambda-boundary CSE —
+    see functions.text.word_chunks_of_array)."""
+    from eea_crawler_spark.functions.text import word_chunks_of_array
+
+    return df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w")).select(
         F.col(id_col),
-        F.posexplode(word_chunks(F.col(text_col), words, overlap)).alias(
+        F.posexplode(word_chunks_of_array(F.col("__w"), words, overlap)).alias(
             "chunk_idx", "chunk_text"
         ),
     )

@@ -48,6 +48,14 @@ from eea_crawler_spark.sinks import indexes as SK
 from eea_crawler_spark.sinks import lakehouse as LK
 from eea_crawler_spark.sources import acquire as AQ
 
+# Batch-size boundary between the two parquet merge plans: below it the
+# update KEY set (8-byte-ish per key) broadcasts comfortably and the
+# zero-state-shuffle merge wins outright; above it the batch is a
+# meaningful fraction of the state and the union→window plan's single
+# shuffle is the better trade. Delta runtimes ignore this (MERGE INTO
+# is O(changed files) at any batch size).
+BROADCAST_MERGE_MAX_ROWS = 1_000_000
+
 
 @dataclass
 class SyncConfig:
@@ -226,7 +234,11 @@ def run_sync(
     skip_ids = ledger.filter(F.col("skipped")).select("id")
     fetch_listing = INC.quarantine_filter(listing, ledger)
     state = _read_state(spark, paths.raw)
-    due = INC.sync_diff(fetch_listing, state)
+    # snapshot the diff: it is changed-set-sized (tiny on a quick sync)
+    # but its plan is the listing×state join — consumed by the fetch,
+    # the envelope join AND the fetched-count action, which without a
+    # checkpoint re-executes the full-corpus join once each
+    due = INC.sync_diff(fetch_listing, state).localCheckpoint(eager=True)
 
     # 2b. deletion guard (J2+J3) — evaluated NOW, against the PRE-sync
     # state (the reference's prev_es_docs_len denominator,
@@ -312,7 +324,16 @@ def run_sync(
     # step may touch. Snapshotted (ids only) because the raw-table swap
     # below invalidates the lineage it was derived from.
     changed_ids = envelopes.select("id").localCheckpoint(eager=True)
-    SK.upsert_index(spark, paths.raw, envelopes, key="id", order_col="indexed_at")
+    # the batch was just counted: a quick sync's small batch takes the
+    # zero-state-shuffle broadcast merge; a bulk (re)crawl keeps the
+    # window plan that is right when the batch is state-sized
+    merge_strategy = (
+        "broadcast" if n_fetched <= BROADCAST_MERGE_MAX_ROWS else "window"
+    )
+    SK.upsert_index(
+        spark, paths.raw, envelopes, key="id", order_col="indexed_at",
+        strategy=merge_strategy,
+    )
 
     # 4. quarantine fold (A7): the ledger folds the CURRENT errored set
     # (docs whose stored envelope has errors after the merge — the
@@ -337,15 +358,27 @@ def run_sync(
         .filter(F.size("errors") == 0)
     )
     normalized = common_normalizer(raw_ok, normalizer)
-    normalized = normalize_by_site(normalized) if "site_id" in normalized.columns else normalized
+    if "site_id" in normalized.columns:
+        # one site per sync run: prune the dispatch to THIS site's
+        # branch (+ the catch-all default). Without the prune the
+        # union-of-branches re-derives the whole normalize-chain
+        # subtree once per registered site (~20x the chain per action —
+        # measured dominating the 50k-doc sync wall before round 5).
+        normalized = normalize_by_site(normalized, sites=[cfg.site_id])
     if cfg.nlp:
         # d5 NLP leg: nlp_250 chunk structs ride on the searchui doc
         # (variables.json:2319-2327); narrow transform, no shuffle
-        normalized = nlp_preprocess_by_site(normalized)
+        normalized = nlp_preprocess_by_site(normalized, sites=[cfg.site_id])
     searchui = normalized.withColumn("indexed_at", F.current_timestamp())
     n_norm = searchui.count()
     if n_norm:
-        SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
+        SK.upsert_index(
+            spark, paths.searchui, searchui, key="id",
+            order_col="indexed_at",
+            strategy="broadcast"
+            if n_norm <= BROADCAST_MERGE_MAX_ROWS
+            else "window",
+        )
         if cfg.embed and paths.chunks and "fulltext" in searchui.columns:
             from eea_crawler_spark.operators.embeddings import embed_chunks
 

@@ -24,7 +24,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eea_crawler_spark.streaming.pipeline import state_merge
 
 BACKUP_KEEP = 3  # dags/lib/elastic.py:98-104
 
@@ -35,9 +34,17 @@ def upsert_index(
     updates: DataFrame,
     key: str = "id",
     order_col: str = "indexed_at",
+    strategy: str = "window",
 ) -> None:
-    """S11/O4: keyed last-wins upsert into the canonical table."""
-    state_merge(spark, table_path, updates, key=key, order_col=order_col)
+    """S11/O4: keyed last-wins upsert into the canonical table.
+    ``strategy="broadcast"`` = the small-batch zero-state-shuffle merge
+    plan (see sinks.lakehouse.merge_upsert)."""
+    from eea_crawler_spark.sinks.lakehouse import merge_upsert
+
+    merge_upsert(
+        spark, table_path, updates, key=key, order_col=order_col,
+        strategy=strategy,
+    )
 
 
 def delete_from_index(

@@ -90,10 +90,18 @@ def merge_upsert(
     key: str = "id",
     order_col: str = "indexed_at",
     backend: str = "auto",
+    strategy: str = "window",
 ) -> None:
     """Keyed last-wins upsert; ties go to the update (idempotent under
     at-least-once replay) — identical semantics on both backends,
-    pinned by the backend-parametrized merge tests."""
+    pinned by the backend-parametrized merge tests.
+
+    ``strategy`` picks the parquet-twin merge plan (ignored on delta,
+    whose MERGE INTO is already O(changed files)): "window" =
+    union → row_number, the right plan when the batch is state-sized;
+    "broadcast" = the zero-state-shuffle small-batch plan
+    (operators.incremental.upsert_last_wins_broadcast) — callers that
+    know the batch is small (run_sync counts it first) pass this."""
     if _pick_backend(spark, path, backend) == "delta":
         from delta.tables import DeltaTable
 
@@ -128,7 +136,18 @@ def merge_upsert(
     # parquet emulation: read state → merge plan → write beside → swap
     if table_exists(path):
         current = spark.read.parquet(path)
-        merged = upsert_last_wins(current, updates, key=key, order_col=order_col)
+        if strategy == "broadcast":
+            from eea_crawler_spark.operators.incremental import (
+                upsert_last_wins_broadcast,
+            )
+
+            merged = upsert_last_wins_broadcast(
+                current, updates, key=key, order_col=order_col
+            )
+        else:
+            merged = upsert_last_wins(
+                current, updates, key=key, order_col=order_col
+            )
     else:
         merged = _dedup_last_wins(updates, key, order_col)
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"

@@ -54,17 +54,29 @@ BASE_MOD = "2024-01-01T00:00:00"
 BUMP_MOD = "2024-02-01T00:00:00"
 
 
+_WORDS = (
+    "environment climate water marine soil air emission policy report "
+    "indicator assessment measure directive habitat species energy "
+    "transport waste resource quality monitoring coastal urban forest"
+).split()
+
+
 class SynthTransport:
-    """Picklable 'site': per-doc JSON computed from the URL, no state."""
+    """Picklable 'site': per-doc JSON computed from the URL, no state.
+
+    Bodies are ~1.4 KB (≈190 words) — the size class of a real listing
+    doc — so the normalize chain does production-shaped per-doc work;
+    with 100-byte stubs every phase is table-rewrite-bound and the
+    O(changed) chain separation is invisible."""
 
     def __call__(self, url: str):
-        i = url.rsplit("/", 1)[-1]
+        i = int(url.rsplit("/", 1)[-1])
+        words = [_WORDS[(i + j * 7) % len(_WORDS)] for j in range(190)]
         return 200, json.dumps(
             {
                 "@id": url,
                 "title": f"Doc {i}",
-                "description": f"Synthetic document {i} body for the sync "
-                "scale benchmark with enough words to chunk.",
+                "description": f"Synthetic document {i}. " + " ".join(words),
                 "language": "en",
                 "review_state": "published",
             }
@@ -166,7 +178,10 @@ def main() -> None:
     assert total == args.docs, total
 
     t0 = time.perf_counter()
-    r3 = run_renormalize(spark, paths)
+    # per-site renormalize (the reference's d4 unit) — same single-site
+    # dispatch prune the sync path gets, so the comparison is the
+    # incremental-vs-full normalize work, not dispatch fan-out
+    r3 = run_renormalize(spark, paths, site_id="synth")
     t_renorm = round(time.perf_counter() - t0, 2)
     print(f"renorm: {t_renorm}s {r3}", file=sys.stderr)
 
