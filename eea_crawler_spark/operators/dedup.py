@@ -28,6 +28,15 @@ from pyspark.sql.window import Window as W
 
 from eea_crawler_spark.functions.text import clean_html
 
+# Rescore-plan gate for the capped ngram path: the broadcast rescore
+# collects the candidate docs' full shingle arrays to the driver, so it
+# is only the right plan while that build stays comfortably inside
+# spark.driver.maxResultSize (1 GiB default) and executor broadcast
+# memory. 64 MiB of raw int64 shingles (~2-3x that serialized) is the
+# measured-safe ceiling; past it the pair-anchored shuffle rescore has
+# identical output with no driver materialization.
+RESCORE_BROADCAST_MAX_BYTES = 64 << 20
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's default parallelism —
@@ -361,52 +370,95 @@ def ngram_jaccard_pairs(
                 >= threshold
             ).select("doc_a", "doc_b", "na", "nb")
         ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
-        # exact rescore with ZERO inverted-index passes: candidate
-        # docs' full sorted shingle arrays broadcast onto the pair
-        # shortlist, intersection in codegen. (If the candidate-doc
-        # set ever outgrew a broadcast, _pair_jaccard(sh, pairs) is
-        # the shuffle twin with identical output — the LSH verify leg
-        # uses it.)
-        cand_ids = (
-            pairs.select(F.col("doc_a").alias("id"))
-            .union(pairs.select(F.col("doc_b").alias("id")))
+        # exact rescore with ZERO inverted-index passes. Two plans with
+        # identical output, chosen by the measured shingle volume of
+        # the candidate docs (one tiny aggregate over the checkpointed
+        # shortlist — na/nb already ride on every pair row, so the
+        # stats need no second look at the corpus):
+        #  * broadcast (small shortlists): candidate docs' full sorted
+        #    arrays broadcast onto the pair list, intersection is one
+        #    codegen array_intersect per pair — zero shuffles;
+        #  * shuffle (corpus-scale shortlists): the broadcast build is
+        #    O(candidate docs × shingles/doc) and collects to the
+        #    driver — at 5M docs (sf100 replica corpus) it exceeded
+        #    spark.driver.maxResultSize. The pair-anchored
+        #    inverted-index join (same shape as _pair_jaccard's
+        #    restricted leg) shuffles only the candidate docs'
+        #    exploded shingles — linear in candidate volume, nothing
+        #    driver-side.
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("id"), F.col("na").alias("n"))
+            .union(
+                pairs.select(F.col("doc_b").alias("id"), F.col("nb").alias("n"))
+            )
             .distinct()
         )
-        fullsets = base.select("id", "g").join(
-            F.broadcast(cand_ids), ["id"], "left_semi"
-        )
-        inter = F.size(F.array_intersect("g_a", "g_b"))
-        scored = (
-            pairs.join(
-                F.broadcast(
-                    fullsets.select(
-                        F.col("id").alias("doc_a"), F.col("g").alias("g_a")
-                    )
-                ),
-                ["doc_a"],
+        tot = cand_docs.agg(F.sum("n").alias("s")).first()
+        if int(tot["s"] or 0) * 8 <= RESCORE_BROADCAST_MAX_BYTES:
+            fullsets = base.select("id", "g").join(
+                F.broadcast(cand_docs.select("id")), ["id"], "left_semi"
             )
-            .join(
-                F.broadcast(
-                    fullsets.select(
-                        F.col("id").alias("doc_b"), F.col("g").alias("g_b")
-                    )
-                ),
-                ["doc_b"],
+            inter = F.size(F.array_intersect("g_a", "g_b"))
+            scored = (
+                pairs.join(
+                    F.broadcast(
+                        fullsets.select(
+                            F.col("id").alias("doc_a"), F.col("g").alias("g_a")
+                        )
+                    ),
+                    ["doc_a"],
+                )
+                .join(
+                    F.broadcast(
+                        fullsets.select(
+                            F.col("id").alias("doc_b"), F.col("g").alias("g_b")
+                        )
+                    ),
+                    ["doc_b"],
+                )
+                # two-step projection: `i` is consumed twice below and
+                # CollapseProject keeps non-cheap aliases used more than
+                # once, so array_intersect evaluates once per pair
+                .select("doc_a", "doc_b", inter.alias("i"), "na", "nb")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.round(
+                        F.col("i").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("i")),
+                        6,
+                    ).alias("jaccard"),
+                )
             )
-            # two-step projection: `i` is consumed twice below and
-            # CollapseProject keeps non-cheap aliases used more than
-            # once, so array_intersect evaluates once per pair
-            .select("doc_a", "doc_b", inter.alias("i"), "na", "nb")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(
-                    F.col("i").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("i")),
-                    6,
-                ).alias("jaccard"),
+        else:
+            sh_cand = (
+                base.select("id", "g")
+                .join(cand_docs.select("id"), ["id"], "left_semi")
+                .select("id", F.explode("g").alias("shingle"))
             )
-        )
+            scored = (
+                pairs.join(
+                    _wide_by(sh_cand, "id").select(
+                        F.col("id").alias("doc_a"), "shingle"
+                    ),
+                    ["doc_a"],
+                )
+                .join(
+                    sh_cand.select(F.col("id").alias("doc_b"), "shingle"),
+                    ["doc_b", "shingle"],
+                )
+                .groupBy("doc_a", "doc_b", "na", "nb")
+                .agg(F.count(F.lit(1)).alias("i"))
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.round(
+                        F.col("i").cast("double")
+                        / (F.col("na") + F.col("nb") - F.col("i")),
+                        6,
+                    ).alias("jaccard"),
+                )
+            )
     # single-pass global sort: the result is a near-dup shortlist, and
     # orderBy's range-partition sampling would execute the rescore plan
     # twice just to order it

@@ -269,24 +269,35 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q13 group aggregation sum/avg/count (A1,A2,J3; TPC-H Q1 style) ---
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
-    # Money sums run in int64 "cents": the per-row decimal(18,2) cast
-    # fixes the exact 2-dp value (same HALF_UP the oracle's decimal SUM
-    # sees), ×100 + cast long is exact, and the long-sum aggregate skips
-    # the JVM BigDecimal accumulation path — measured 1.6× on the whole
-    # query at sf10 (decimal sums were 80% of its runtime). Division of
-    # the exact integer total by 100.0 and casting the exact decimal
-    # total to double both round to nearest — identical doubles (pinned
-    # by the oracle hash). Overflow headroom: int64 holds ~9.2e18, a
-    # cents-sum of 1e5-range prices stays safe past 10^12 rows; beyond
-    # that this shape shards the aggregate anyway.
-    cents = lambda c, f: (F.col(c).cast("decimal(18,2)") * f).cast("long")  # noqa: E731
+    # Money sums run in int64 "cents" recovered by PRIMITIVE double
+    # math: stored values are exactly 2-dp decimals, so x*100 sits
+    # within ~1e-8 of the true integer cents and round() recovers it
+    # exactly (the HALF_UP .5 boundary is unreachable — fp error would
+    # need to be 0.5). The earlier decimal(18,2)-cast formulation got
+    # the same exact cents but allocated a JVM BigDecimal per row per
+    # money column on the full scan — the dominant cost of this query
+    # at sf100 (15.2 s → the cast was most of it; round+cast stays in
+    # whole-stage codegen primitives). The avg keeps EXACT rational
+    # semantics without any per-row decimal: sum of discount-cents is
+    # an exact long, and the single per-GROUP decimal division
+    # sum/(100*n) reproduces round(avg(decimal),4) half-up to the
+    # digit. Overflow headroom: int64 holds ~9.2e18, a cents-sum of
+    # 1e5-range prices stays safe past 10^12 rows; beyond that this
+    # shape shards the aggregate anyway.
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(cents("l_quantity", 100)) / 100.0).alias("sq"),
-            (F.sum(cents("l_extendedprice", 100)) / 100.0).alias("sp"),
-            F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")), 4).cast("double").alias("ad"),
+            (F.sum(cents("l_quantity")) / 100.0).alias("sq"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sp"),
+            F.round(
+                F.sum(cents("l_discount")).cast("decimal(38,10)")
+                / (F.count(F.lit(1)) * 100),
+                4,
+            )
+            .cast("double")
+            .alias("ad"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -108,6 +108,35 @@ def test_ngram_jaccard_df_cap_preserves_high_pairs(spark, sf_dir):
     assert capped == exact  # near-dup pairs share rare shingles too
 
 
+def test_ngram_shuffle_rescore_equals_broadcast(spark, sf_dir, monkeypatch):
+    """The capped path picks its rescore plan by candidate shingle
+    volume (broadcast below RESCORE_BROADCAST_MAX_BYTES, pair-anchored
+    shuffle join above — the plan that survives a 5M-doc corpus where
+    the broadcast build exceeded driver.maxResultSize). Both plans must
+    emit identical pairs AND identical Jaccard values; forcing the gate
+    to 0 exercises the shuffle leg on the same corpus the driver
+    hash-checks."""
+    from eea_crawler_spark.operators import dedup
+    from eea_crawler_spark.plans.extras import JACCARD_THRESHOLD
+    from eea_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    broadcast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_df=5
+        ).collect()
+    }
+    monkeypatch.setattr(dedup, "RESCORE_BROADCAST_MAX_BYTES", 0)
+    shuffled = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_df=5
+        ).collect()
+    }
+    assert broadcast and shuffled == broadcast
+
+
 def test_hashed_shingles_equal_hashed_string_shingles(spark, sf_dir):
     """shingles(hashed=True) must emit exactly xxhash64 of the string
     shingles — the hash moves inside the per-doc array for speed, not
