@@ -532,12 +532,17 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, est_jaccard, jaccard) for jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    # the shingle explode feeds both the signatures and the exact-verify
-    # leg; the signature table feeds banding + the est join twice — both
-    # are recomputed per consumer without materialization (sigs is tiny:
-    # one 64-long row per doc)
-    sh = shingles(df, text_col, id_col, n, hashed=True).localCheckpoint(eager=True)
-    sigs = _signatures_from(sh, num_hashes).localCheckpoint(eager=True)
+    # The signature table is the cache unit (one 64-long row per doc,
+    # consumed by banding + the est join twice). The exploded shingle
+    # relation is NOT materialized: deserialized it is ~20x the input
+    # bytes (150M rows for a 700 MB 5M-doc corpus), and eagerly
+    # checkpointing it while the 64-column signature aggregate ran in
+    # the same stage starved the aggregate's memory at sf100
+    # (AGGREGATE_OUT_OF_MEMORY). It streams through the partial agg
+    # instead; the verify leg re-shingles only the candidate docs.
+    sigs = _signatures_from(
+        shingles(df, text_col, id_col, n, hashed=True), num_hashes
+    ).localCheckpoint(eager=True)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
@@ -575,14 +580,25 @@ def minhash_lsh_pairs(
     )
     # exact verification over CANDIDATE DOCS' shingles only: the whole
     # point of LSH is that the verify join must not touch the full
-    # inverted index — restrict to docs appearing in a candidate pair
-    # (their complete shingle sets, so Jaccard values are unchanged)
+    # inverted index — re-shingle just the docs appearing in a
+    # candidate pair (their complete shingle sets, so Jaccard values
+    # are unchanged). Shingling is a narrow per-row transform, so
+    # running it a second time over the candidate subset is linear in
+    # candidate volume — strictly cheaper than keeping the full
+    # corpus' exploded relation pinned in block storage for this one
+    # consumer.
     cand_ids = (
-        cand.select(F.col("doc_a").alias("id"))
-        .union(cand.select(F.col("doc_b").alias("id")))
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = sh.join(cand_ids, ["id"], "left_semi")
+    sh_cand = shingles(
+        df.join(cand_ids, [id_col], "left_semi"),
+        text_col,
+        id_col,
+        n,
+        hashed=True,
+    )
     exact = _pair_jaccard(sh_cand, pairs=cand)
     return (
         est.join(exact, ["doc_a", "doc_b"])
