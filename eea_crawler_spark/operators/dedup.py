@@ -461,10 +461,15 @@ def ngram_jaccard_pairs(
             )
     # single-pass global sort: the result is a near-dup shortlist, and
     # orderBy's range-partition sampling would execute the rescore plan
-    # twice just to order it
+    # twice just to order it. repartition(1), NOT coalesce(1): coalesce
+    # propagates up to the previous shuffle boundary and collapsed the
+    # rescore's final aggregation into one task (measured 79 s — 20% of
+    # the sf100 wall — funnelling 93.6M partial-agg rows through a
+    # single core). The explicit exchange keeps the upstream at cluster
+    # width and moves only the post-filter shortlist.
     return (
         scored.filter(F.col("jaccard") >= threshold)
-        .coalesce(1)
+        .repartition(1)
         .sortWithinPartitions("doc_a", "doc_b", "jaccard")
     )
 
