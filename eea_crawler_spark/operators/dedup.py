@@ -597,13 +597,15 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    # checkpointed: _pair_jaccard consumes it three times (sizes + both
+    # pair-join sides) and it is candidate-volume-sized by construction
     sh_cand = shingles(
         df.join(cand_ids, [id_col], "left_semi"),
         text_col,
         id_col,
         n,
         hashed=True,
-    )
+    ).localCheckpoint(eager=True)
     exact = _pair_jaccard(sh_cand, pairs=cand)
     return (
         est.join(exact, ["doc_a", "doc_b"])

@@ -161,16 +161,22 @@ def test_ngram_capped_rescore_is_broadcast_only(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan
 
 
-def test_minhash_lsh_materializes_shingles_and_sigs_once(spark, sf_dir):
-    """Same property for the LSH plan: signatures + shingles feed
-    multiple consumers through checkpoints, never via file re-scans."""
+def test_minhash_lsh_caches_signatures_rescans_candidates_only(spark, sf_dir):
+    """LSH materialization contract: the SIGNATURE table (one 64-long
+    row per doc) is the cached relation feeding banding and the est
+    join — the exploded shingle relation is never checkpointed (at 5M
+    docs it is ~20x the input bytes deserialized and starved the
+    signature aggregate's memory). The verify leg re-shingles the
+    candidate docs (semi-join-pruned scan, checkpointed because
+    _pair_jaccard consumes it three times), so the FINAL plan reads
+    only checkpoints — no parquet re-scans."""
     from eea_crawler_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     df = minhash_lsh_pairs(docs, text_col="text", id_col="doc_id", threshold=0.8)
     plan = _plan(df)
     assert "Scan parquet" not in plan
-    assert "ExistingRDD" in plan
+    assert "ExistingRDD" in plan  # sigs + cand + sh_cand checkpoints
 
 
 def test_incremental_sync_normalize_is_semi_join_pruned(spark, sf_dir, tmp_path):
