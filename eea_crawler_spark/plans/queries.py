@@ -271,20 +271,20 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     # Money sums run in int64 "cents" recovered by PRIMITIVE double
     # math: stored values are exactly 2-dp decimals, so x*100 sits
-    # within ~1e-8 of the true integer cents and round() recovers it
-    # exactly (the HALF_UP .5 boundary is unreachable — fp error would
-    # need to be 0.5). The earlier decimal(18,2)-cast formulation got
-    # the same exact cents but allocated a JVM BigDecimal per row per
-    # money column on the full scan — the dominant cost of this query
-    # at sf100 (15.2 s → the cast was most of it; round+cast stays in
-    # whole-stage codegen primitives). The avg keeps EXACT rational
+    # within ~1e-8 of the true integer cents and rint() recovers it
+    # exactly (rint's half-even tie at .5 is unreachable — fp error
+    # would need to be 0.5). rint, NOT round: Spark's Round on doubles
+    # routes through BigDecimal.valueOf per row, the same allocation
+    # the decimal(18,2)-cast formulation paid (measured at sf100:
+    # decimal cast 15.2 s → round 6.9 s → rint 3.8 s warm; rint is
+    # Math.rint in codegen, pure FP). The avg keeps EXACT rational
     # semantics without any per-row decimal: sum of discount-cents is
     # an exact long, and the single per-GROUP decimal division
     # sum/(100*n) reproduces round(avg(decimal),4) half-up to the
     # digit. Overflow headroom: int64 holds ~9.2e18, a cents-sum of
     # 1e5-range prices stays safe past 10^12 rows; beyond that this
     # shape shards the aggregate anyway.
-    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    cents = lambda c: F.rint(F.col(c) * 100).cast("long")  # noqa: E731
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
