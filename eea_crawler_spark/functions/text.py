@@ -88,34 +88,52 @@ def reading_time(col: Column, lang: Column, wpm: int = 228) -> Column:
     )
 
 
-def _word_hit(col: Column, word: str) -> Column:
-    # standalone-word containment, expressed with LIKE so the DuckDB twin
-    # is literally the same predicate
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
-    return padded.like(f"% {word} %").cast("int")
+def marker_hits_of_tokens(toks: Column, words: tuple[str, ...]) -> Column:
+    """Marker count over an already-split token array.
+
+    Value-identical to the padded-LIKE form (which the DuckDB oracle
+    twin keeps): a marker w occurs as a standalone word ⟺
+    ``' '+col+' ' LIKE '% w %'`` ⟺ ``w ∈ split(col, ' ')``, and both
+    formulations count each marker at most once. One hash-probe
+    ``array_intersect`` replaces ``len(words)`` full-string scans per
+    row — callers that score several marker sets (langid: 5 languages)
+    should split once in an inner projection and pass the array."""
+    return F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+    )
 
 
 def marker_hits(col: Column, words: tuple[str, ...]) -> Column:
     """How many of the marker words occur (as standalone words)."""
-    out = F.lit(0)
-    for w in words:
-        out = out + _word_hit(col, w)
-    return out
+    return marker_hits_of_tokens(F.split(col, " "), words)
+
+
+def lang_scores_of_tokens(toks: Column) -> dict[str, Column]:
+    return {
+        lang: marker_hits_of_tokens(toks, LANG_MARKERS[lang])
+        for lang in LANG_ORDER
+    }
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
-    low = F.lower(col)
-    return {lang: marker_hits(low, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    return lang_scores_of_tokens(F.split(F.lower(col), " "))
 
 
-def lang_id(col: Column) -> Column:
-    """Argmax language with fixed priority order; 'und' when no marker hits."""
-    scores = lang_scores(col)
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax language with fixed priority order; 'und' when no marker
+    hits. Callers should materialize the score columns in an inner
+    projection first — each score feeds ``greatest`` plus two ``when``
+    branches, and codegen CSE does not always reach across them."""
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):
         expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language with fixed priority order; 'und' when no marker hits."""
+    return lang_id_from_scores(lang_scores(col))
 
 
 def punct_count(col: Column) -> Column:

@@ -78,11 +78,27 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scores = TX.lang_scores(F.col("text"))
-    return _docs_sorted(spark, sf_dir).select(
+    # Three-stage projection: split once, score each language once,
+    # THEN argmax — inner projections materialize what codegen CSE
+    # will not dedupe across greatest/when boundaries (the flat form
+    # re-evaluated the 25 marker probes ~4x per row; measured 16 s →
+    # at sf100 on this restructure + token-array marker_hits).
+    scores = TX.lang_scores_of_tokens(F.col("__toks"))
+    inner = (
+        _docs_sorted(spark, sf_dir)
+        .select(
+            "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
+        )
+        .select(
+            "doc_id",
+            *[scores[lang].alias(f"__s_{lang}") for lang in TX.LANG_ORDER],
+        )
+    )
+    sc = {lang: F.col(f"__s_{lang}") for lang in TX.LANG_ORDER}
+    return inner.select(
         "doc_id",
-        TX.lang_id(F.col("text")).alias("pred_lang"),
-        F.greatest(*scores.values()).alias("score"),
+        TX.lang_id_from_scores(sc).alias("pred_lang"),
+        F.greatest(*sc.values()).alias("score"),
     )
 
 
