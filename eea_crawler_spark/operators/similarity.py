@@ -63,6 +63,14 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
+    """Spark's Round(double) semantics (BigDecimal HALF_UP, away from
+    zero) vectorized — np.round is HALF_EVEN and would disagree on
+    exact .00005 boundaries."""
+    scale = 10.0**digits
+    return np.sign(x) * np.trunc(np.abs(x) * scale + 0.5) / scale
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,17 +83,69 @@ def brute_force_topk(
     Output: (q_id, vec_id, rnk, cos); self-matches excluded. Cosine is
     rounded to 4 digits *before* ranking so the ordering (and therefore
     the top-k set) is reproducible across engines; vec_id breaks ties.
+
+    Execution: the query set is collected driver-side (the operator's
+    contract — |queries| small enough to broadcast; same legitimacy
+    class as ``ivf_centroids``'s k×dim collect) and closed over by an
+    Arrow-batched ``mapInPandas`` that scores each corpus batch as ONE
+    BLAS matmul (C·Qᵀ) and emits only that batch's top-k rows per
+    query. A per-pair zip_with/aggregate fold was measured 2.6× DuckDB
+    at sf100 — higher-order functions are CodegenFallback, so each of
+    the n·q dot products paid interpreted per-element overhead, and
+    the window sorted all n·q scored rows. The matmul path stays in
+    float64 SIMD, and the final exact window sees only
+    partitions·q·k rows. Per-batch top-k → global top-k is exact
+    because both use the same total order (cos desc, id asc).
+    Parallelism comes from input splits (sf100: ~250 files); no
+    repartition — a corpus small enough to land in one split is one
+    cheap matmul anyway.
     """
-    q = _with_norm(queries, "q", id_col, vec_col)
-    c = _with_norm(_spread(corpus), "c", id_col, vec_col)
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select(
-            F.col("q_id"),
-            F.col("c_id").alias(id_col),
-            _pair_cos("q", "c").alias("cos"),
-        )
+    q_rows = queries.select(id_col, vec_col).collect()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {id_type}, {id_col} {id_type}, cos double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rnk int"
+        ).select("q_id", id_col, "rnk", "cos")
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def _score_batches(batches):
+        import pandas as pd
+
+        qn = np.asarray(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            c_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            # (n_batch × q) rounded cosines; self-matches knocked out
+            sims = _round_half_up(
+                (c_mat @ q_mat.T) / np.outer(c_nrm, q_nrm)
+            )
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(q_ids)):
+                s = sims[:, j].copy()
+                s[ids == qn[j]] = -np.inf
+                top = np.lexsort((ids, -s))[:k]
+                top = top[np.isfinite(s[top])]
+                out_q.extend([q_ids[j]] * len(top))
+                out_id.extend(ids[top])
+                out_cos.extend(s[top])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.asarray(out_q, dtype=qn.dtype),
+                    id_col: np.asarray(out_id, dtype=ids.dtype),
+                    "cos": np.asarray(out_cos, dtype=np.float64),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score_batches, out_schema
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
     return (
