@@ -164,21 +164,58 @@ def neardup_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
 
-    Exact and therefore O(n²) pairs by construction; the broadcast-
-    nested-loop form parallelizes over the (repartitioned) left side.
-    At corpus sizes where n² is unpayable, use ``hyperplane_lsh_topk``
-    buckets as the candidate generator instead.
+    Exact and therefore O(n²) pairs by construction — the documented
+    small-corpus tool; at corpus sizes where n² (or an n×dim broadcast)
+    is unpayable, use ``hyperplane_lsh_topk`` / MinHash buckets as the
+    candidate generator instead.
+
+    Execution mirrors ``brute_force_topk``: the corpus matrix is
+    broadcast once (same memory envelope as the previous
+    broadcast-nested-loop join, which also shipped the full corpus to
+    every task — only the materialization point moved) and each
+    Arrow batch of the left side scores against it as ONE float64
+    matmul instead of n·n CodegenFallback zip_with/aggregate folds.
+    Only the ≥threshold survivors leave the batch, so the sort input
+    is the match set, not the pair space.
     """
-    a = _with_norm(_spread(corpus), "a", id_col, vec_col)
-    b = _with_norm(corpus, "b", id_col, vec_col)
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.asarray([r[id_col] for r in rows])
+    mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    schema = f"a_id {id_type}, b_id {id_type}, cos double"
+    if len(rows) == 0:
+        return corpus.sparkSession.createDataFrame([], schema)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bvar = corpus.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+
+    def _pair_batches(batches):
+        import pandas as pd
+
+        b_ids, b_mat, b_nrm = bvar.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = _round_half_up(
+                (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+            )
+            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": b_ids[bj],
+                    "cos": sims[ai, bj],
+                }
+            )
+
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            _pair_cos("a", "b").alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_pair_batches, schema)
         .orderBy("a_id", "b_id", "cos")
     )
 
