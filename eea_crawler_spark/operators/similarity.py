@@ -15,8 +15,18 @@ here the engine itself answers neighbor queries:
     same-bucket rows, so the join is (bucket)-keyed instead of a cross
     product. Approximate (recall < 1), so it has no SQL oracle.
 
-All vector math lives in functions/vectors.py (built-in higher-order
-functions, double-cast, sequential sums) for cross-engine determinism.
+Vector math comes in two layers: the exact operators
+(``brute_force_topk``, ``neardup_pairs``) score Arrow batches as
+float64 BLAS matmuls — zip_with/aggregate higher-order functions are
+CodegenFallback, so a per-pair fold pays interpreted per-element cost
+(measured 2.6× DuckDB at sf100; the matmul path is 0.63×) — with
+HALF_UP rounding matching Spark's Round(double) so results stay
+bit-identical to the expression form and the DuckDB oracle. The
+index-build legs (IVF assignment, LSH bucketing) keep the
+functions/vectors.py column expressions (double-cast, sequential
+sums): they run once per row against ≤k centroids/planes, where
+per-pair fold cost is immaterial and staying in expression land keeps
+the plan shuffle-free.
 """
 
 from __future__ import annotations
