@@ -236,18 +236,47 @@ def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def _bucket_expr(vec, planes: list[list[float]]):
-    """Sign-bit bucket id from the hyperplane projections (pure codegen)."""
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        proj = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0)
-    return bucket
+def _bucketed_pandas(
+    df: DataFrame,
+    prefix: str,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+) -> DataFrame:
+    """Project (id, vec, ‖vec‖, sign-bit bucket) per row, one batch
+    matmul against the P×dim plane matrix — the ``mapInPandas`` twin
+    of ``_with_norm`` + the old per-plane fold expression (bit j set
+    iff the projection onto plane j is ≥ 0)."""
+    p_mat = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    schema = (
+        f"{prefix}_id {id_type}, {prefix}_vec {vec_type}, "
+        f"{prefix}_nrm double, bucket bigint"
+    )
+
+    def _buckets(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
+            bits = (v_mat @ p_mat.T) >= 0
+            yield pd.DataFrame(
+                {
+                    f"{prefix}_id": pdf[id_col].to_numpy(),
+                    f"{prefix}_vec": pdf[vec_col],
+                    f"{prefix}_nrm": nrm,
+                    "bucket": (bits.astype(np.int64) * weights).sum(axis=1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_buckets, schema)
 
 
 def ivf_centroids(
@@ -274,29 +303,73 @@ def ivf_centroids(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-        means = (
-            assigned.select("cluster", F.posexplode(F.col(vec_col)))
-            .groupBy("cluster", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("v"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("centroid")
-            )
-            .collect()
-        )
-        by_cluster = {r["cluster"]: list(r["centroid"]) for r in means}
-        # empty clusters keep their previous centroid
-        centroids = [by_cluster.get(i, c) for i, c in enumerate(centroids)]
+        centroids = _lloyd_means(corpus, centroids, vec_col)
     return centroids
 
 
-def _centroid_df(df_session, centroids: list[list[float]]) -> DataFrame:
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    return df_session.createDataFrame(rows, "cluster int, c_vec array<double>")
+def _lloyd_means(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str
+) -> list[list[float]]:
+    """One Lloyd round: assign each row to its nearest centroid and
+    return the per-cluster means (empty clusters keep their previous
+    centroid).
+
+    Assignment + partial sums happen in ONE ``mapInPandas`` pass: each
+    Arrow batch scores against the k×dim centroid matrix as a single
+    matmul (the per-row zip_with/aggregate cosine fold is
+    CodegenFallback — at 2M rows × 16 centroids the interpreted dots
+    plus a 128M-row posexplode shuffle for the means made the IVF
+    build ~60 s at sf100) and emits one (cluster, count, sum-vector)
+    row per cluster it saw. The final exact aggregate then groups
+    partitions·k rows instead of n·dim. Same nearest rule as
+    ``ivf_assign`` (cosine rounded to 6, ties to the lowest cluster
+    id).
+    """
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
+            sims = _round_half_up(
+                (v_mat @ c_mat.T) / np.outer(v_nrm, c_nrm), 6
+            )
+            # stable argsort of -sim == order by (sim desc, cluster asc)
+            nearest = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            out = []
+            for cl in np.unique(nearest):
+                mask = nearest == cl
+                out.append(
+                    (int(cl), int(mask.sum()), v_mat[mask].sum(axis=0))
+                )
+            yield pd.DataFrame(out, columns=["cluster", "cnt", "sums"])
+
+    partials = corpus.select(vec_col).mapInPandas(
+        _partials, "cluster int, cnt long, sums array<double>"
+    )
+    # partitions·k partial rows: exploding THESE is trivial
+    means = (
+        partials.select("cluster", "cnt", F.posexplode("sums"))
+        .groupBy("cluster", "pos")
+        .agg((F.sum("col") / F.sum("cnt")).alias("v"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    by_cluster = {r["cluster"]: list(r["centroid"]) for r in means}
+    return [by_cluster.get(i, c) for i, c in enumerate(centroids)]
 
 
 def ivf_assign(
@@ -307,24 +380,44 @@ def ivf_assign(
     n_probe: int = 1,
     prefix: str = "",
 ) -> DataFrame:
-    """Attach the ``n_probe`` nearest centroid ids (cosine, ties by
-    cluster id) to each row. Broadcast nested-loop vs k centroids —
-    the corpus never shuffles."""
-    spark = corpus.sparkSession
-    cent = _centroid_df(spark, centroids).withColumn("c_nrm", norm(F.col("c_vec")))
-    v = F.col(vec_col)
-    sim = F.round(
-        dot(v, F.col("c_vec")) / (norm(v) * F.col("c_nrm")), 6
+    """Attach the ``n_probe`` nearest centroid ids (cosine rounded to
+    6, ties by cluster id) to each row — the corpus never shuffles.
+
+    Each Arrow batch scores against the k×dim centroid matrix as one
+    float64 matmul (``mapInPandas``), replacing the broadcast
+    nested-loop join whose per-(row, centroid) zip_with/aggregate
+    cosine is CodegenFallback — n·k interpreted dots plus a window
+    over n·k scored rows. All input columns pass through unchanged;
+    rows are emitted ``n_probe`` times with their probed cluster ids.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    n_probe = min(n_probe, len(centroids))
+    out_schema = StructType(
+        corpus.schema.fields + [StructField("cluster", IntegerType())]
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("sim"), F.col("cluster"))
-    out = (
-        corpus.crossJoin(F.broadcast(cent))
-        .withColumn("sim", sim)
-        .withColumn("crnk", F.row_number().over(w))
-        .filter(F.col("crnk") <= n_probe)
-        .drop("c_vec", "c_nrm", "sim", "crnk")
-    )
-    return out
+
+    def _assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
+            sims = _round_half_up(
+                (v_mat @ c_mat.T) / np.outer(v_nrm, c_nrm), 6
+            )
+            # stable argsort of -sim == order by (sim desc, cluster asc)
+            probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            idx = np.repeat(np.arange(len(pdf)), n_probe)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            out["cluster"] = probes.reshape(-1).astype("int32")
+            yield out
+
+    return corpus.mapInPandas(_assign_batches, out_schema)
 
 
 def ivf_topk(
@@ -351,7 +444,7 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(corpus, n_clusters, n_iter, id_col, vec_col)
     c = (
-        ivf_assign(_spread(corpus), centroids, id_col, vec_col, n_probe=1)
+        ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1)
         .select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
@@ -401,14 +494,17 @@ def hyperplane_lsh_topk(
     key is (bucket), so work scales with bucket occupancy, not corpus².
     Multi-probe (flipping one bit) would raise recall; kept single-probe
     here for plan clarity. No oracle — approximate by construction.
+
+    Bucketing runs as a per-batch matmul against the P×dim plane
+    matrix (``mapInPandas``) — the n_planes per-row zip_with/aggregate
+    projections are CodegenFallback, 24M interpreted dots at sf100.
+    The post-join scoring keeps the column-expression cosine: bucket
+    occupancy makes the candidate set tiny, so per-pair fold cost is
+    immaterial there.
     """
     planes = hyperplane_planes(dim, n_planes, seed)
-    c = _with_norm(_spread(corpus), "c", id_col, vec_col).withColumn(
-        "bucket", _bucket_expr(F.col("c_vec"), planes)
-    )
-    q = _with_norm(queries, "q", id_col, vec_col).withColumn(
-        "bucket", _bucket_expr(F.col("q_vec"), planes)
-    )
+    c = _bucketed_pandas(corpus, "c", id_col, vec_col, planes)
+    q = _bucketed_pandas(queries, "q", id_col, vec_col, planes)
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("c_id") != F.col("q_id"))
