@@ -15,18 +15,16 @@ here the engine itself answers neighbor queries:
     same-bucket rows, so the join is (bucket)-keyed instead of a cross
     product. Approximate (recall < 1), so it has no SQL oracle.
 
-Vector math comes in two layers: the exact operators
-(``brute_force_topk``, ``neardup_pairs``) score Arrow batches as
-float64 BLAS matmuls — zip_with/aggregate higher-order functions are
+Every full-corpus leg — exact scoring, LSH bucketing, IVF assignment
+/ Lloyd rounds / probe-serve — runs as Arrow-batched ``mapInPandas``
+float64 BLAS matmuls: zip_with/aggregate higher-order functions are
 CodegenFallback, so a per-pair fold pays interpreted per-element cost
-(measured 2.6× DuckDB at sf100; the matmul path is 0.63×) — with
-HALF_UP rounding matching Spark's Round(double) so results stay
-bit-identical to the expression form and the DuckDB oracle. The
-index-build legs (IVF assignment, LSH bucketing) keep the
-functions/vectors.py column expressions (double-cast, sequential
-sums): they run once per row against ≤k centroids/planes, where
-per-pair fold cost is immaterial and staying in expression land keeps
-the plan shuffle-free.
+(the exact path measured 2.6× DuckDB at sf100 as a fold, 0.63× as a
+matmul; the IVF serve leg 7.3 s → 1.7 s). HALF_UP rounding matches
+Spark's Round(double) bit-for-bit against the previous expression
+form and the DuckDB oracle. Only shortlist-sized work (the post-join
+LSH candidate scoring) stays in functions/vectors.py column
+expressions, where fold cost is immaterial.
 """
 
 from __future__ import annotations
@@ -36,26 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from eea_crawler_spark.functions.vectors import dot, norm
-
-
-def _rename(df: DataFrame, prefix: str, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec")
-    )
-
-
-def _with_norm(df: DataFrame, prefix: str, id_col: str, vec_col: str) -> DataFrame:
-    """Project (id, vec, ‖vec‖) once per row, pre-join.
-
-    Norms computed inside the pair join are re-evaluated per *pair*
-    (O(n·k) extra higher-order-function work); hoisting them to the
-    sides makes the per-pair cost a single dot product. Numerically
-    identical: same sqrt(dot(v,v)) expression, same sequential sum.
-    """
-    return _rename(df, prefix, id_col, vec_col).withColumn(
-        f"{prefix}_nrm", norm(F.col(f"{prefix}_vec"))
-    )
+from eea_crawler_spark.functions.vectors import dot
 
 
 def _pair_cos(a: str, b: str, digits: int = 4):
@@ -64,13 +43,6 @@ def _pair_cos(a: str, b: str, digits: int = 4):
         / (F.col(f"{a}_nrm") * F.col(f"{b}_nrm")),
         digits,
     )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to default parallelism so the pair-generation join
-    fans out across all cores even when the scan is a single small file
-    (local bench); at cluster scale input splits already provide width."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
