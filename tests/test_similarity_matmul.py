@@ -1,0 +1,106 @@
+"""Pins for the matmul vector paths vs the column-expression forms.
+
+The similarity operators score Arrow batches with float64 BLAS
+matmuls (operators/similarity.py); their contract is that results are
+IDENTICAL to the zip_with/aggregate expression form they replaced —
+same rounded cosines, same top-k sets, same pair lists. The extras
+oracle (test_extras_oracle.py) pins the declared queries against
+DuckDB; these tests pin the equivalence directly, on adversarial
+vectors the sf corpora don't contain (near-zero norms would divide
+loudly, antiparallel vectors exercise the away-from-zero rounding,
+ties exercise the id ordering).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.functions.vectors import cosine_rounded
+from eea_crawler_spark.operators.similarity import (
+    _round_half_up,
+    brute_force_topk,
+    neardup_pairs,
+)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up must agree with Spark's Round(double, 4) on exact
+    grid points, half-way ties, negatives, and ordinary values."""
+    vals = [
+        0.12345, -0.12345, 0.00005, -0.00005, 0.99995, -0.99995,
+        0.5, -0.5, 0.123449999, 0.123450001, 1.0, -1.0, 0.0,
+        0.33333333, -0.66666666, 0.87654321,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    expected = [r["r"] for r in df.select(F.round("x", 4).alias("r")).collect()]
+    got = [float(x) for x in _round_half_up(np.asarray(vals))]
+    assert got == expected
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """Small corpus with engineered edge cases: duplicate vectors
+    (rounded-cosine ties resolved by id), antiparallel pairs (negative
+    cosines), near-axis vectors."""
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[10] = vecs[3]          # exact duplicate → cos 1.0 tie
+    vecs[11] = -vecs[3]         # antiparallel → cos -1.0
+    vecs[12] = vecs[5] * 1e-3   # tiny norm, same direction
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _expression_topk(emb, queries, k):
+    """The replaced plan: crossJoin + sequential-fold cosine + window."""
+    from pyspark.sql.window import Window as W
+
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("c_id").alias("vec_id"),
+            cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "rnk", "cos")
+        .orderBy("q_id", "rnk", "vec_id")
+    )
+
+
+def test_brute_force_matches_expression_form(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 6)
+    got = brute_force_topk(emb_df, queries, k=4).collect()
+    expected = _expression_topk(emb_df, queries, k=4).collect()
+    assert got == expected
+
+
+def test_neardup_matches_expression_form(spark, emb_df):
+    got = neardup_pairs(emb_df, threshold=0.2).collect()
+    a = emb_df.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    b = emb_df.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    expected = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_rounded(F.col("a_vec"), F.col("b_vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+        .orderBy("a_id", "b_id", "cos")
+        .collect()
+    )
+    assert got == expected
+    # the engineered edges actually appear in the result
+    pairs = {(r["a_id"], r["b_id"]): r["cos"] for r in got}
+    assert pairs[(3, 10)] == 1.0  # duplicate vector tie
+    assert (3, 11) not in pairs   # antiparallel is far below threshold
