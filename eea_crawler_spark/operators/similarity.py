@@ -22,9 +22,9 @@ CodegenFallback, so a per-pair fold pays interpreted per-element cost
 (the exact path measured 2.6× DuckDB at sf100 as a fold, 0.63× as a
 matmul; the IVF serve leg 7.3 s → 1.7 s). HALF_UP rounding matches
 Spark's Round(double) bit-for-bit against the previous expression
-form and the DuckDB oracle. Only shortlist-sized work (the post-join
-LSH candidate scoring) stays in functions/vectors.py column
-expressions, where fold cost is immaterial.
+form and the DuckDB oracle. (The functions/vectors.py column
+expressions remain the cross-engine-deterministic primitive for
+shortlist-sized work elsewhere, e.g. the IVF/LSH exactness tests.)
 """
 
 from __future__ import annotations
@@ -33,17 +33,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
-
-from eea_crawler_spark.functions.vectors import dot
-
-
-def _pair_cos(a: str, b: str, digits: int = 4):
-    return F.round(
-        dot(F.col(f"{a}_vec"), F.col(f"{b}_vec"))
-        / (F.col(f"{a}_nrm") * F.col(f"{b}_nrm")),
-        digits,
-    )
-
 
 def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
     """Spark's Round(double) semantics (BigDecimal HALF_UP, away from
@@ -206,49 +195,6 @@ def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list
     """Deterministic random hyperplanes (seeded, reproducible across runs)."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
-
-
-def _bucketed_pandas(
-    df: DataFrame,
-    prefix: str,
-    id_col: str,
-    vec_col: str,
-    planes: list[list[float]],
-) -> DataFrame:
-    """Project (id, vec, ‖vec‖, sign-bit bucket) per row, one batch
-    matmul against the P×dim plane matrix — the ``mapInPandas`` twin
-    of ``_with_norm`` + the old per-plane fold expression (bit j set
-    iff the projection onto plane j is ≥ 0)."""
-    p_mat = np.asarray(planes, dtype=np.float64)
-    weights = (1 << np.arange(len(planes))).astype(np.int64)
-    id_type = df.schema[id_col].dataType.simpleString()
-    vec_type = df.schema[vec_col].dataType.simpleString()
-    schema = (
-        f"{prefix}_id {id_type}, {prefix}_vec {vec_type}, "
-        f"{prefix}_nrm double, bucket bigint"
-    )
-
-    def _buckets(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
-            bits = (v_mat @ p_mat.T) >= 0
-            yield pd.DataFrame(
-                {
-                    f"{prefix}_id": pdf[id_col].to_numpy(),
-                    f"{prefix}_vec": pdf[vec_col],
-                    f"{prefix}_nrm": nrm,
-                    "bucket": (bits.astype(np.int64) * weights).sum(axis=1),
-                }
-            )
-
-    return df.select(id_col, vec_col).mapInPandas(_buckets, schema)
 
 
 def ivf_centroids(
@@ -508,31 +454,80 @@ def hyperplane_lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates share the hyperplane bucket.
-
-    The corpus is scanned once to attach bucket ids (narrow); the join
-    key is (bucket), so work scales with bucket occupancy, not corpus².
+    """Approximate cosine top-k: candidates share the hyperplane bucket
+    (sign-bit signature over ``n_planes`` seeded projections).
     Multi-probe (flipping one bit) would raise recall; kept single-probe
     here for plan clarity. No oracle — approximate by construction.
 
-    Bucketing runs as a per-batch matmul against the P×dim plane
-    matrix (``mapInPandas``) — the n_planes per-row zip_with/aggregate
-    projections are CodegenFallback, 24M interpreted dots at sf100.
-    The post-join scoring keeps the column-expression cosine: bucket
-    occupancy makes the candidate set tiny, so per-pair fold cost is
-    immaterial there.
+    Same fused single-pass shape as ``ivf_topk``: query buckets are
+    computed driver-side from the collected query set, and one
+    ``mapInPandas`` pass buckets each corpus batch (one matmul against
+    the P×dim plane matrix — the per-plane zip_with/aggregate
+    projections were CodegenFallback, 24M interpreted dots at sf100),
+    scores it against the query matrix, masks rows whose bucket
+    differs from the query's, and emits the batch top-k per query. An
+    earlier bucket-then-join variant measured 3.1 s at sf100 — slower
+    than the 1.9 s exact path it is meant to undercut — because the
+    embedding column round-tripped through Arrow into a join;
+    fused, the bucketing is a ~P/q-th of the scoring matmul and only
+    top-k rows leave the pass. Persisting the corpus partitioned by
+    its bucket id turns the mask into partition pruning, same as the
+    IVF layout.
     """
     planes = hyperplane_planes(dim, n_planes, seed)
-    c = _bucketed_pandas(corpus, "c", id_col, vec_col, planes)
-    q = _bucketed_pandas(queries, "q", id_col, vec_col, planes)
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("c_id").alias(id_col),
-            _pair_cos("q", "c").alias("cos"),
-        )
+    p_mat = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {id_type}, {id_col} {id_type}, cos double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rnk int"
+        ).select("q_id", id_col, "rnk", "cos")
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_buckets = (((q_mat @ p_mat.T) >= 0).astype(np.int64) * weights).sum(
+        axis=1
+    )
+
+    def _probe_batches(batches):
+        import pandas as pd
+
+        qn = np.asarray(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
+            buckets = (
+                ((v_mat @ p_mat.T) >= 0).astype(np.int64) * weights
+            ).sum(axis=1)
+            sims = _round_half_up((v_mat @ q_mat.T) / np.outer(v_nrm, q_nrm))
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(q_ids)):
+                s = sims[:, j].copy()
+                s[buckets != q_buckets[j]] = -np.inf
+                s[ids == qn[j]] = -np.inf
+                top = np.lexsort((ids, -s))[:k]
+                top = top[np.isfinite(s[top])]
+                out_q.extend([q_ids[j]] * len(top))
+                out_id.extend(ids[top])
+                out_cos.extend(s[top])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.asarray(out_q, dtype=qn.dtype),
+                    id_col: np.asarray(out_id, dtype=ids.dtype),
+                    "cos": np.asarray(out_cos, dtype=np.float64),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _probe_batches, out_schema
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
     return (
