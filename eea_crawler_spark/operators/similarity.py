@@ -10,21 +10,35 @@ here the engine itself answers neighbor queries:
   - ``neardup_pairs`` — all corpus pairs above a cosine threshold
     (embedding near-dup dedup); exact, O(n²) — use for modest corpora
     or post-LSH candidate verification.
-  - ``hyperplane_lsh_topk`` — the scale path: deterministic random
-    hyperplane signatures bucket the corpus; candidates are only
-    same-bucket rows, so the join is (bucket)-keyed instead of a cross
-    product. Approximate (recall < 1), so it has no SQL oracle.
+  - ``hyperplane_lsh_topk`` / ``ivf_topk`` — the approximate scale
+    paths: candidates are restricted to the query's hyperplane bucket
+    or probed inverted lists. No SQL oracle (recall < 1 by design).
 
-Every full-corpus leg — exact scoring, LSH bucketing, IVF assignment
-/ Lloyd rounds / probe-serve — runs as Arrow-batched ``mapInPandas``
-float64 BLAS matmuls: zip_with/aggregate higher-order functions are
-CodegenFallback, so a per-pair fold pays interpreted per-element cost
-(the exact path measured 2.6× DuckDB at sf100 as a fold, 0.63× as a
-matmul; the IVF serve leg 7.3 s → 1.7 s). HALF_UP rounding matches
+All three top-k operators share ONE fused execution kernel
+(``_fused_topk``): the query set is collected driver-side (the
+operator contract — |queries| small enough to broadcast; same
+legitimacy class as ``ivf_centroids``'s k×dim collect) and an
+Arrow-batched ``mapInPandas`` pass scores each corpus batch as a
+single float64 BLAS matmul, applies the path's candidate mask (none /
+bucket equality / probe-list membership), and emits only the batch's
+top-k rows per query — so the final exact window ranks partitions·q·k
+rows instead of n·q. zip_with/aggregate higher-order functions are
+CodegenFallback: the per-pair fold this replaces measured 2.6× DuckDB
+at sf100 on the exact path (matmul: 0.63×), 60 s on the IVF path
+(fused: 1.7 s with a prebuilt index). HALF_UP rounding matches
 Spark's Round(double) bit-for-bit against the previous expression
 form and the DuckDB oracle. (The functions/vectors.py column
 expressions remain the cross-engine-deterministic primitive for
 shortlist-sized work elsewhere, e.g. the IVF/LSH exactness tests.)
+
+Parallelism comes from input splits (sf100: ~250 files); no
+repartition — a corpus small enough to land in one split is one cheap
+matmul anyway. Per-batch top-k → global top-k is exact because both
+use the same total order (cos desc, id asc). The candidate masks are
+also where the 100 TB layout comes from: persisting the corpus
+partitioned by its bucket / inverted-list id turns the mask into
+physical partition pruning, so a serving scan reads only the probed
+partitions instead of masking a full pass.
 """
 
 from __future__ import annotations
@@ -34,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+
 def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
     """Spark's Round(double) semantics (BigDecimal HALF_UP, away from
     zero) vectorized — np.round is HALF_EVEN and would disagree on
@@ -42,34 +57,25 @@ def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
     return np.sign(x) * np.trunc(np.abs(x) * scale + 0.5) / scale
 
 
-def brute_force_topk(
+def _vec_matrix(values) -> "np.ndarray":
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in values])
+
+
+def _fused_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    id_col: str,
+    vec_col: str,
+    mask_factory=None,
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for each query vector.
+    """The shared single-pass top-k kernel (module docstring).
 
-    Output: (q_id, vec_id, rnk, cos); self-matches excluded. Cosine is
-    rounded to 4 digits *before* ranking so the ordering (and therefore
-    the top-k set) is reproducible across engines; vec_id breaks ties.
-
-    Execution: the query set is collected driver-side (the operator's
-    contract — |queries| small enough to broadcast; same legitimacy
-    class as ``ivf_centroids``'s k×dim collect) and closed over by an
-    Arrow-batched ``mapInPandas`` that scores each corpus batch as ONE
-    BLAS matmul (C·Qᵀ) and emits only that batch's top-k rows per
-    query. A per-pair zip_with/aggregate fold was measured 2.6× DuckDB
-    at sf100 — higher-order functions are CodegenFallback, so each of
-    the n·q dot products paid interpreted per-element overhead, and
-    the window sorted all n·q scored rows. The matmul path stays in
-    float64 SIMD, and the final exact window sees only
-    partitions·q·k rows. Per-batch top-k → global top-k is exact
-    because both use the same total order (cos desc, id asc).
-    Parallelism comes from input splits (sf100: ~250 files); no
-    repartition — a corpus small enough to land in one split is one
-    cheap matmul anyway.
+    ``mask_factory(q_ids, q_mat, q_nrm)`` — called once, driver-side,
+    with the collected query set — returns ``batch_mask(v_mat, v_nrm)``
+    (called once per Arrow batch) which returns ``excl(j)``: a boolean
+    array marking the batch rows that are NOT candidates for query j.
+    ``None`` (exact path) scores every row against every query.
     """
     q_rows = queries.select(id_col, vec_col).collect()
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -79,8 +85,11 @@ def brute_force_topk(
             [], out_schema + ", rnk int"
         ).select("q_id", id_col, "rnk", "cos")
     q_ids = [r[id_col] for r in q_rows]
-    q_mat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_mat = _vec_matrix(list(r[vec_col]) for r in q_rows)
     q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    batch_mask = (
+        mask_factory(q_ids, q_mat, q_nrm) if mask_factory is not None else None
+    )
 
     def _score_batches(batches):
         import pandas as pd
@@ -90,17 +99,15 @@ def brute_force_topk(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
-            c_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            # (n_batch × q) rounded cosines; self-matches knocked out
-            sims = _round_half_up(
-                (c_mat @ q_mat.T) / np.outer(c_nrm, q_nrm)
-            )
+            v_mat = _vec_matrix(pdf[vec_col])
+            v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
+            sims = _round_half_up((v_mat @ q_mat.T) / np.outer(v_nrm, q_nrm))
+            excl = batch_mask(v_mat, v_nrm) if batch_mask is not None else None
             out_q, out_id, out_cos = [], [], []
             for j in range(len(q_ids)):
                 s = sims[:, j].copy()
+                if excl is not None:
+                    s[excl(j)] = -np.inf
                 s[ids == qn[j]] = -np.inf
                 top = np.lexsort((ids, -s))[:k]
                 top = top[np.isfinite(s[top])]
@@ -127,6 +134,24 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (q_id, vec_id, rnk, cos); self-matches excluded. Cosine is
+    rounded to 4 digits *before* ranking so the ordering (and therefore
+    the top-k set) is reproducible across engines; vec_id breaks ties.
+    Execution: the fused kernel with no candidate mask — every corpus
+    row is scored against every query.
+    """
+    return _fused_topk(corpus, queries, k, id_col, vec_col)
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -140,22 +165,22 @@ def neardup_pairs(
     is unpayable, use ``hyperplane_lsh_topk`` / MinHash buckets as the
     candidate generator instead.
 
-    Execution mirrors ``brute_force_topk``: the corpus matrix is
-    broadcast once (same memory envelope as the previous
-    broadcast-nested-loop join, which also shipped the full corpus to
-    every task — only the materialization point moved) and each
-    Arrow batch of the left side scores against it as ONE float64
-    matmul instead of n·n CodegenFallback zip_with/aggregate folds.
-    Only the ≥threshold survivors leave the batch, so the sort input
-    is the match set, not the pair space.
+    Execution mirrors the fused kernel: the corpus matrix is broadcast
+    once (same memory envelope as the previous broadcast-nested-loop
+    join, which also shipped the full corpus to every task — only the
+    materialization point moved) and each Arrow batch of the left side
+    scores against it as ONE float64 matmul instead of n·n
+    CodegenFallback zip_with/aggregate folds. Only the ≥threshold
+    survivors leave the batch, so the sort input is the match set, not
+    the pair space.
     """
     rows = corpus.select(id_col, vec_col).collect()
-    ids = np.asarray([r[id_col] for r in rows])
-    mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"a_id {id_type}, b_id {id_type}, cos double"
     if len(rows) == 0:
         return corpus.sparkSession.createDataFrame([], schema)
+    ids = np.asarray([r[id_col] for r in rows])
+    mat = _vec_matrix(list(r[vec_col]) for r in rows)
     nrm = np.sqrt((mat * mat).sum(axis=1))
     bvar = corpus.sparkSession.sparkContext.broadcast((ids, mat, nrm))
 
@@ -167,13 +192,9 @@ def neardup_pairs(
             if len(pdf) == 0:
                 continue
             a_ids = pdf[id_col].to_numpy()
-            a_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            a_mat = _vec_matrix(pdf[vec_col])
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = _round_half_up(
-                (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
-            )
+            sims = _round_half_up((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm))
             keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
             ai, bj = np.nonzero(keep)
             yield pd.DataFrame(
@@ -197,6 +218,18 @@ def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _nearest_centroids(
+    v_mat: "np.ndarray", v_nrm: "np.ndarray", c_mat: "np.ndarray",
+    c_nrm: "np.ndarray", n_probe: int = 1,
+) -> "np.ndarray":
+    """The ``n_probe`` nearest centroid ids per row — cosine rounded to
+    6, ties to the lowest cluster id (stable argsort of -sim == order
+    by sim desc, cluster asc). The single nearest rule every IVF leg
+    (build, assign, serve) shares."""
+    sims = _round_half_up((v_mat @ c_mat.T) / np.outer(v_nrm, c_nrm), 6)
+    return np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_clusters: int = 16,
@@ -208,10 +241,9 @@ def ivf_centroids(
 
     Init: the n_clusters corpus vectors with the smallest md5(id) —
     a stable pseudo-random sample, no RNG state. Then ``n_iter`` Lloyd
-    rounds, each fully distributed: assignment is a broadcast join vs
-    the (tiny) centroid set, mean recompute is posexplode →
-    groupBy(cluster, dim) avg → re-assemble. Only k×dim floats ever
-    reach the driver, so the build is cluster-scale-safe.
+    rounds (``_lloyd_means``), each one distributed ``mapInPandas``
+    pass. Only k×dim floats ever reach the driver, so the build is
+    cluster-scale-safe.
     """
     seed_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -239,9 +271,7 @@ def _lloyd_means(
     plus a 128M-row posexplode shuffle for the means made the IVF
     build ~60 s at sf100) and emits one (cluster, count, sum-vector)
     row per cluster it saw. The final exact aggregate then groups
-    partitions·k rows instead of n·dim. Same nearest rule as
-    ``ivf_assign`` (cosine rounded to 6, ties to the lowest cluster
-    id).
+    partitions·k rows instead of n·dim.
     """
     c_mat = np.asarray(centroids, dtype=np.float64)
     c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
@@ -252,15 +282,9 @@ def _lloyd_means(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            v_mat = _vec_matrix(pdf[vec_col])
             v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
-            sims = _round_half_up(
-                (v_mat @ c_mat.T) / np.outer(v_nrm, c_nrm), 6
-            )
-            # stable argsort of -sim == order by (sim desc, cluster asc)
-            nearest = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            nearest = _nearest_centroids(v_mat, v_nrm, c_mat, c_nrm)[:, 0]
             out = []
             for cl in np.unique(nearest):
                 mask = nearest == cl
@@ -298,8 +322,8 @@ def ivf_assign(
     n_probe: int = 1,
     prefix: str = "",
 ) -> DataFrame:
-    """Attach the ``n_probe`` nearest centroid ids (cosine rounded to
-    6, ties by cluster id) to each row — the corpus never shuffles.
+    """Attach the ``n_probe`` nearest centroid ids (``_nearest_centroids``
+    rule) to each row — the corpus never shuffles.
 
     Each Arrow batch scores against the k×dim centroid matrix as one
     float64 matmul (``mapInPandas``), replacing the broadcast
@@ -307,6 +331,8 @@ def ivf_assign(
     cosine is CodegenFallback — n·k interpreted dots plus a window
     over n·k scored rows. All input columns pass through unchanged;
     rows are emitted ``n_probe`` times with their probed cluster ids.
+    Persisting this output partitioned by ``cluster`` is the serving
+    layout: probe masks become physical partition pruning.
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
@@ -321,15 +347,9 @@ def ivf_assign(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            v_mat = _vec_matrix(pdf[vec_col])
             v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
-            sims = _round_half_up(
-                (v_mat @ c_mat.T) / np.outer(v_nrm, c_nrm), 6
-            )
-            # stable argsort of -sim == order by (sim desc, cluster asc)
-            probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            probes = _nearest_centroids(v_mat, v_nrm, c_mat, c_nrm, n_probe)
             idx = np.repeat(np.arange(len(pdf)), n_probe)
             out = pdf.iloc[idx].reset_index(drop=True)
             out["cluster"] = probes.reshape(-1).astype("int32")
@@ -359,20 +379,14 @@ def ivf_topk(
     Output: (q_id, vec_id, rnk, cos), same contract as the other ANN
     operators. Pass precomputed ``centroids`` to reuse an index.
 
-    Execution is ONE fused ``mapInPandas`` pass over the corpus: per
-    Arrow batch, a matmul against the k×dim centroid matrix assigns
-    each row its inverted list, a matmul against the query matrix
-    scores it, the (query, list)-probe mask knocks out non-candidates,
-    and only the batch's top-k per query leave. No corpus shuffle, no
-    pair join — the previous cluster-keyed join + per-pair
-    CodegenFallback cosine fold evaluated ~(n_probe/n_clusters)·n·q
-    interpreted dots and shuffled the candidate pairs through a
-    dropDuplicates (7.3 s at sf100 even with a prebuilt index; fused:
-    well under 2 s). The list assignment is also where the 100 TB
-    layout comes from: persisting the corpus partitioned by
-    ``cluster`` (``ivf_assign`` output) turns the probe mask into
-    physical partition pruning, so a serving scan reads only the
-    probed lists instead of masking a full pass.
+    Execution is the fused kernel with a probe-list mask: per Arrow
+    batch, one extra matmul against the centroid matrix assigns each
+    row its inverted list, and rows whose list is outside the query's
+    probe set are knocked out before ranking. The previous
+    cluster-keyed join + per-pair CodegenFallback cosine fold
+    evaluated ~(n_probe/n_clusters)·n·q interpreted dots and shuffled
+    the candidate pairs through a dropDuplicates — 7.3 s at sf100 even
+    with a prebuilt index; fused: 1.7 s.
     """
     if centroids is None:
         centroids = ivf_centroids(corpus, n_clusters, n_iter, id_col, vec_col)
@@ -380,68 +394,16 @@ def ivf_topk(
     c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
     n_probe = min(n_probe, len(centroids))
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"q_id {id_type}, {id_col} {id_type}, cos double"
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], out_schema + ", rnk int"
-        ).select("q_id", id_col, "rnk", "cos")
-    q_ids = [r[id_col] for r in q_rows]
-    q_mat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
-    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
-    # each query's probed lists, by the same (sim desc, cluster asc)
-    # rule as ivf_assign — computed here driver-side from the already
-    # collected query set
-    q_sims = _round_half_up((q_mat @ c_mat.T) / np.outer(q_nrm, c_nrm), 6)
-    q_probes = np.argsort(-q_sims, axis=1, kind="stable")[:, :n_probe]
+    def mask_factory(q_ids, q_mat, q_nrm):
+        q_probes = _nearest_centroids(q_mat, q_nrm, c_mat, c_nrm, n_probe)
 
-    def _probe_batches(batches):
-        import pandas as pd
+        def batch_mask(v_mat, v_nrm):
+            lists = _nearest_centroids(v_mat, v_nrm, c_mat, c_nrm)[:, 0]
+            return lambda j: ~np.isin(lists, q_probes[j])
 
-        qn = np.asarray(q_ids)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            v_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
-            lists = np.argsort(
-                -_round_half_up((v_mat @ c_mat.T) / np.outer(v_nrm, c_nrm), 6),
-                axis=1,
-                kind="stable",
-            )[:, 0]
-            sims = _round_half_up((v_mat @ q_mat.T) / np.outer(v_nrm, q_nrm))
-            out_q, out_id, out_cos = [], [], []
-            for j in range(len(q_ids)):
-                s = sims[:, j].copy()
-                s[~np.isin(lists, q_probes[j])] = -np.inf
-                s[ids == qn[j]] = -np.inf
-                top = np.lexsort((ids, -s))[:k]
-                top = top[np.isfinite(s[top])]
-                out_q.extend([q_ids[j]] * len(top))
-                out_id.extend(ids[top])
-                out_cos.extend(s[top])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.asarray(out_q, dtype=qn.dtype),
-                    id_col: np.asarray(out_id, dtype=ids.dtype),
-                    "cos": np.asarray(out_cos, dtype=np.float64),
-                }
-            )
+        return batch_mask
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        _probe_batches, out_schema
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", id_col, "rnk", "cos")
-        .orderBy("q_id", "rnk", id_col)
-    )
+    return _fused_topk(corpus, queries, k, id_col, vec_col, mask_factory)
 
 
 def hyperplane_lsh_topk(
@@ -459,80 +421,31 @@ def hyperplane_lsh_topk(
     Multi-probe (flipping one bit) would raise recall; kept single-probe
     here for plan clarity. No oracle — approximate by construction.
 
-    Same fused single-pass shape as ``ivf_topk``: query buckets are
-    computed driver-side from the collected query set, and one
-    ``mapInPandas`` pass buckets each corpus batch (one matmul against
-    the P×dim plane matrix — the per-plane zip_with/aggregate
-    projections were CodegenFallback, 24M interpreted dots at sf100),
-    scores it against the query matrix, masks rows whose bucket
-    differs from the query's, and emits the batch top-k per query. An
-    earlier bucket-then-join variant measured 3.1 s at sf100 — slower
-    than the 1.9 s exact path it is meant to undercut — because the
-    embedding column round-tripped through Arrow into a join;
-    fused, the bucketing is a ~P/q-th of the scoring matmul and only
-    top-k rows leave the pass. Persisting the corpus partitioned by
-    its bucket id turns the mask into partition pruning, same as the
-    IVF layout.
+    Execution is the fused kernel with a bucket-equality mask: per
+    Arrow batch, one extra matmul against the P×dim plane matrix
+    buckets each row (the per-plane zip_with/aggregate projections
+    were CodegenFallback, 24M interpreted dots at sf100), and rows
+    whose bucket differs from the query's are knocked out before
+    ranking. An earlier bucket-then-join variant measured 3.1 s at
+    sf100 — slower than the 1.9 s exact path it is meant to undercut —
+    because the embedding column round-tripped through Arrow into a
+    join; fused, bucketing is a ~P/q-th of the scoring matmul and
+    only top-k rows leave the pass.
     """
     planes = hyperplane_planes(dim, n_planes, seed)
     p_mat = np.asarray(planes, dtype=np.float64)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"q_id {id_type}, {id_col} {id_type}, cos double"
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], out_schema + ", rnk int"
-        ).select("q_id", id_col, "rnk", "cos")
-    q_ids = [r[id_col] for r in q_rows]
-    q_mat = np.asarray([list(r[vec_col]) for r in q_rows], dtype=np.float64)
-    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
-    q_buckets = (((q_mat @ p_mat.T) >= 0).astype(np.int64) * weights).sum(
-        axis=1
-    )
+    def _bucket_of(m: "np.ndarray") -> "np.ndarray":
+        return (((m @ p_mat.T) >= 0).astype(np.int64) * weights).sum(axis=1)
 
-    def _probe_batches(batches):
-        import pandas as pd
+    def mask_factory(q_ids, q_mat, q_nrm):
+        q_buckets = _bucket_of(q_mat)
 
-        qn = np.asarray(q_ids)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            v_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            v_nrm = np.sqrt((v_mat * v_mat).sum(axis=1))
-            buckets = (
-                ((v_mat @ p_mat.T) >= 0).astype(np.int64) * weights
-            ).sum(axis=1)
-            sims = _round_half_up((v_mat @ q_mat.T) / np.outer(v_nrm, q_nrm))
-            out_q, out_id, out_cos = [], [], []
-            for j in range(len(q_ids)):
-                s = sims[:, j].copy()
-                s[buckets != q_buckets[j]] = -np.inf
-                s[ids == qn[j]] = -np.inf
-                top = np.lexsort((ids, -s))[:k]
-                top = top[np.isfinite(s[top])]
-                out_q.extend([q_ids[j]] * len(top))
-                out_id.extend(ids[top])
-                out_cos.extend(s[top])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.asarray(out_q, dtype=qn.dtype),
-                    id_col: np.asarray(out_id, dtype=ids.dtype),
-                    "cos": np.asarray(out_cos, dtype=np.float64),
-                }
-            )
+        def batch_mask(v_mat, v_nrm):
+            buckets = _bucket_of(v_mat)
+            return lambda j: buckets != q_buckets[j]
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        _probe_batches, out_schema
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", id_col, "rnk", "cos")
-        .orderBy("q_id", "rnk", id_col)
-    )
+        return batch_mask
+
+    return _fused_topk(corpus, queries, k, id_col, vec_col, mask_factory)
