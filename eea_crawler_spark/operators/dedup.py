@@ -21,6 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -483,39 +484,103 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: array<long> of per-permutation minima.
 
-    Permutation i is xxhash64(i, shingle). Plan: exploded shingles →
-    one hash-aggregate with ``num_hashes`` ``min`` columns. Each shingle
-    is materialized once and hashed ``num_hashes`` times — all codegen —
-    and the map-side partial aggregation means the shuffle carries one
-    ``num_hashes``-wide row per (partition, doc), not per shingle.
-    (A nested transform/array_min expression computes the same thing
-    shuffle-free but re-evaluates the shingle array once per permutation
-    — measured ~60× slower; the aggregate form wins at every scale.)
+    Permutation i is xxhash64(i, shingle) — BIT-IDENTICAL to Spark's
+    XxHash64 expression (pinned in tests/test_extras_oracle.py) but
+    computed by ``_signatures_from_arrays``: per-doc hashed shingle
+    arrays stream through a ``mapInPandas`` pass that evaluates each
+    permutation as a vectorized uint64 sweep over the batch's
+    flattened shingles with a segment-min per doc. ZERO shuffle — the
+    previous form exploded the shingles and ran a 64-min-column hash
+    aggregate, which at sf100 (5M docs, ~150M exploded rows) moved a
+    2.6 GB signature shuffle and evaluated ~10 B interpreted-expression
+    hash calls. (A nested transform/array_min expression was also
+    measured ~60× slower — it re-evaluates the shingle array once per
+    permutation.)
 
     Docs with fewer than ``n`` words have no shingles and are absent
     from the output (they can never pass a positive Jaccard threshold).
     """
-    return _signatures_from(
-        shingles(df, text_col, id_col, n, hashed=True), num_hashes
+    return _signatures_from_arrays(
+        shingle_arrays(df, text_col, id_col, n), num_hashes
     )
 
 
-def _signatures_from(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """Signature aggregate over an existing (id, shingle) relation.
+# Spark's XXH64 (catalyst XxHash64 expression, seed 42): hashInt for
+# int children, hashLong for long children, each chaining the running
+# hash as the next seed. Reimplemented here in numpy uint64 so a
+# signature permutation is one vectorized sweep; pinned equal to
+# F.xxhash64 in tests/test_extras_oracle.py.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_U64 = (1 << 64) - 1
 
-    ``sh`` should carry hashed (long) shingles: each of the
-    ``num_hashes`` permutations then re-hashes 12 bytes (seed + long)
-    instead of traversing the n-gram string again — the string is
-    hashed exactly once, in ``shingles(hashed=True)``."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+def _xxh64_seed_int(i: int, seed: int = 42) -> int:
+    """XXH64.hashInt(i, seed) — python-int scalar (the permutation seed)."""
+    h = (seed + _XXH_P5 + 4) & _U64
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _U64
+    h = (((h << 23 | h >> 41) & _U64) * _XXH_P2 + _XXH_P3) & _U64
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _U64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _U64
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long_vec(x: "np.ndarray", seed: int) -> "np.ndarray":
+    """XXH64.hashLong over a uint64 array (one permutation sweep)."""
+    p1, p2, p3, p4 = (
+        np.uint64(_XXH_P1), np.uint64(_XXH_P2),
+        np.uint64(_XXH_P3), np.uint64(_XXH_P4),
     )
+    h = x * p2
+    h = (h << np.uint64(31)) | (h >> np.uint64(33))
+    h = np.uint64((seed + _XXH_P5 + 8) & _U64) ^ (h * p1)
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
+    h ^= h >> np.uint64(33)
+    h *= p2
+    h ^= h >> np.uint64(29)
+    h *= p3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, g: per-doc hashed shingle array) → (id, sig) without a
+    shuffle: each Arrow batch flattens its shingle arrays once, every
+    permutation hashes the flat uint64 vector in one numpy sweep, and
+    ``np.minimum.reduceat`` takes the per-doc minima (signed compare,
+    matching Spark's ``min`` over LongType). Empty-array docs are
+    dropped, matching the exploded-groupBy form's absent groups."""
+    id_type = arrs.schema["id"].dataType.simpleString()
+    seeds = [_xxh64_seed_int(i) for i in range(num_hashes)]
+
+    def _sig_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lens = pdf["g"].map(len).to_numpy()
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf["id"].to_numpy()[keep]
+            lens = lens[keep]
+            flat = np.concatenate(
+                [np.asarray(g, dtype=np.int64) for g in pdf["g"][keep]]
+            ).view(np.uint64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            sig = np.empty((len(ids), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                h = _xxh64_long_vec(flat, seeds[i]).view(np.int64)
+                sig[:, i] = np.minimum.reduceat(h, offsets)
+            yield pd.DataFrame({"id": ids, "sig": list(sig)})
+
+    return arrs.mapInPandas(_sig_batches, f"id {id_type}, sig array<bigint>")
 
 
 def minhash_lsh_pairs(
@@ -538,15 +603,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # The signature table is the cache unit (one 64-long row per doc,
-    # consumed by banding + the est join twice). The exploded shingle
-    # relation is NOT materialized: deserialized it is ~20x the input
-    # bytes (150M rows for a 700 MB 5M-doc corpus), and eagerly
-    # checkpointing it while the 64-column signature aggregate ran in
-    # the same stage starved the aggregate's memory at sf100
-    # (AGGREGATE_OUT_OF_MEMORY). It streams through the partial agg
-    # instead; the verify leg re-shingles only the candidate docs.
-    sigs = _signatures_from(
-        shingles(df, text_col, id_col, n, hashed=True), num_hashes
+    # consumed by banding + the est join twice). The shingle relation
+    # is never exploded at all — signatures come from the per-doc
+    # array form via the vectorized permutation sweep
+    # (_signatures_from_arrays), zero shuffle; the verify leg
+    # re-shingles only the candidate docs.
+    sigs = _signatures_from_arrays(
+        shingle_arrays(df, text_col, id_col, n), num_hashes
     ).localCheckpoint(eager=True)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),

@@ -158,3 +158,63 @@ def test_hashed_shingles_equal_hashed_string_shingles(spark, sf_dir):
         for r in shingles(docs, "text", "doc_id", 3, hashed=True).collect()
     )
     assert via_strings == direct and len(direct) > 0
+
+
+def test_numpy_xxh64_matches_spark_expression(spark):
+    """The vectorized permutation hash (dedup._xxh64_long_vec over a
+    dedup._xxh64_seed_int seed) must equal Spark's XxHash64 expression
+    xxhash64(lit(i), x) bit-for-bit — the property that makes the
+    shuffle-free signature pass value-identical to the old aggregate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.operators.dedup import (
+        _xxh64_long_vec,
+        _xxh64_seed_int,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(-(2**63), 2**63 - 1, size=512, dtype=np.int64)
+    edge = np.asarray([0, 1, -1, 2**63 - 1, -(2**63)], dtype=np.int64)
+    vals = np.concatenate([vals, edge])
+    df = spark.createDataFrame(
+        [(int(j), int(v)) for j, v in enumerate(vals)], "j int, x bigint"
+    )
+    for i in (0, 1, 7, 63):
+        exp = {
+            r["j"]: r["h"]
+            for r in df.select("j", F.xxhash64(F.lit(i), "x").alias("h")).collect()
+        }
+        got = _xxh64_long_vec(vals.view(np.uint64), _xxh64_seed_int(i)).view(
+            np.int64
+        )
+        assert [int(g) for g in got] == [exp[j] for j in range(len(vals))]
+
+
+def test_minhash_signatures_equal_exploded_aggregate(spark, sf_dir):
+    """The mapInPandas signature pass must reproduce the exploded
+    groupBy 64-min-column aggregate it replaced, row for row."""
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.operators.dedup import minhash_signatures, shingles
+    from eea_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    num_hashes = 64
+    sh = shingles(docs, "text", "doc_id", 3, hashed=True)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    old = sorted(
+        (r["id"], list(r["sig"]))
+        for r in sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+        .collect()
+    )
+    new = sorted(
+        (r["id"], list(r["sig"]))
+        for r in minhash_signatures(docs).collect()
+    )
+    assert new == old and len(new) > 0
