@@ -201,6 +201,49 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
+def _pair_jaccard_arrays(arrs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for known candidate pairs from per-doc shingle
+    ARRAYS: join each side's array onto the pair row (shuffle-hash —
+    the array side is docs-sized, the pair side is candidate-volume)
+    and intersect in codegen. One wide row per pair side moves through
+    each join; no exploded relation, no re-aggregation — the exploded
+    pair-anchored form pushed one row per (pair, shared shingle)
+    through a groupBy that spilled at corpus scale.
+
+    PRECONDITION (same as _pair_jaccard): ``pairs`` distinct and
+    canonical (doc_a < doc_b). Pairs whose doc is absent from ``arrs``
+    drop out (inner joins), matching the exploded form.
+    """
+    a = arrs.select(
+        F.col("id").alias("doc_a"),
+        F.col("g").alias("g_a"),
+        F.size("g").alias("na"),
+    )
+    b = arrs.select(
+        F.col("id").alias("doc_b"),
+        F.col("g").alias("g_b"),
+        F.size("g").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    return (
+        pairs.join(a.hint("shuffle_hash"), ["doc_a"])
+        .join(b.hint("shuffle_hash"), ["doc_b"])
+        # two-step projection: `i` is consumed twice below and
+        # CollapseProject keeps non-cheap aliases used more than once,
+        # so array_intersect evaluates once per pair
+        .select("doc_a", "doc_b", inter.alias("i"), "na", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -432,33 +475,20 @@ def ngram_jaccard_pairs(
                 )
             )
         else:
-            sh_cand = (
-                base.select("id", "g")
-                .join(cand_docs.select("id"), ["id"], "left_semi")
-                .select("id", F.explode("g").alias("shingle"))
-            )
-            scored = (
-                pairs.join(
-                    _wide_by(sh_cand, "id").select(
-                        F.col("id").alias("doc_a"), "shingle"
-                    ),
-                    ["doc_a"],
-                )
-                .join(
-                    sh_cand.select(F.col("id").alias("doc_b"), "shingle"),
-                    ["doc_b", "shingle"],
-                )
-                .groupBy("doc_a", "doc_b", "na", "nb")
-                .agg(F.count(F.lit(1)).alias("i"))
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    F.round(
-                        F.col("i").cast("double")
-                        / (F.col("na") + F.col("nb") - F.col("i")),
-                        6,
-                    ).alias("jaccard"),
-                )
+            # corpus-scale shortlists: same per-pair array_intersect as
+            # the broadcast plan, but the array payloads arrive by
+            # shuffle join instead of broadcast (the broadcast build
+            # exceeded driver maxResultSize at 5M docs). This replaced
+            # a pair-anchored EXPLODED-shingle join: that form pushed
+            # one row per (pair, shared shingle) — 1.05B rows at sf100
+            # — through a re-aggregation that spilled 23 GB; the array
+            # form shuffles one wide row per pair side and intersects
+            # in codegen, no aggregate at all.
+            scored = _pair_jaccard_arrays(
+                base.select("id", "g").join(
+                    cand_docs.select("id"), ["id"], "left_semi"
+                ),
+                pairs.select("doc_a", "doc_b"),
             )
     # single-pass global sort: the result is a near-dup shortlist, and
     # orderBy's range-partition sampling would execute the rescore plan
@@ -652,24 +682,20 @@ def minhash_lsh_pairs(
     # candidate pair (their complete shingle sets, so Jaccard values
     # are unchanged). Shingling is a narrow per-row transform, so
     # running it a second time over the candidate subset is linear in
-    # candidate volume — strictly cheaper than keeping the full
-    # corpus' exploded relation pinned in block storage for this one
-    # consumer.
+    # candidate volume. The arrays stay arrays end-to-end:
+    # _pair_jaccard_arrays joins one wide row per pair side and
+    # intersects in codegen — no exploded relation, no re-aggregation.
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    # checkpointed: _pair_jaccard consumes it three times (sizes + both
-    # pair-join sides) and it is candidate-volume-sized by construction
-    sh_cand = shingles(
-        df.join(cand_ids, [id_col], "left_semi"),
-        text_col,
-        id_col,
-        n,
-        hashed=True,
+    # checkpointed: consumed twice (both pair-join sides) and
+    # candidate-volume-sized by construction
+    arrs_cand = shingle_arrays(
+        df.join(cand_ids, [id_col], "left_semi"), text_col, id_col, n
     ).localCheckpoint(eager=True)
-    exact = _pair_jaccard(sh_cand, pairs=cand)
+    exact = _pair_jaccard_arrays(arrs_cand, cand)
     return (
         est.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
