@@ -561,15 +561,23 @@ def _xxh64_seed_int(i: int, seed: int = 42) -> int:
     return h
 
 
-def _xxh64_long_vec(x: "np.ndarray", seed: int) -> "np.ndarray":
-    """XXH64.hashLong over a uint64 array (one permutation sweep)."""
+def _xxh64_long_mixin(x: "np.ndarray") -> "np.ndarray":
+    """The seed-independent prefix of XXH64.hashLong:
+    rotl(x·P2, 31)·P1 — computed ONCE per shingle and reused by every
+    permutation's sweep (the seed only enters afterwards, by xor)."""
+    p1, p2 = np.uint64(_XXH_P1), np.uint64(_XXH_P2)
+    h = x * p2
+    h = (h << np.uint64(31)) | (h >> np.uint64(33))
+    return h * p1
+
+
+def _xxh64_long_finish(mixin: "np.ndarray", seed: int) -> "np.ndarray":
+    """XXH64.hashLong given the precomputed mixin (one permutation)."""
     p1, p2, p3, p4 = (
         np.uint64(_XXH_P1), np.uint64(_XXH_P2),
         np.uint64(_XXH_P3), np.uint64(_XXH_P4),
     )
-    h = x * p2
-    h = (h << np.uint64(31)) | (h >> np.uint64(33))
-    h = np.uint64((seed + _XXH_P5 + 8) & _U64) ^ (h * p1)
+    h = np.uint64((seed + _XXH_P5 + 8) & _U64) ^ mixin
     h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * p1 + p4
     h ^= h >> np.uint64(33)
     h *= p2
@@ -577,6 +585,11 @@ def _xxh64_long_vec(x: "np.ndarray", seed: int) -> "np.ndarray":
     h *= p3
     h ^= h >> np.uint64(32)
     return h
+
+
+def _xxh64_long_vec(x: "np.ndarray", seed: int) -> "np.ndarray":
+    """XXH64.hashLong over a uint64 array (one permutation sweep)."""
+    return _xxh64_long_finish(_xxh64_long_mixin(x), seed)
 
 
 def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
@@ -604,9 +617,10 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
             ).view(np.uint64)
             offsets = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=offsets[1:])
+            mixin = _xxh64_long_mixin(flat)
             sig = np.empty((len(ids), num_hashes), dtype=np.int64)
             for i in range(num_hashes):
-                h = _xxh64_long_vec(flat, seeds[i]).view(np.int64)
+                h = _xxh64_long_finish(mixin, seeds[i]).view(np.int64)
                 sig[:, i] = np.minimum.reduceat(h, offsets)
             yield pd.DataFrame({"id": ids, "sig": list(sig)})
 
