@@ -55,25 +55,40 @@ ANN_QUERY_MAX_ID = 10
 # pass re-executes only the scan instead of the whole expression tree —
 # which was half the wall-clock of every text_* query at sf1-sf10. The
 # sort exchange also provides cluster width, so no spread() needed.
-def _docs_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-    )
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Callers compute their narrow per-doc metrics FIRST and order the
+    # output with repartition(1).sortWithinPartitions LAST. Measured
+    # at sf100 (text_tokens, same window): leading orderBy("doc_id")
+    # range-sorts the full text column before a projection that drops
+    # it — 13.1 s; trailing orderBy moves narrow rows but its
+    # range-partition SAMPLING pass re-executes the expensive
+    # projection — 16.0 s; the explicit single-partition sort computes
+    # once, moves only the fixed-width output, and skips sampling —
+    # 9.7 s. Output rows are metric tuples (≤40 B), so one sort task
+    # is fine at any SF where a global total order is meaningful.
+    # Same rows, same final order: doc_id is unique.
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_sorted(spark, sf_dir).select(
-        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_sorted(spark, sf_dir).select(
-        "doc_id",
-        TX.ws_wordcount(F.col("text")).alias("ws_tokens"),
-        TX.regex_token_count(F.col("text")).alias("bpe_tokens"),
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            TX.ws_wordcount(F.col("text")).alias("ws_tokens"),
+            TX.regex_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -85,7 +100,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf100 on this restructure + token-array marker_hits).
     scores = TX.lang_scores_of_tokens(F.col("__toks"))
     inner = (
-        _docs_sorted(spark, sf_dir)
+        _docs(spark, sf_dir)
         .select(
             "doc_id", F.split(F.lower(F.col("text")), " ").alias("__toks")
         )
@@ -99,19 +114,24 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.lang_id_from_scores(sc).alias("pred_lang"),
         F.greatest(*sc.values()).alias("score"),
-    )
+    ).repartition(1).sortWithinPartitions("doc_id")
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = TX.quality_columns(F.col("text"))
-    return _docs_sorted(spark, sf_dir).select(
-        "doc_id",
-        cols["n_chars"].alias("n_chars"),
-        cols["n_words"].alias("n_words"),
-        cols["avg_word_len"].alias("avg_word_len"),
-        cols["punct_ratio"].alias("punct_ratio"),
-        cols["stop_hits"].alias("stop_hits"),
-        TX.quality_label(cols).alias("label"),
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            cols["n_chars"].alias("n_chars"),
+            cols["n_words"].alias("n_words"),
+            cols["avg_word_len"].alias("avg_word_len"),
+            cols["punct_ratio"].alias("punct_ratio"),
+            cols["stop_hits"].alias("stop_hits"),
+            TX.quality_label(cols).alias("label"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 
