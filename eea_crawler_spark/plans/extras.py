@@ -48,13 +48,6 @@ ANN_QUERY_MAX_ID = 10
 # ---------- text analysis ----------
 
 
-# The per-doc text scans sort the NARROW (doc_id, text) relation FIRST
-# and compute on top: doc_id is unique, so leading-key order equals the
-# declared multi-column order, the expensive projection stays ABOVE the
-# Sort (verified in the executed plan), and orderBy's range-sampling
-# pass re-executes only the scan instead of the whole expression tree —
-# which was half the wall-clock of every text_* query at sf1-sf10. The
-# sort exchange also provides cluster width, so no spread() needed.
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Callers compute their narrow per-doc metrics FIRST and order the
     # output with repartition(1).sortWithinPartitions LAST. Measured
