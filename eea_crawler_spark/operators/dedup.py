@@ -362,6 +362,20 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         cold = pre.join(F.broadcast(hot), ["shingle"], "left_anti")
+        # per-doc hot-prefix-entry counts: the positional bound below is
+        # computed over COLD matches only, so shared HOT prefix shingles
+        # (boilerplate common to a whole near-dup cluster) would be
+        # counted in neither cp nor the tails — the bound must carry a
+        # + min(hp_a, hp_b) correction or it undercounts and prunes
+        # true near-dups (pinned by the hot-boilerplate cluster test).
+        # Docs-with-hot-entries sized; joined unhinted (AQE broadcasts
+        # it when small, and an adversarial all-docs-share-boilerplate
+        # corpus would blow a forced broadcast).
+        hp = (
+            pre.join(F.broadcast(hot), ["shingle"], "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("hp"))
+        )
         # prefix self-join at cluster width; the size-ratio prune
         # (exact: J ≥ t ⇒ min(na,nb)/max(na,nb) ≥ t) runs inside the
         # join, before the distinct ever sees the blow-up
@@ -375,19 +389,27 @@ def ngram_jaccard_pairs(
             F.col("n").alias("nb"), F.col("pos").alias("pb"),
         )
         # POSITIONAL filter (PPJoin's second exact prune), aggregated
-        # per pair: with cp shared prefix shingles whose largest sits
-        # at sorted positions (ia, jb), every further shared shingle is
-        # strictly larger (sorted prefixes are downward-closed: a
-        # shared element smaller than the largest prefix match would
-        # itself be a prefix match in both docs), hence drawn from the
-        # na-ia / nb-jb remaining tails:
-        #     i_full ≤ cp + min(na - ia, nb - jb)
-        # ia = max(pa) and jb = max(pb) are attained at the same
-        # shingle because position is monotone in shingle order. Only
-        # pairs whose bound still clears the threshold reach the
-        # rescore — at sf0.1 this cuts the 80k+ prefix-sharing pairs
-        # (short docs, weak size-ratio pruning) to the true near-dup
-        # shortlist before any full-array work.
+        # per pair over the COLD matches the join sees. Shared shingles
+        # decompose exactly into three classes, each bounded:
+        #   * cold prefix matches — counted by cp;
+        #   * HOT shingles in both prefixes — each is one of doc_a's hp
+        #     hot prefix entries AND one of doc_b's, so ≤ min(hp_a,
+        #     hp_b). (These can hash BELOW the largest cold match, so
+        #     the tail term never sees them — dropping this term
+        #     silently pruned hot-boilerplate near-dup clusters.)
+        #   * everything else is outside at least one prefix, hence (by
+        #     sortedness: prefixes are the smallest hashes) strictly
+        #     larger than the cold match at (ia, jb) in BOTH docs, so
+        #     drawn from both remaining tails: ≤ min(na - ia, nb - jb).
+        #     ia = max(pa) and jb = max(pb) are attained at the same
+        #     shingle because position is monotone in shingle order.
+        #     i_full ≤ cp + min(hp_a, hp_b) + min(na - ia, nb - jb)
+        # (clamped at min(na, nb) — the classes may overlap only in the
+        # direction that loosens, never misses). Only pairs whose bound
+        # still clears the threshold reach the rescore — at sf0.1 this
+        # cuts the 80k+ prefix-sharing pairs (short docs, weak
+        # size-ratio pruning) to the true near-dup shortlist before any
+        # full-array work.
         cand = (
             # shuffle-hash beats sort-merge here: both sides are narrow
             # long-keyed rows and the per-partition sort would dominate
@@ -404,9 +426,24 @@ def ngram_jaccard_pairs(
                 F.max("pa").alias("ia"),
                 F.max("pb").alias("jb"),
             )
+            .join(
+                hp.select(F.col("id").alias("doc_a"), F.col("hp").alias("hp_a")),
+                ["doc_a"],
+                "left",
+            )
+            .join(
+                hp.select(F.col("id").alias("doc_b"), F.col("hp").alias("hp_b")),
+                ["doc_b"],
+                "left",
+            )
         )
-        ub = F.col("cp") + F.least(
-            F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")
+        ub = F.least(
+            F.col("cp")
+            + F.least(
+                F.coalesce("hp_a", F.lit(0)), F.coalesce("hp_b", F.lit(0))
+            )
+            + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")),
+            F.least("na", "nb"),
         )
         pairs = (
             cand.filter(

@@ -218,3 +218,38 @@ def test_minhash_signatures_equal_exploded_aggregate(spark, sf_dir):
         for r in minhash_signatures(docs).collect()
     )
     assert new == old and len(new) > 0
+
+
+def test_ngram_cap_hot_boilerplate_cluster(spark):
+    """Hot shared-boilerplate near-dups must survive the capped path.
+
+    Regression pin for the positional-filter bound: a cluster of docs
+    sharing a large boilerplate makes the boilerplate's prefix shingles
+    hot (df > max_df), so they are anti-joined out of candidate
+    generation. A near-dup pair inside the cluster is still found via
+    its cold pair-specific prefix shingles, but the shared HOT prefix
+    shingles hashing below the largest cold match are in neither ``cp``
+    nor the ``na-ia``/``nb-jb`` tails — an upper bound that ignores
+    them undercounts the true intersection and silently prunes pairs
+    whose real Jaccard clears the threshold. The bound must carry a
+    ``+ min(hp_a, hp_b)`` hot-prefix correction."""
+    from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = " ".join(f"boiler{i}" for i in range(60))
+    rows = []
+    for p in range(5):  # 5 near-dup pairs -> 10 docs sharing the boilerplate
+        pair_text = " ".join(f"pair{p}w{i}" for i in range(30))
+        for side in ("a", "b"):
+            tail = " ".join(f"tail{p}{side}{i}" for i in range(3))
+            rows.append((f"d{p}{side}", f"{boiler} {pair_text} {tail}"))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, max_df=3).collect()
+    }
+    assert len(exact) == 5  # each pair is a near-dup; cross-pair J < 0.8
+    assert capped == exact
