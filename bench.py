@@ -106,6 +106,9 @@ def main() -> None:
             }
         )
     )
+    from eea_crawler_spark.sources.tables import clear_table_cache
+
+    clear_table_cache()
     spark.stop()
 
 

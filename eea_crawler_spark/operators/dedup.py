@@ -445,12 +445,30 @@ def ngram_jaccard_pairs(
             + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")),
             F.least("na", "nb"),
         )
-        pairs = (
-            cand.filter(
-                ub.cast("double") / (F.col("na") + F.col("nb") - ub)
-                >= threshold
-            ).select("doc_a", "doc_b", "na", "nb")
-        ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
+        # The candidate join expands ~44 records per input row at
+        # corpus scale, but AQE sizes the pair-aggregate's reduce
+        # partitions from the join's READ bytes — at sf100 the
+        # under-provisioned reduces spilled 23 GB. A 16 MB advisory
+        # partition size fixes exactly that stage (measured 275→245 s)
+        # but is a tax on every other job, so it is scoped to THIS
+        # job: the eager checkpoint below materializes the candidate
+        # plan synchronously, and the conf is restored right after.
+        _adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        spark = df.sparkSession
+        _adv_old = spark.conf.get(_adv_key, None)
+        spark.conf.set(_adv_key, str(16 << 20))
+        try:
+            pairs = (
+                cand.filter(
+                    ub.cast("double") / (F.col("na") + F.col("nb") - ub)
+                    >= threshold
+                ).select("doc_a", "doc_b", "na", "nb")
+            ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
+        finally:
+            if _adv_old is None:
+                spark.conf.unset(_adv_key)
+            else:
+                spark.conf.set(_adv_key, _adv_old)
         # exact rescore with ZERO inverted-index passes. Two plans with
         # identical output, chosen by the measured shingle volume of
         # the candidate docs (one tiny aggregate over the checkpointed

@@ -41,13 +41,18 @@ def real_embed_stub(texts: list[str]) -> list[list[float]]:
 
 
 def _fake_vector(text: str, dim: int) -> list[float]:
-    # md5 → bytes → centered floats → L2-normalized; deterministic
+    # md5 → bytes → centered floats → L2-normalized; deterministic.
+    # The norm is the EXPLICIT sqrt-of-sum-of-squares (sequential
+    # float64 adds), not np.linalg.norm: dnrm2's overflow-scaling
+    # rounds differently in the last ulp, and the plain form is what
+    # the chunk_embed DuckDB oracle reproduces bit-for-bit in SQL
+    # (hex-pair parse → centered bytes → sqrt(Σv²) → FLOAT4 cast).
     raw = hashlib.md5(text.encode("utf-8")).digest()
     need = (dim + len(raw) - 1) // len(raw)
     buf = (raw * need)[:dim]
     v = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
     v = v - 127.5
-    nrm = float(np.linalg.norm(v)) or 1.0
+    nrm = float(np.sqrt((v * v).sum())) or 1.0
     return [float(x) for x in (v / nrm)]
 
 

@@ -245,9 +245,19 @@ def upsert_last_wins_broadcast(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    state_ord = current.select(
-        F.col(key), F.col(order_col).alias("__s_ord")
-    ).join(F.broadcast(upd.select(key)), key, "left_semi")
+    # one probe row per key: a legacy/corrupt state table holding
+    # duplicate rows for a key would otherwise duplicate the update row
+    # through the left join below (max(order) is also the row the
+    # staleness condition must compare against). Untouched duplicate
+    # keys still pass through unchanged — deduping them would mean
+    # scanning the state, which is exactly what this plan avoids; the
+    # window strategy is the full-table repair path.
+    state_ord = (
+        current.select(F.col(key), F.col(order_col).alias("__s_ord"))
+        .join(F.broadcast(upd.select(key)), key, "left_semi")
+        .groupBy(key)
+        .agg(F.max("__s_ord").alias("__s_ord"))
+    )
     fresh = (
         upd.join(F.broadcast(state_ord), key, "left")
         .filter(

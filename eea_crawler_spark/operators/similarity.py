@@ -48,6 +48,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+# neardup_pairs plan gate: below, the corpus matrix is collected and
+# broadcast (zero shuffle, one matmul per batch) — bounded by
+# spark.driver.maxResultSize and driver memory, so the gate sits well
+# under both (the same 64 MiB class as dedup.RESCORE_BROADCAST_MAX_BYTES).
+# Above, the blocked exact plan runs: nothing ever materializes on the
+# driver, O(n²) work spreads over block-pair tasks.
+NEARDUP_BROADCAST_MAX_BYTES = 64 << 20
+# ~32 MiB of float64 per block: a block-pair group (two blocks) stays a
+# comfortably-sized applyInPandas group while keeping the fan-out
+# replication factor (= block count) low.
+NEARDUP_BLOCK_BYTES = 32 << 20
+
 
 def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
     """Spark's Round(double) semantics (BigDecimal HALF_UP, away from
@@ -160,25 +172,42 @@ def neardup_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
 
-    Exact and therefore O(n²) pairs by construction — the documented
-    small-corpus tool; at corpus sizes where n² (or an n×dim broadcast)
-    is unpayable, use ``hyperplane_lsh_topk`` / MinHash buckets as the
-    candidate generator instead.
+    Exact and therefore O(n²) score work by construction. Two plans,
+    identical output (same float64 matmul over the same full-dim
+    vectors, same HALF_UP rounding — pinned by the forced-gate test),
+    picked by a one-aggregate corpus probe:
 
-    Execution mirrors the fused kernel: the corpus matrix is broadcast
-    once (same memory envelope as the previous broadcast-nested-loop
-    join, which also shipped the full corpus to every task — only the
-    materialization point moved) and each Arrow batch of the left side
-    scores against it as ONE float64 matmul instead of n·n
-    CodegenFallback zip_with/aggregate folds. Only the ≥threshold
-    survivors leave the batch, so the sort input is the match set, not
-    the pair space.
+      * small (≤ NEARDUP_BROADCAST_MAX_BYTES of float64): the corpus
+        matrix is collected once and broadcast; each Arrow batch of the
+        left side scores against it as ONE matmul. Zero shuffle. The
+        collect is safe exactly because the gate bounds it far under
+        spark.driver.maxResultSize — the round-5 review flagged the
+        ungated collect as the one declared operator with a hard
+        driver ceiling.
+      * large: the blocked exact plan (``_neardup_pairs_blocked``) —
+        rows hash into ~NEARDUP_BLOCK_BYTES blocks, every block pair
+        (i ≤ j) becomes one applyInPandas group scoring a block×block
+        matmul, survivors only leave the task. Nothing touches the
+        driver; shuffle volume is corpus_bytes × n_blocks (the
+        unavoidable pair materialization), compute parallelism is
+        n_blocks·(n_blocks+1)/2 tasks. For corpora where even that is
+        unpayable, ``hyperplane_lsh_topk`` / MinHash buckets are the
+        approximate candidate generators.
     """
-    rows = corpus.select(id_col, vec_col).collect()
     id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"a_id {id_type}, b_id {id_type}, cos double"
-    if len(rows) == 0:
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(vec_col)).alias("dim"),
+    ).first()
+    n_rows, dim = int(probe["n"]), int(probe["dim"] or 0)
+    if n_rows == 0:
         return corpus.sparkSession.createDataFrame([], schema)
+    if n_rows * dim * 8 > NEARDUP_BROADCAST_MAX_BYTES:
+        return _neardup_pairs_blocked(
+            corpus, threshold, id_col, vec_col, n_rows, dim, schema
+        )
+    rows = corpus.select(id_col, vec_col).collect()
     ids = np.asarray([r[id_col] for r in rows])
     mat = _vec_matrix(list(r[vec_col]) for r in rows)
     nrm = np.sqrt((mat * mat).sum(axis=1))
@@ -208,6 +237,90 @@ def neardup_pairs(
     return (
         corpus.select(id_col, vec_col)
         .mapInPandas(_pair_batches, schema)
+        .orderBy("a_id", "b_id", "cos")
+    )
+
+
+def _neardup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_rows: int,
+    dim: int,
+    schema: str,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver materialization.
+
+    Rows hash into ``n_blocks`` ≈ corpus_bytes / NEARDUP_BLOCK_BYTES
+    blocks on xxhash64(id) (block membership only partitions the work —
+    every unordered doc pair lands in exactly one block pair, so
+    coverage and output are independent of the hashing). A tiny
+    (bi ≤ bj) pair relation fans each block's rows out to its pairs
+    (the broadcast side is the PAIR LIST, never the data), and one
+    groupBy(bi, bj) assembles each block pair as a single applyInPandas
+    group: two ≤NEARDUP_BLOCK_BYTES matrices, one float64 matmul,
+    survivors only. Same scoring and rounding as the broadcast plan —
+    each (a, b) dot product runs over the same full-dim float64
+    vectors, so the two plans are bit-identical (pinned in
+    tests/test_similarity_matmul.py).
+    """
+    spark = corpus.sparkSession
+    n_blocks = max(2, -(-n_rows * dim * 8 // NEARDUP_BLOCK_BYTES))
+    pairs_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    blk = corpus.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("__blk"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    # fan out: block i's rows ride to every pair (i, ·) as side a and
+    # every pair (·, i) as side b; for the diagonal pair both sides
+    # carry the block and the a<b filter below dedups
+    side_a = blk.join(F.broadcast(pairs_idx), F.col("__blk") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("__side"), id_col, vec_col
+    )
+    side_b = blk.join(F.broadcast(pairs_idx), F.col("__blk") == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("__side"), id_col, vec_col
+    )
+    tagged = side_a.unionByName(side_b)
+
+    def _score_group(pdf):
+        import pandas as pd
+
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
+        a_ids = a[id_col].to_numpy()
+        b_ids = b[id_col].to_numpy()
+        a_mat = _vec_matrix(a[vec_col])
+        b_mat = _vec_matrix(b[vec_col])
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = _round_half_up((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm))
+        keep = sims >= threshold
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
+            # diagonal pair: both sides hold the same block — the a<b
+            # mask canonicalizes AND dedups the mirrored orderings
+            keep &= a_ids[:, None] < b_ids[None, :]
+            ai, bj = np.nonzero(keep)
+            lo, hi = a_ids[ai], b_ids[bj]
+        else:
+            # off-diagonal: every unordered pair occurs exactly once,
+            # in whichever orientation — canonicalize to (min, max)
+            ai, bj = np.nonzero(keep)
+            lo = np.minimum(a_ids[ai], b_ids[bj])
+            hi = np.maximum(a_ids[ai], b_ids[bj])
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": sims[ai, bj]})
+
+    return (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(_score_group, schema)
         .orderBy("a_id", "b_id", "cos")
     )
 

@@ -127,6 +127,17 @@ class SyncConfig:
     # &crawler=<stamp> on fetches, ?scrape=<stamp> on scrapes
     avoid_cache_api: bool = False
     avoid_cache_web: bool = False
+    # State-table format for the sync's raw/searchui/chunks merges:
+    # "auto" = existing layout wins; new tables use Delta when the
+    # session has it, else plain parquet (copy-on-write swap). "mor" =
+    # merge-on-read parquet (sinks.lakehouse module docstring): each
+    # merge appends an O(batch) segment instead of rewriting the
+    # corpus — the layout a standing multi-million-doc corpus wants in
+    # a non-Delta environment (quick-sync floor measurement in
+    # BASELINE.md). Opt-in because plain spark.read.parquet on a MOR
+    # dir sees only the base — readers must go through LK.read_table,
+    # which everything in this engine does.
+    state_backend: str = "auto"
 
 
 @dataclass
@@ -332,7 +343,7 @@ def run_sync(
     )
     SK.upsert_index(
         spark, paths.raw, envelopes, key="id", order_col="indexed_at",
-        strategy=merge_strategy,
+        strategy=merge_strategy, backend=cfg.state_backend,
     )
 
     # 4. quarantine fold (A7): the ledger folds the CURRENT errored set
@@ -378,6 +389,7 @@ def run_sync(
             strategy="broadcast"
             if n_norm <= BROADCAST_MERGE_MAX_ROWS
             else "window",
+            backend=cfg.state_backend,
         )
         if cfg.embed and paths.chunks and "fulltext" in searchui.columns:
             from eea_crawler_spark.operators.embeddings import embed_chunks
@@ -391,7 +403,8 @@ def run_sync(
                 }
             )
             SK.upsert_index(
-                spark, paths.chunks, chunks, key="chunk_id", order_col="indexed_at"
+                spark, paths.chunks, chunks, key="chunk_id",
+                order_col="indexed_at", backend=cfg.state_backend,
             )
 
     # 6. deletions (J2): apply the candidates the step-2b guard approved
@@ -399,8 +412,12 @@ def run_sync(
     if allowed and doomed is not None:
         n_del = doomed.count()
         if n_del:
-            SK.delete_from_index(spark, paths.raw, doomed)
-            SK.delete_from_index(spark, paths.searchui, doomed)
+            SK.delete_from_index(
+                spark, paths.raw, doomed, backend=cfg.state_backend
+            )
+            SK.delete_from_index(
+                spark, paths.searchui, doomed, backend=cfg.state_backend
+            )
 
     SK.status_event(
         spark,

@@ -148,15 +148,21 @@ def chunk_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes (embed_chunks' target_partitions is the knob for heavy
     # models on narrow inputs)
     docs = load_table(spark, sf_dir, "documents")
-    from eea_crawler_spark.operators.embeddings import embed_chunks
+    from eea_crawler_spark.operators.embeddings import EMBED_DIM, embed_chunks
 
     out = embed_chunks(docs, words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
-    # the driver's pandas canon cannot sort/hash list cells — serialize
-    # the vector as JSON text (rows-only check either way: model stub).
+    # the driver's pandas canon cannot sort/hash list cells — project
+    # the vector to per-component double columns (float32→float64 is
+    # exact, so the DuckDB oracle's FLOAT4-cast emulation hash-matches).
     # Materialize once (the tiny result), then sort without a range-
     # partition sampling pass — orderBy's sampler re-runs the UDF stage.
     out = out.select(
-        "doc_id", "chunk_idx", F.to_json("embedding").alias("embedding")
+        "doc_id",
+        "chunk_idx",
+        *[
+            F.col("embedding")[i].cast("double").alias(f"e{i}")
+            for i in range(EMBED_DIM)
+        ],
     ).localCheckpoint(eager=True)
     return out.coalesce(1).sortWithinPartitions("doc_id", "chunk_idx")
 
@@ -177,6 +183,36 @@ SELECT doc_id, i AS chunk_idx,
          AS chunk_text
 FROM k, UNNEST(generate_series(0, nc - 1)) AS g(i)
 ORDER BY doc_id, chunk_idx"""
+
+
+def _chunk_embed_sql() -> str:
+    """SQL twin of the md5 stub embedder, bit-exact: md5 hex → per-pair
+    hex parse → centered bytes → sqrt(Σv²) norm (sequential adds, the
+    stub's explicit form) → float64 divide → FLOAT4 cast (IEEE
+    round-to-nearest, identical to numpy/JVM) → DOUBLE (exact widening,
+    matching Spark's float32→double projection)."""
+    from eea_crawler_spark.operators.embeddings import EMBED_DIM
+
+    chunks = _chunks_sql().rsplit("ORDER BY", 1)[0]
+    hexd = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    vs = [
+        f"({hexd.format(p=2 * i + 1)} * 16 + {hexd.format(p=2 * i + 2)} - 127.5)"
+        for i in range(EMBED_DIM)
+    ]
+    ss = " + ".join(f"{v}*{v}" for v in vs)
+    es = ",\n       ".join(
+        f"CAST(CAST({v} / nrm AS FLOAT4) AS DOUBLE) AS e{i}"
+        for i, v in enumerate(vs)
+    )
+    return f"""
+WITH c AS ({chunks}),
+hh AS (SELECT doc_id, chunk_idx, md5(chunk_text) AS h FROM c),
+nn AS (SELECT doc_id, chunk_idx, h,
+              CASE WHEN sqrt({ss}) = 0 THEN 1.0 ELSE sqrt({ss}) END AS nrm
+       FROM hh)
+SELECT doc_id, chunk_idx,
+       {es}
+FROM nn ORDER BY doc_id, chunk_idx"""
 
 
 # ---------- dedup ----------
@@ -523,7 +559,8 @@ SELECT doc_id AS media_id,
 FROM documents ORDER BY media_id""",
     "normalize_docs": _normalize_sql(),
     "text_chunks": _chunks_sql(),
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk /
-    # chunk_embed: hash-based, centroid-based, or model-stub — no SQL
-    # oracle (driver rows-only check; recall pinned in tests).
+    "chunk_embed": _chunk_embed_sql(),
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / ann_ivf_topk:
+    # banded-hash or centroid-based — no SQL oracle (driver rows-only
+    # check; recall/exactness pinned in tests).
 }

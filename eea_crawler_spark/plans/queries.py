@@ -143,9 +143,18 @@ def q7_plan(
     tests/test_skew_bucketing.py::test_q7_bucketed_* and measured by
     scripts/bench_q7_bucketed.py.
     """
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount")).cast(
-        "decimal(9,4)"
-    )
+    # Money math in integer "e6 units" (price-cents × discount basis
+    # points) — the q13 find applied to q7's hot stage: the
+    # decimal(18,2) × decimal(9,4) product allocated a BigDecimal per
+    # lineitem row in the one stage that touches 600M rows at sf100.
+    # rint recovers the exact 2-dp/4-dp integers from the double source
+    # columns (fp error ≪ 0.5, and rint is Math.rint in codegen — pure
+    # FP, no BigDecimal the way Round(double) allocates); the per-row
+    # product ≤ ~1.1e11 is exact in double and casts to long exactly.
+    rev_e6 = (
+        F.rint(F.col("l_extendedprice") * 100)
+        * F.rint((F.lit(1) - F.col("l_discount")) * 10000)
+    ).cast("long")
     # join order: reduce the customer side through the broadcast dims
     # FIRST (region filter → ~1/5 of nations → ~1/5 of customers and
     # orders), so the expensive lineitem join sees the already-filtered
@@ -198,8 +207,23 @@ def q7_plan(
         lineitem.join(
             _build(o_asia), F.col("l_orderkey") == F.col("o_orderkey")
         )
+        # two-level sum: the fact stage sums pure int64 per (n_name,
+        # map partition) — a partial can't wrap (it would take ~8.4e7
+        # rows × max rev_e6 in ONE scan partition) — and only the 25×P
+        # partial rows meet decimal, so no SF can overflow the total
+        # and the per-row path stays whole-stage-codegen long math.
+        # Exactness: integer addition is associative; the single
+        # decimal division (scale ≥ 6 covers the exact 6-dp rational)
+        # then one cast rounds once to double, matching the oracle's
+        # decimal-exact sum bit-for-bit.
+        .groupBy("n_name", F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(rev_e6).alias("__e6"))
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("rev"))
+        .agg(
+            (F.sum(F.col("__e6").cast("decimal(26,0)")) / F.lit(1000000))
+            .cast("double")
+            .alias("rev")
+        )
         .orderBy("n_name", "rev")
     )
 

@@ -35,26 +35,33 @@ def upsert_index(
     key: str = "id",
     order_col: str = "indexed_at",
     strategy: str = "window",
+    backend: str = "auto",
 ) -> None:
     """S11/O4: keyed last-wins upsert into the canonical table.
     ``strategy="broadcast"`` = the small-batch zero-state-shuffle merge
-    plan (see sinks.lakehouse.merge_upsert)."""
+    plan; ``backend`` routes the table format (delta / mor / parquet —
+    see sinks.lakehouse.merge_upsert)."""
     from eea_crawler_spark.sinks.lakehouse import merge_upsert
 
     merge_upsert(
         spark, table_path, updates, key=key, order_col=order_col,
-        strategy=strategy,
+        strategy=strategy, backend=backend,
     )
 
 
 def delete_from_index(
-    spark: SparkSession, table_path: str, doomed: DataFrame, key: str = "id"
+    spark: SparkSession,
+    table_path: str,
+    doomed: DataFrame,
+    key: str = "id",
+    backend: str = "auto",
 ) -> None:
     """S14: DELETE WHERE id IN (…) — Delta ``WHEN MATCHED DELETE`` on a
-    lakehouse runtime, anti-join rewrite + swap on parquet."""
+    lakehouse runtime, a tombstone segment on mor, anti-join rewrite +
+    swap on parquet."""
     from eea_crawler_spark.sinks.lakehouse import merge_delete
 
-    merge_delete(spark, table_path, doomed, key=key)
+    merge_delete(spark, table_path, doomed, key=key, backend=backend)
 
 
 def replace_table(df: DataFrame, table_path: str) -> None:

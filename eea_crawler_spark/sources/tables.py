@@ -42,10 +42,17 @@ def table_path(sf_dir: str, name: str) -> str:
 # full parquet re-list/re-scan of the same small table — ~0.1-0.6 s per
 # query at sf0.1, ~5 s across the declared extras. The bench caches the
 # hot tables once (in-memory columnar) so per-query numbers measure the
-# operator, not the repeated scan. Keyed by (session JVM id, path);
-# nothing registers unless cache_tables() is called, so tests and
-# production sessions are untouched.
-_SCAN_CACHE: dict[tuple[int, str], DataFrame] = {}
+# operator, not the repeated scan. Keyed by (applicationId, path) —
+# applicationId is unique per SparkContext, where a stopped session's
+# id(spark) can be REUSED by CPython and serve a DataFrame bound to a
+# dead context. Nothing registers unless cache_tables() is called, so
+# tests and production sessions are untouched; clear_table_cache()
+# drops the entries (call it before spark.stop()).
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, path: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, path)
 
 
 def cache_tables(
@@ -54,12 +61,16 @@ def cache_tables(
     for name in names:
         df = load_table(spark, sf_dir, name).cache()
         df.count()  # materialize now, outside any timed window
-        _SCAN_CACHE[(id(spark), table_path(sf_dir, name))] = df
+        _SCAN_CACHE[_cache_key(spark, table_path(sf_dir, name))] = df
+
+
+def clear_table_cache() -> None:
+    _SCAN_CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
-    cached = _SCAN_CACHE.get((id(spark), path))
+    cached = _SCAN_CACHE.get(_cache_key(spark, path))
     if cached is not None:
         return cached
     if name == "events":

@@ -112,6 +112,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=5_000_000)
     ap.add_argument("--state", default=os.path.join(REPO, ".scale", "sync_state"))
+    # "mor" = merge-on-read state layout (sinks.lakehouse): merges append
+    # O(batch) segments instead of rewriting the corpus — the production
+    # layout for a standing corpus without Delta. "auto" resolves to the
+    # copy-on-write parquet swap here; run both for the BASELINE table.
+    ap.add_argument("--state-backend", default="mor")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
@@ -134,6 +139,8 @@ def main() -> None:
         status=os.path.join(args.state, "status"),
     )
     spark = get_spark("sync-scale", data_dir=None)
+    from eea_crawler_spark.sinks import lakehouse as LK
+
     transport = SynthTransport()
 
     def cfg(bump: int) -> SyncConfig:
@@ -144,6 +151,7 @@ def main() -> None:
             listing_provider=functools.partial(
                 listing_provider, args.docs, bump
             ),
+            state_backend=args.state_backend,
         )
 
     t0 = time.perf_counter()
@@ -155,7 +163,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     hi_water = (
-        spark.read.parquet(paths.searchui)
+        LK.read_table(spark, paths.searchui)
         .agg(F.max("indexed_at"))
         .first()[0]
     )
@@ -169,12 +177,12 @@ def main() -> None:
     assert r2["normalized"] == expect, (r2, expect)
 
     touched = (
-        spark.read.parquet(paths.searchui)
+        LK.read_table(spark, paths.searchui)
         .filter(F.col("indexed_at") > hi_water)
         .count()
     )
     assert touched == expect, (touched, expect)
-    total = spark.read.parquet(paths.searchui).count()
+    total = LK.read_table(spark, paths.searchui).count()
     assert total == args.docs, total
 
     t0 = time.perf_counter()
@@ -189,6 +197,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "sync_scale",
+                "state_backend": args.state_backend,
                 "docs": args.docs,
                 "initial_sync_sec": t_initial,
                 "quick_sync_sec": t_quick,

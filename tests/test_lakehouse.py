@@ -17,8 +17,13 @@ from eea_crawler_spark.sinks import lakehouse as LK
 
 # (backend, parquet merge strategy): the broadcast small-batch plan must
 # be semantics-identical to the window plan — same five contracts run
-# over both; delta ignores strategy (MERGE INTO).
-MODES = [("parquet", "window"), ("parquet", "broadcast"), ("delta", "window")]
+# over both; delta and mor ignore strategy (MERGE INTO / segment append).
+MODES = [
+    ("parquet", "window"),
+    ("parquet", "broadcast"),
+    ("mor", "window"),
+    ("delta", "window"),
+]
 
 
 def _needs(spark, backend):
@@ -128,3 +133,73 @@ def test_merge_idempotent_replay(spark, tmp_path, backend, strategy):
     before = _rows(spark, path)
     LK.merge_upsert(spark, path, batch, backend=backend, strategy=strategy)
     assert _rows(spark, path) == before
+
+
+def _base_files(path):
+    import os
+
+    return {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_mor_merge_is_o_batch(spark, tmp_path, monkeypatch):
+    """The point of the MOR twin: a merge must APPEND a segment and
+    leave every base data file byte-untouched (the copy-on-write twin
+    rewrites the whole table per merge). Compaction pinned off: at toy
+    scale any segment exceeds the fraction bound immediately."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor"
+    )
+    before = _base_files(path)
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v2", 2)]), backend="mor")
+    doomed = spark.createDataFrame([("b",)], "id string")
+    LK.merge_delete(spark, path, doomed, backend="mor")
+    assert _base_files(path) == before  # base untouched
+    assert len(LK._mor_segments(path)) == 2  # upsert + tombstone appended
+    assert _rows(spark, path) == {
+        "a": ("v2", __import__("datetime").datetime(2024, 1, 2))
+    }
+
+
+def test_mor_sticky_under_auto(spark, tmp_path, monkeypatch):
+    """Once MOR, always MOR: backend='auto' merges keep appending."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1)]), backend="mor")
+    LK.merge_upsert(spark, path, _df(spark, [("b", "v1", 1)]))  # auto
+    assert LK.is_mor_table(path) and len(LK._mor_segments(path)) == 1
+    assert set(_rows(spark, path)) == {"a", "b"}
+
+
+def test_mor_compaction_folds_segments(spark, tmp_path, monkeypatch):
+    """Past the fraction bound the segments fold into the base; the
+    resolved view is unchanged and the table stays MOR."""
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor")
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 0.0)  # always compact
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v2", 2), ("c", "v1", 2)]), backend="mor")
+    assert LK.is_mor_table(path) and LK._mor_segments(path) == []
+    got = _rows(spark, path)
+    assert got["a"][0] == "v2" and set(got) == {"a", "b", "c"}
+    # and a plain read of the compacted base agrees (segments folded in)
+    plain = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert plain == {"a": "v2", "b": "v1", "c": "v1"}
+
+
+def test_mor_delete_then_reinsert(spark, tmp_path):
+    """A tombstone clears the key unconditionally (even if the stored
+    order stamp is newer than a later re-insert's): sequential-fold
+    semantics, the property the (order, seq) resolve window must keep."""
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v9", 9)]), backend="mor")
+    doomed = spark.createDataFrame([("a",)], "id string")
+    LK.merge_delete(spark, path, doomed, backend="mor")
+    assert _rows(spark, path) == {}
+    # re-insert with an OLDER stamp than the deleted row: must win
+    LK.merge_upsert(spark, path, _df(spark, [("a", "fresh", 1)]), backend="mor")
+    assert _rows(spark, path)["a"][0] == "fresh"

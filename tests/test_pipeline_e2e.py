@@ -309,3 +309,49 @@ def test_quarantined_doc_is_not_deleted(spark, paths):
         r_["id"] for r_ in spark.read.parquet(paths.quarantine).collect()
     }
     assert f"{SITE}/d3" not in ledger5  # clean refetch → budget cleared
+
+
+def test_full_sync_incremental_on_mor_backend(spark, paths):
+    """The same sync lifecycle on the merge-on-read state layout
+    (state_backend='mor'): every merge appends a segment instead of
+    rewriting the state tables, and the resolved view must agree with
+    what the copy-on-write path produces — fetch counts, update
+    propagation, deletes, untouched-row stamps."""
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    site = StubSite()
+    cfg = SyncConfig(site_url=SITE, site_id="eea", state_backend="mor")
+
+    r1 = run_sync(spark, cfg, paths, site)
+    assert r1["fetched"] == 5 and r1["normalized"] == 5
+    assert LK.is_mor_table(paths.raw) and LK.is_mor_table(paths.searchui)
+    searchui = {
+        r["id"]: r.asDict()
+        for r in LK.read_table(spark, paths.searchui).collect()
+    }
+    assert len(searchui) == 5
+    assert searchui[f"{SITE}/d0"]["cluster_name"] == "eea"
+
+    # zero-change re-run touches nothing
+    r2 = run_sync(spark, cfg, paths, site)
+    assert r2["fetched"] == 0 and r2["deleted"] == 0
+    stamps = {
+        r["id"]: r["indexed_at"]
+        for r in LK.read_table(spark, paths.searchui).collect()
+    }
+
+    # one update + one delete, resolved through the segment log
+    site.docs[f"{SITE}/d1"]["modified"] = "2024-02-02"
+    site.docs[f"{SITE}/d1"]["title"] = "Doc 1 v2"
+    del site.docs[f"{SITE}/d4"]
+    r3 = run_sync(spark, cfg, paths, site)
+    assert r3["fetched"] == 1 and r3["deleted"] == 1 and r3["normalized"] == 1
+    final = {
+        r["id"]: r.asDict()
+        for r in LK.read_table(spark, paths.searchui).collect()
+    }
+    assert set(final) == {f"{SITE}/d{i}" for i in range(4)}
+    assert final[f"{SITE}/d1"]["title"] == "Doc 1 v2"
+    assert final[f"{SITE}/d0"]["title"] == "Doc 0"
+    assert final[f"{SITE}/d0"]["indexed_at"] == stamps[f"{SITE}/d0"]
+    assert final[f"{SITE}/d1"]["indexed_at"] != stamps[f"{SITE}/d1"]

@@ -104,3 +104,21 @@ def test_neardup_matches_expression_form(spark, emb_df):
     pairs = {(r["a_id"], r["b_id"]): r["cos"] for r in got}
     assert pairs[(3, 10)] == 1.0  # duplicate vector tie
     assert (3, 11) not in pairs   # antiparallel is far below threshold
+
+
+def test_neardup_blocked_equals_broadcast(spark, emb_df, monkeypatch):
+    """neardup_pairs picks its plan by a corpus-size probe: broadcast
+    matmul under NEARDUP_BROADCAST_MAX_BYTES, the blocked exact
+    all-pairs plan above (no driver materialization). Forcing the gate
+    to 0 must route the SAME corpus through the blocked plan with
+    bit-identical output — same pairs, same cosines (each dot product
+    runs over the same full-dim float64 vectors either way)."""
+    from eea_crawler_spark.operators import similarity as SIM
+
+    small = neardup_pairs(emb_df, threshold=0.2).collect()
+    monkeypatch.setattr(SIM, "NEARDUP_BROADCAST_MAX_BYTES", 0)
+    # a few-KB block size forces MULTIPLE blocks (diagonal AND
+    # off-diagonal block pairs both execute)
+    monkeypatch.setattr(SIM, "NEARDUP_BLOCK_BYTES", 2048)
+    blocked = SIM.neardup_pairs(emb_df, threshold=0.2).collect()
+    assert blocked == small and len(small) > 0
