@@ -55,10 +55,22 @@ from pyspark.sql.window import Window as W
 # Above, the blocked exact plan runs: nothing ever materializes on the
 # driver, O(n²) work spreads over block-pair tasks.
 NEARDUP_BROADCAST_MAX_BYTES = 64 << 20
-# ~32 MiB of float64 per block: a block-pair group (two blocks) stays a
-# comfortably-sized applyInPandas group while keeping the fan-out
-# replication factor (= block count) low.
+# Block sizing for the blocked plan. The binding memory constraint is
+# NOT the input block (rows×dim×8) but the per-task SIMS MATRIX: a
+# block pair scores rows_a×rows_b float64 similarities, and with 32
+# concurrent Python workers an 18k-row block (2.6 GB of sims each)
+# OOM-killed the box — measured, kernel oom-kill on the first sf10
+# run. The scorer matmuls the a-side in NEARDUP_SCORE_CHUNK row slices
+# (sims ≤ chunk×block_rows), which decouples the memory cap from the
+# block size for wide vectors. Block size is MEASURED, not derived:
+# 4096-row blocks ran sf10 (200k vectors, 49-replica fan-out) in 345 s;
+# 16k-row blocks (14 replicas — the "less shuffle" theory) ran ~2×
+# SLOWER — the wall is the per-group elementwise post-matmul sweep
+# (round/mask/nonzero over the 4e10-cell sims space, memory-bound) and
+# big groups serialize it into fewer, straggling tasks.
 NEARDUP_BLOCK_BYTES = 32 << 20
+NEARDUP_BLOCK_ROWS = 4096
+NEARDUP_SCORE_CHUNK = 4096
 
 
 def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
@@ -266,7 +278,21 @@ def _neardup_pairs_blocked(
     tests/test_similarity_matmul.py).
     """
     spark = corpus.sparkSession
-    n_blocks = max(2, -(-n_rows * dim * 8 // NEARDUP_BLOCK_BYTES))
+    # block count from three bounds: the sims-matrix row cap (the
+    # memory constraint — see NEARDUP_BLOCK_ROWS), the input-byte cap
+    # (wide vectors), and ≥~2 block pairs per core so the matmuls
+    # actually parallelize. Replication factor is n_blocks, so the
+    # shuffle grows linearly with it — corpora where n_blocks×corpus
+    # bytes is unpayable should use the LSH/MinHash candidate paths.
+    par = spark.sparkContext.defaultParallelism
+    block_rows = min(
+        NEARDUP_BLOCK_ROWS, max(1, NEARDUP_BLOCK_BYTES // (dim * 8))
+    )
+    n_blocks = max(
+        2,
+        -(-n_rows // block_rows),
+        int(np.ceil((np.sqrt(16 * par + 1) - 1) / 2)),
+    )
     pairs_idx = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
@@ -302,21 +328,33 @@ def _neardup_pairs_blocked(
         b_mat = _vec_matrix(b[vec_col])
         a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
-        sims = _round_half_up((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm))
-        keep = sims >= threshold
-        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
-            # diagonal pair: both sides hold the same block — the a<b
-            # mask canonicalizes AND dedups the mirrored orderings
-            keep &= a_ids[:, None] < b_ids[None, :]
-            ai, bj = np.nonzero(keep)
-            lo, hi = a_ids[ai], b_ids[bj]
-        else:
-            # off-diagonal: every unordered pair occurs exactly once,
-            # in whichever orientation — canonicalize to (min, max)
-            ai, bj = np.nonzero(keep)
-            lo = np.minimum(a_ids[ai], b_ids[bj])
-            hi = np.maximum(a_ids[ai], b_ids[bj])
-        return pd.DataFrame({"a_id": lo, "b_id": hi, "cos": sims[ai, bj]})
+        diagonal = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        outs = []
+        # a-side sliced so the sims matrix stays ≤ chunk×|b| (memory
+        # note at NEARDUP_SCORE_CHUNK); per-pair values are unchanged —
+        # each dot product still runs over the full dim
+        for s in range(0, len(a_ids), NEARDUP_SCORE_CHUNK):
+            e = s + NEARDUP_SCORE_CHUNK
+            sims = _round_half_up(
+                (a_mat[s:e] @ b_mat.T) / np.outer(a_nrm[s:e], b_nrm)
+            )
+            keep = sims >= threshold
+            if diagonal:
+                # both sides hold the same block — the a<b mask
+                # canonicalizes AND dedups the mirrored orderings
+                keep &= a_ids[s:e, None] < b_ids[None, :]
+                ai, bj = np.nonzero(keep)
+                lo, hi = a_ids[s:e][ai], b_ids[bj]
+            else:
+                # off-diagonal: every unordered pair occurs exactly
+                # once, in whichever orientation — canonicalize
+                ai, bj = np.nonzero(keep)
+                lo = np.minimum(a_ids[s:e][ai], b_ids[bj])
+                hi = np.maximum(a_ids[s:e][ai], b_ids[bj])
+            outs.append(
+                pd.DataFrame({"a_id": lo, "b_id": hi, "cos": sims[ai, bj]})
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         tagged.groupBy("bi", "bj")
