@@ -203,3 +203,64 @@ def test_mor_delete_then_reinsert(spark, tmp_path):
     # re-insert with an OLDER stamp than the deleted row: must win
     LK.merge_upsert(spark, path, _df(spark, [("a", "fresh", 1)]), backend="mor")
     assert _rows(spark, path)["a"][0] == "fresh"
+
+
+def test_mor_random_sequences_match_sequential_fold(spark, tmp_path):
+    """Property: any interleaving of upserts and deletes resolved by
+    the MOR read equals folding the merges sequentially (the CoW twin's
+    semantics). Driven by a seeded generator over a small key space so
+    collisions, re-inserts, stale updates, and repeated deletes all
+    occur; the model is a 10-line python fold."""
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{i}" for i in range(6)]
+    model: dict[str, tuple[str, int]] = {}
+    path = str(tmp_path / "t")
+    for step in range(12):
+        if step and rng.random() < 0.3:
+            doomed_keys = rng.sample(keys, rng.randint(1, 3))
+            LK.merge_delete(
+                spark,
+                path,
+                spark.createDataFrame([(k,) for k in doomed_keys], "id string"),
+                backend="mor",
+            )
+            for k in doomed_keys:
+                model.pop(k, None)
+        else:
+            batch = [
+                (k, f"v{step}", rng.randint(1, 5))
+                for k in rng.sample(keys, rng.randint(1, 4))
+            ]
+            LK.merge_upsert(spark, path, _df(spark, batch), backend="mor")
+            # model: within-batch last-wins by order, then fold with
+            # "update wins iff order >= stored order"
+            best: dict[str, tuple[str, int]] = {}
+            for k, v, d in batch:
+                if k not in best or d >= best[k][1]:
+                    best[k] = (v, d)
+            for k, (v, d) in best.items():
+                if k not in model or d >= model[k][1]:
+                    model[k] = (v, d)
+    got = {
+        r["id"]: (r["v"], r["indexed_at"].day)
+        for r in LK.read_table(spark, path).collect()
+    }
+    assert got == model
+
+
+def test_mor_read_is_o_segments(spark, tmp_path, monkeypatch):
+    """Plan pin: the resolved MOR read must keep the untouched-keys
+    base leg shuffle-free — the segment key set arrives by BROADCAST
+    join on both the anti (untouched) and semi (affected) probes, so
+    no Exchange sits between the base scan and the final union."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v2", 2)]), backend="mor")
+    plan = LK.read_table(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # the untouched-base leg is a broadcast ANTI join (no base shuffle);
+    # the last-wins Window exists on the affected leg only
+    assert "LeftAnti" in plan and "Window" in plan
