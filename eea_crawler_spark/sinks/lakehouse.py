@@ -146,7 +146,11 @@ def _mor_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     is the commit point — readers glob ``seg_*`` only)."""
     mor = os.path.join(path, _MOR_DIR)
     tmp = os.path.join(mor, f"_tmp_{uuid.uuid4().hex[:8]}")
-    batch.write.mode("overwrite").parquet(tmp)
+    try:
+        batch.write.mode("overwrite").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)  # no stale half-segments
+        raise
     n = len(_mor_segments(path)) + 1
     os.rename(tmp, os.path.join(mor, f"seg_{n:06d}"))
 
@@ -339,9 +343,13 @@ def merge_upsert(
         )
         return
 
-    # parquet emulation: read state → merge plan → write beside → swap
+    # parquet emulation: read state → merge plan → write beside → swap.
+    # read_table, NOT read.parquet: an explicit backend="parquet" merge
+    # on a MOR table must fold the segments in (the swap then leaves a
+    # plain table — a correct MOR→CoW conversion), never silently read
+    # the stale base.
     if table_exists(path):
-        current = spark.read.parquet(path)
+        current = read_table(spark, path)
         if strategy == "broadcast":
             from eea_crawler_spark.operators.incremental import (
                 upsert_last_wins_broadcast,
@@ -394,7 +402,7 @@ def merge_delete(
         )
         return
 
-    current = spark.read.parquet(path)
+    current = read_table(spark, path)  # MOR-aware (see merge_upsert)
     kept = current.join(doomed.select(key), on=key, how="left_anti")
     tmp = f"{path}__tmp_del"
     kept.write.mode("overwrite").parquet(tmp)

@@ -264,3 +264,19 @@ def test_mor_read_is_o_segments(spark, tmp_path, monkeypatch):
     # the untouched-base leg is a broadcast ANTI join (no base shuffle);
     # the last-wins Window exists on the affected leg only
     assert "LeftAnti" in plan and "Window" in plan
+
+
+def test_cow_merge_on_mor_table_folds_segments(spark, tmp_path, monkeypatch):
+    """An EXPLICIT backend='parquet' merge on a MOR table is a
+    MOR→CoW conversion: the segments must fold into the rewritten
+    table (a plain base read here would silently lose them)."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1)]), backend="mor")
+    LK.merge_upsert(spark, path, _df(spark, [("b", "v1", 2)]), backend="mor")
+    assert len(LK._mor_segments(path)) == 1  # b lives only in a segment
+    LK.merge_upsert(
+        spark, path, _df(spark, [("c", "v1", 3)]), backend="parquet"
+    )
+    assert not LK.is_mor_table(path)  # converted by the swap
+    assert set(_rows(spark, path)) == {"a", "b", "c"}
