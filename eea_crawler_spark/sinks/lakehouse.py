@@ -214,17 +214,10 @@ def _dir_bytes(path: str, top_only: bool = False) -> int:
     return total
 
 
-def _mor_maybe_compact(spark: SparkSession, path: str) -> None:
-    """Fold segments into the base once they outgrow the fraction bound.
-
-    Rewrites O(corpus) — the cost the segment appends amortize — via
-    the same write-beside-and-swap as the copy-on-write twin; the table
-    stays MOR (empty segment list) afterwards.
-    """
-    seg_bytes = _dir_bytes(os.path.join(path, _MOR_DIR))
-    base_bytes = _dir_bytes(path, top_only=True)
-    if seg_bytes <= MOR_COMPACT_FRACTION * max(base_bytes, 1):
-        return
+def _mor_compact(spark: SparkSession, path: str) -> None:
+    """Unconditional fold: rewrite the resolved view as the new base
+    (write-beside-and-swap, like the copy-on-write twin) — O(corpus),
+    the cost the segment appends amortize. The table stays MOR."""
     spec = _mor_spec(path)
     resolved = _mor_read(spark, path)
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
@@ -234,6 +227,29 @@ def _mor_maybe_compact(spark: SparkSession, path: str) -> None:
     _mor_init(path, spec["key"], spec["order_col"])
     spark.catalog.refreshByPath(path)
     spark.catalog.refreshByPath(tmp)
+
+
+def _mor_maybe_compact(spark: SparkSession, path: str) -> None:
+    """Fold segments into the base once they outgrow the fraction bound."""
+    seg_bytes = _dir_bytes(os.path.join(path, _MOR_DIR))
+    base_bytes = _dir_bytes(path, top_only=True)
+    if seg_bytes <= MOR_COMPACT_FRACTION * max(base_bytes, 1):
+        return
+    _mor_compact(spark, path)
+
+
+def compact_table(spark: SparkSession, path: str, force: bool = True) -> None:
+    """Operational compaction entry (the `OPTIMIZE` twin): fold a MOR
+    table's segments into its base now instead of waiting for the
+    fraction bound — e.g. before a bulk read-heavy window or a backup.
+    ``force=False`` applies the normal bound instead. No-op for
+    non-MOR tables."""
+    if not is_mor_table(path):
+        return
+    if force and _mor_segments(path):
+        _mor_compact(spark, path)
+        return
+    _mor_maybe_compact(spark, path)
 
 
 def _mor_upsert(

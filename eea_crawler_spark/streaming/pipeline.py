@@ -36,6 +36,7 @@ def state_merge(
     updates: DataFrame,
     key: str = "id",
     order_col: str = "indexed_at",
+    backend: str = "auto",
 ) -> None:
     """Keyed last-wins merge of ``updates`` into a state table.
 
@@ -49,7 +50,10 @@ def state_merge(
     """
     from eea_crawler_spark.sinks.lakehouse import merge_upsert
 
-    merge_upsert(spark, state_path, updates, key=key, order_col=order_col)
+    merge_upsert(
+        spark, state_path, updates, key=key, order_col=order_col,
+        backend=backend,
+    )
 
 
 def incremental_upsert_stream(
@@ -60,6 +64,7 @@ def incremental_upsert_stream(
     schema,
     key: str = "id",
     order_col: str = "indexed_at",
+    backend: str = "auto",
 ) -> StreamingQuery:
     """Quick-sync as a stream: drain new files, merge by id, stop.
 
@@ -71,7 +76,8 @@ def incremental_upsert_stream(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         state_merge(
-            batch_df.sparkSession, state_path, batch_df, key=key, order_col=order_col
+            batch_df.sparkSession, state_path, batch_df, key=key,
+            order_col=order_col, backend=backend,
         )
 
     return (

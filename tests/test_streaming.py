@@ -184,3 +184,46 @@ def test_streaming_quarantine_stateful_fold(spark, tmp_path):
     led = drain("q_run4")
     assert led["d1"]["error_cnt"] == 0 and not led["d1"]["skipped"]
     assert led["d1"]["skip_cnt"] == 0
+
+
+def test_incremental_upsert_stream_on_mor(spark, tmp_path, monkeypatch):
+    """The AvailableNow exactly-once stream with a merge-on-read state
+    table: each activation's foreachBatch merge appends a segment
+    (never rewrites the state), and the resolved view matches the
+    copy-on-write run above batch for batch."""
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    src = tmp_path / "src"
+    state = str(tmp_path / "state_mor")
+    ckpt = str(tmp_path / "ckpt_mor")
+    src.mkdir()
+
+    b1 = spark.createDataFrame(
+        [("a", "v1", _ts(1)), ("b", "v1", _ts(1))], ENVELOPE
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    q = SP.incremental_upsert_stream(
+        spark, str(src), state, ckpt, ENVELOPE, backend="mor"
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["payload"] for r in LK.read_table(spark, state).collect()}
+    assert got == {"a": "v1", "b": "v1"} and LK.is_mor_table(state)
+
+    b2 = spark.createDataFrame(
+        [("a", "v2", _ts(2)), ("c", "v1", _ts(2))], ENVELOPE
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    q = SP.incremental_upsert_stream(
+        spark, str(src), state, ckpt, ENVELOPE, backend="mor"
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["payload"] for r in LK.read_table(spark, state).collect()}
+    assert got == {"a": "v2", "b": "v1", "c": "v1"}
+    assert len(LK._mor_segments(state)) == 1  # b2 appended, base untouched
+
+    # compact_table (the OPTIMIZE twin): fold now, view unchanged
+    LK.compact_table(spark, state)
+    assert LK._mor_segments(state) == []
+    plain = {r["id"]: r["payload"] for r in spark.read.parquet(state).collect()}
+    assert plain == got
