@@ -330,11 +330,21 @@ def run_sync(
             "indexed_at": F.current_timestamp(),
         }
     )
+    # Materialize the fetch ONCE. Without this barrier the count below
+    # and the raw merge are two actions on the same lazy plan — the
+    # distributed fetch re-executes and every doc is requested TWICE
+    # per sync (2× load on the crawled site, and the two executions can
+    # disagree if the site changes in between). The checkpoint also
+    # survives the raw-table swap below, which invalidates the lineage
+    # (the old reason only the id projection was snapshotted).
+    # MEMORY_AND_DISK blocks: a quick sync's batch is small; a bulk
+    # crawl spills to local disk — still strictly cheaper than
+    # re-fetching the corpus.
+    envelopes = envelopes.localCheckpoint(eager=True)
     n_fetched = envelopes.count()
     # id set of THIS run's fetched docs — the only rows the normalize
-    # step may touch. Snapshotted (ids only) because the raw-table swap
-    # below invalidates the lineage it was derived from.
-    changed_ids = envelopes.select("id").localCheckpoint(eager=True)
+    # step may touch
+    changed_ids = envelopes.select("id")
     # the batch was just counted: a quick sync's small batch takes the
     # zero-state-shuffle broadcast merge; a bulk (re)crawl keeps the
     # window plan that is right when the batch is state-sized
@@ -380,7 +390,12 @@ def run_sync(
         # d5 NLP leg: nlp_250 chunk structs ride on the searchui doc
         # (variables.json:2319-2327); narrow transform, no shuffle
         normalized = nlp_preprocess_by_site(normalized, sites=[cfg.site_id])
-    searchui = normalized.withColumn("indexed_at", F.current_timestamp())
+    # same single-execution barrier as the fetch: the count and the
+    # searchui merge (and the embed leg) would otherwise each re-run
+    # the whole normalize chain over the changed docs
+    searchui = normalized.withColumn(
+        "indexed_at", F.current_timestamp()
+    ).localCheckpoint(eager=True)
     n_norm = searchui.count()
     if n_norm:
         SK.upsert_index(
@@ -604,6 +619,10 @@ def run_renormalize(
             )
         searchui = searchui.join(existing.select("id"), "id", "left_semi")
 
+    # single-execution barrier (see run_sync): without it the count and
+    # the merge each run the full-corpus chain — a d4 rebuild paid the
+    # chain twice. Disk-backed blocks; cheaper than the re-derivation.
+    searchui = searchui.localCheckpoint(eager=True)
     n = searchui.count()
     if n:
         SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")

@@ -355,3 +355,41 @@ def test_full_sync_incremental_on_mor_backend(spark, paths):
     assert final[f"{SITE}/d0"]["title"] == "Doc 0"
     assert final[f"{SITE}/d0"]["indexed_at"] == stamps[f"{SITE}/d0"]
     assert final[f"{SITE}/d1"]["indexed_at"] != stamps[f"{SITE}/d1"]
+
+
+class CountingSite(StubSite):
+    """StubSite that leaves one marker file per DOC fetch (listing
+    pages excluded) — counters don't survive the executor pickle
+    boundary, the local filesystem does."""
+
+    def __init__(self, marker_dir):
+        super().__init__()
+        self.marker_dir = str(marker_dir)
+
+    def __call__(self, url):
+        if "@search" not in url:
+            import os
+            import uuid as _uuid
+
+            with open(
+                os.path.join(self.marker_dir, _uuid.uuid4().hex), "w"
+            ) as f:
+                f.write(url)
+        return super().__call__(url)
+
+
+def test_sync_fetches_each_doc_exactly_once(spark, paths, tmp_path):
+    """Politeness/cost contract: one HTTP request per due doc per sync.
+
+    Before the fetch barrier, the fetched-count action and the raw
+    merge were two executions of the same lazy fetch plan — every doc
+    was requested TWICE per sync (and the two passes could disagree if
+    the site changed in between)."""
+    import os
+
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    site = CountingSite(markers)
+    r = run_sync(spark, SyncConfig(site_url=SITE, site_id="eea"), paths, site)
+    assert r["fetched"] == 5
+    assert len(os.listdir(markers)) == 5  # not 10
