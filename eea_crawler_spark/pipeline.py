@@ -337,10 +337,16 @@ def run_sync(
     # disagree if the site changes in between). The checkpoint also
     # survives the raw-table swap below, which invalidates the lineage
     # (the old reason only the id projection was snapshotted).
-    # MEMORY_AND_DISK blocks: a quick sync's batch is small; a bulk
-    # crawl spills to local disk — still strictly cheaper than
-    # re-fetching the corpus.
-    envelopes = envelopes.localCheckpoint(eager=True)
+    # DISK_ONLY blocks: the default MEMORY_AND_DISK level starved the
+    # unified memory manager on a 5M-doc bulk crawl (storage vs
+    # execution contention → UNABLE_TO_ACQUIRE_MEMORY, measured); the
+    # barrier exists for single-execution, not read speed, and a local
+    # disk read is still orders cheaper than re-fetching the corpus.
+    from pyspark import StorageLevel
+
+    envelopes = envelopes.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     n_fetched = envelopes.count()
     # id set of THIS run's fetched docs — the only rows the normalize
     # step may touch
@@ -395,7 +401,7 @@ def run_sync(
     # the whole normalize chain over the changed docs
     searchui = normalized.withColumn(
         "indexed_at", F.current_timestamp()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     n_norm = searchui.count()
     if n_norm:
         SK.upsert_index(
@@ -621,8 +627,12 @@ def run_renormalize(
 
     # single-execution barrier (see run_sync): without it the count and
     # the merge each run the full-corpus chain — a d4 rebuild paid the
-    # chain twice. Disk-backed blocks; cheaper than the re-derivation.
-    searchui = searchui.localCheckpoint(eager=True)
+    # chain twice. DISK_ONLY: same memory-contention reasoning.
+    from pyspark import StorageLevel
+
+    searchui = searchui.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     n = searchui.count()
     if n:
         SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
