@@ -330,27 +330,32 @@ def run_sync(
             "indexed_at": F.current_timestamp(),
         }
     )
-    # Materialize the fetch ONCE. Without this barrier the count below
-    # and the raw merge are two actions on the same lazy plan — the
-    # distributed fetch re-executes and every doc is requested TWICE
-    # per sync (2× load on the crawled site, and the two executions can
-    # disagree if the site changes in between). The checkpoint also
-    # survives the raw-table swap below, which invalidates the lineage
-    # (the old reason only the id projection was snapshotted).
-    # DISK_ONLY blocks: the default MEMORY_AND_DISK level starved the
-    # unified memory manager on a 5M-doc bulk crawl (storage vs
-    # execution contention → UNABLE_TO_ACQUIRE_MEMORY, measured); the
-    # barrier exists for single-execution, not read speed, and a local
-    # disk read is still orders cheaper than re-fetching the corpus.
-    from pyspark import StorageLevel
+    # Single-network-pass accounting WITHOUT a corpus checkpoint: the
+    # side-effecting stages are already materialized once (fetch_docs
+    # and scrape_docs checkpoint above), and fetch emits EXACTLY one
+    # row per due doc (error rows included), so the fetched count and
+    # the changed-id set are free projections of the tiny checkpointed
+    # diff — no action ever re-executes a network stage, and the
+    # envelope assembly itself runs once, at the raw merge. (A round-6
+    # experiment checkpointed the assembled envelopes instead: the
+    # corpus-sized DISK_ONLY write cost +37 s on a 5M-doc bulk crawl
+    # against ~nothing saved — the assembly is two joins over already-
+    # checkpointed inputs. MEMORY_AND_DISK was worse still: storage
+    # starved the unified memory manager, UNABLE_TO_ACQUIRE_MEMORY.)
+    # The attachments converter is the one side-effecting stage NOT
+    # checkpointed above, so its branch pays the barrier — re-running
+    # the converter on every downstream action would re-download every
+    # attachment.
+    if converter is not None:
+        from pyspark import StorageLevel
 
-    envelopes = envelopes.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    n_fetched = envelopes.count()
+        envelopes = envelopes.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+    n_fetched = due.count()
     # id set of THIS run's fetched docs — the only rows the normalize
-    # step may touch
-    changed_ids = envelopes.select("id")
+    # step may touch; survives the raw-table swap (due is checkpointed)
+    changed_ids = due.select("id")
     # the batch was just counted: a quick sync's small batch takes the
     # zero-state-shuffle broadcast merge; a bulk (re)crawl keeps the
     # window plan that is right when the batch is state-sized
@@ -396,12 +401,12 @@ def run_sync(
         # d5 NLP leg: nlp_250 chunk structs ride on the searchui doc
         # (variables.json:2319-2327); narrow transform, no shuffle
         normalized = nlp_preprocess_by_site(normalized, sites=[cfg.site_id])
-    # same single-execution barrier as the fetch: the count and the
-    # searchui merge (and the embed leg) would otherwise each re-run
-    # the whole normalize chain over the changed docs
-    searchui = normalized.withColumn(
-        "indexed_at", F.current_timestamp()
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    searchui = normalized.withColumn("indexed_at", F.current_timestamp())
+    # n_norm via the chain (the count) + the merge = two chain runs over
+    # the CHANGED docs only; a checkpoint barrier here was measured a
+    # wash at 50k docs and a clear loss on corpus-sized batches (the
+    # round-6 negative result above) — recompute beats materialize for
+    # this pure, input-checkpointed plan.
     n_norm = searchui.count()
     if n_norm:
         SK.upsert_index(
@@ -625,14 +630,10 @@ def run_renormalize(
             )
         searchui = searchui.join(existing.select("id"), "id", "left_semi")
 
-    # single-execution barrier (see run_sync): without it the count and
-    # the merge each run the full-corpus chain — a d4 rebuild paid the
-    # chain twice. DISK_ONLY: same memory-contention reasoning.
-    from pyspark import StorageLevel
-
-    searchui = searchui.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
+    # count + merge = two chain runs; the checkpoint alternative was
+    # measured WORSE on the full corpus (renorm 77→94 s at 5M docs —
+    # materializing 5M wide rows costs more than re-deriving them; the
+    # round-6 negative result in run_sync)
     n = searchui.count()
     if n:
         SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")

@@ -381,10 +381,11 @@ class CountingSite(StubSite):
 def test_sync_fetches_each_doc_exactly_once(spark, paths, tmp_path):
     """Politeness/cost contract: one HTTP request per due doc per sync.
 
-    Before the fetch barrier, the fetched-count action and the raw
-    merge were two executions of the same lazy fetch plan — every doc
-    was requested TWICE per sync (and the two passes could disagree if
-    the site changed in between)."""
+    The fetch_docs checkpoint is the load-bearing piece — downstream
+    actions (counts, envelope assembly, merges) must never re-execute
+    the network stage. This pin holds the contract against any future
+    refactor that drops the checkpoint or adds an action upstream of
+    it."""
     import os
 
     markers = tmp_path / "markers"
