@@ -253,3 +253,43 @@ def test_ngram_cap_hot_boilerplate_cluster(spark):
     }
     assert len(exact) == 5  # each pair is a near-dup; cross-pair J < 0.8
     assert capped == exact
+
+
+def test_ngram_cap_random_corpora_recall(spark):
+    """Randomized capped==uncapped pin: seeded corpora mixing shared
+    boilerplate (hot shingles), clustered near-dups, and unique tails,
+    across two thresholds and a tight df cap — the shapes that exercise
+    every branch of the prefix/positional/hot-correction filter at
+    recall 1.0."""
+    import random
+
+    from eea_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    for corpus_i in range(2):
+        vocab = [f"w{corpus_i}x{i}" for i in range(80)]
+        boiler = " ".join(rng.choices(vocab, k=rng.randint(20, 50)))
+        rows = []
+        for c in range(6):  # 6 clusters of 2-3 near-dup docs
+            core = " ".join(
+                f"c{corpus_i}k{c}w{i}" for i in range(rng.randint(15, 40))
+            )
+            for s in range(rng.randint(2, 3)):
+                tail = " ".join(
+                    f"t{corpus_i}{c}{s}{i}" for i in range(rng.randint(0, 4))
+                )
+                body = f"{boiler} {core} {tail}" if rng.random() < 0.8 else f"{core} {tail}"
+                rows.append((f"d{corpus_i}_{c}_{s}", body.strip()))
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        for threshold in (0.7, 0.85):
+            exact = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+            }
+            capped = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=threshold, max_df=3
+                ).collect()
+            }
+            assert capped == exact, (corpus_i, threshold)
