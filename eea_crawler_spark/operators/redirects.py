@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from eea_crawler_spark.sinks import indexes as SK
+from eea_crawler_spark.sinks import lakehouse as LK
 from eea_crawler_spark.sources.acquire import Transport
 
 PUBLICATIONS_PREFIX = "https://www.eea.europa.eu/publications"
@@ -125,29 +125,42 @@ def apply_redirect_updates(
     updates: DataFrame,
     flag_col: str = "exclude_from_globalsearch",
 ) -> int:
-    """Update-only MERGE twin: left-join the updates and rewrite only
-    the flag column for matched ids (the Logstash ``update_only``
-    leg, search_pipeline.conf:19-27 + update_redirect_in_es). Returns
+    """Update-only MERGE twin: build full replacement rows for the
+    probed ids (stored row + new flag, every other column and the
+    ``indexed_at`` stamp unchanged — the Logstash ``update_only`` leg,
+    search_pipeline.conf:19-27 + update_redirect_in_es) and route them
+    through the table's own merge path. Format-aware by construction:
+    on a MOR table this appends one O(batch) segment instead of the
+    round-6 column rewrite, which read only the stale base and then
+    rmtree'd the segment log — every un-compacted upsert/tombstone was
+    silently discarded (the round-6 ADVICE data-loss finding). Returns
     the number of updated rows."""
-    updates = updates.localCheckpoint(eager=True)  # cut lineage pre-swap
+    updates = updates.localCheckpoint(eager=True)  # cut lineage pre-merge
     n = updates.count()
     if not n:
         return 0
-    table = spark.read.parquet(table_path)
-    hit = F.col("_upd_hit").isNotNull()
-    new_flag = F.when(hit, F.col("new_flag")).otherwise(
-        F.col(flag_col).cast("string") if flag_col in table.columns else F.lit(None).cast("string")
+    table = LK.read_table(spark, table_path)
+    upd_rows = (
+        table.join(F.broadcast(updates.select("id", "new_flag")), "id")
+        .withColumn(flag_col, F.col("new_flag").cast("string"))
+        .drop("new_flag")
+        .localCheckpoint(eager=True)  # cut lineage to the pre-merge files
     )
-    merged = (
-        table.join(
-            updates.select("id", "new_flag", F.lit(1).alias("_upd_hit")),
-            "id",
-            "left",
-        )
-        .withColumn(flag_col, new_flag)
-        .drop("new_flag", "_upd_hit")
+    # tie-break order: a MOR table's order column is a per-table
+    # invariant (spec.json); otherwise the sync stamp when present, else
+    # the key itself — constant within a key, so the merge's
+    # updates-win-ties rule applies the new flag either way without
+    # touching the stored stamp (flag maintenance is not a reindex).
+    if LK.is_mor_table(table_path):
+        order_col = LK._mor_spec(table_path)["order_col"]
+    elif "indexed_at" in table.columns:
+        order_col = "indexed_at"
+    else:
+        order_col = "id"
+    LK.merge_upsert(
+        spark, table_path, upd_rows, key="id", order_col=order_col,
+        strategy="broadcast",
     )
-    SK.replace_table(merged, table_path)
     return n
 
 
@@ -160,7 +173,10 @@ def run_redirect_sweep(
 ) -> dict[str, int]:
     """The full d6→d7 sweep over a searchui table. Returns counts for
     the status stream."""
-    searchui = spark.read.parquet(searchui_path)
+    # LK.read_table, not read.parquet: on a MOR table the plain scan
+    # sees only the stale base — un-compacted upserts would be probed
+    # with stale flags and deletions resurrected as candidates
+    searchui = LK.read_table(spark, searchui_path)
     candidates = redirect_candidates(searchui, prefix).localCheckpoint(eager=True)
     probed = probe_redirects(candidates, transport, bulk_size)
     updates = redirect_updates(candidates, probed)

@@ -109,6 +109,52 @@ def test_redirect_bulk_partitioning(spark):
     assert probed.count() == 25
 
 
+def test_redirect_sweep_preserves_mor_segments(spark, tmp_path, monkeypatch):
+    """The round-6 ADVICE data-loss bug: the sweep read a MOR searchui
+    with a plain parquet scan (stale base) and its rewrite rmtree'd the
+    segment log — un-compacted upserts/deletes vanished. Now the sweep
+    must (a) probe the RESOLVED view, (b) apply flags as a merge that
+    keeps every segment-held update and tombstone."""
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    # tiny tables trip the 10% compaction bound on every append; keep
+    # the segment log standing so the preservation property is visible
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "searchui_mor")
+    base = spark.createDataFrame(
+        [
+            (f"{PUB}/a", None, "A-stale", 1),
+            (f"{PUB}/b", "redirected", "B", 1),
+            (f"{PUB}/gone", None, "G", 1),
+        ],
+        "id string, exclude_from_globalsearch string, title string, indexed_at int",
+    )
+    LK.merge_upsert(spark, path, base, key="id", order_col="indexed_at", backend="mor")
+    # segment 1: /a retitled; segment 2: /gone deleted — neither compacted
+    upd = spark.createDataFrame(
+        [(f"{PUB}/a", None, "A-fresh", 2)], base.schema
+    )
+    LK.merge_upsert(spark, path, upd, key="id", order_col="indexed_at", backend="mor")
+    LK.merge_delete(
+        spark, path, spark.createDataFrame([(f"{PUB}/gone",)], "id string"),
+        backend="mor",
+    )
+    assert LK.is_mor_table(path) and LK._mor_segments(path)
+
+    probe = HeadProbe(redirecting={f"{PUB}/a"})
+    res = RD.run_redirect_sweep(spark, path, probe)
+    # the tombstoned doc must NOT resurface as a probe candidate
+    assert res["candidates"] == 2
+    assert res["updated"] == 2  # /a marked, /b cleared
+
+    out = {r["id"]: r for r in LK.read_table(spark, path).collect()}
+    assert set(out) == {f"{PUB}/a", f"{PUB}/b"}  # delete survived the sweep
+    assert out[f"{PUB}/a"]["exclude_from_globalsearch"] == "redirected"
+    assert out[f"{PUB}/a"]["title"] == "A-fresh"  # segment upsert survived
+    assert out[f"{PUB}/b"]["exclude_from_globalsearch"] is None
+    assert LK.is_mor_table(path)  # layout intact, not converted away
+
+
 # ---- d4 re-normalization -------------------------------------------------
 
 SITE = "https://stub.example"
