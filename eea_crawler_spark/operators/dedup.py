@@ -453,6 +453,12 @@ def ngram_jaccard_pairs(
         # but is a tax on every other job, so it is scoped to THIS
         # job: the eager checkpoint below materializes the candidate
         # plan synchronously, and the conf is restored right after.
+        # KNOWN LIMIT (round-6 ADVICE): SQL conf is session-global, so
+        # a query another THREAD runs on the same session during this
+        # checkpoint briefly sees the 16 MB advisory size — a perf
+        # nuance, never a correctness one. Callers running dedup
+        # concurrently with latency-sensitive work should hand this
+        # operator its own spark.newSession() (per-session conf view).
         _adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         spark = df.sparkSession
         _adv_old = spark.conf.get(_adv_key, None)

@@ -18,10 +18,18 @@ This container does not ship delta-spark, so every call dispatches:
   merge-on-read shape): each merge APPENDS its batch as a small
   segment under ``<path>/_mor/`` — O(batch) write I/O — and
   ``read_table`` resolves last-wins at read time by splitting the base
-  on the (small, broadcast) segment key set. Segments fold into the
+  on the (small, broadcast-capped) segment key set; the whole segment
+  log reads as ONE multi-path scan (the sequence number rides in the
+  data), so the plan does not grow per segment. Segments fold into the
   base when they outgrow ``MOR_COMPACT_FRACTION`` of it, bounding read
-  amplification. This exists because the copy-on-write twin below
-  rewrites O(corpus) per merge — measured as MOST of the 42.5 s
+  amplification; compaction writes the new base BESIDE the old one
+  and commits by atomically flipping the base pointer in ``spec.json``
+  (the superseded epoch is retained one more cycle, so concurrent
+  readers never see a missing base). With ``n_buckets`` set at
+  creation, the base is laid out bucketed+sorted on the key at every
+  epoch — ``read_table_parts`` then serves the sync's id joins with
+  zero state-side Exchange. This exists because the copy-on-write twin
+  below rewrites O(corpus) per merge — measured as MOST of the 42.5 s
   quick-sync floor at 5M docs — and no fixed partition layout can
   avoid that for uniformly-spread churn: 50k changed keys over N hash
   buckets leave ~N·e^(−50k/N) buckets untouched ≈ 0 for any practical
@@ -41,8 +49,10 @@ self-skips where delta-spark is absent.
 from __future__ import annotations
 
 import glob as _glob
+import hashlib
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -58,6 +68,13 @@ from eea_crawler_spark.operators.incremental import upsert_last_wins
 # ~1/fraction merges. At 1% churn per sync that is a full rewrite every
 # ~10 syncs instead of every sync.
 MOR_COMPACT_FRACTION = 0.10
+# Absolute ceiling on broadcasting the segment key set at resolve time.
+# The fraction bound is RELATIVE (10% of the base): on a large standing
+# corpus the un-compacted key set can still reach hundreds of MB —
+# past this cap the resolve probes fall back to plain (shuffle) joins
+# instead of risking the driver/executor broadcast limits. 64 MiB of
+# keys ≈ tens of millions of URL ids, far past any sane churn batch.
+MOR_SEG_BROADCAST_MAX_BYTES = 64 << 20
 _MOR_DIR = "_mor"  # leading underscore: invisible to plain parquet scans
 
 
@@ -112,77 +129,222 @@ def _mor_spec_path(path: str) -> str:
     return os.path.join(path, _MOR_DIR, "spec.json")
 
 
-def _mor_segments(path: str) -> list[str]:
-    """Segment dirs in commit order (zero-padded names sort correctly)."""
-    return sorted(_glob.glob(os.path.join(path, _MOR_DIR, "seg_*")))
-
-
-def _mor_init(path: str, key: str, order_col: str) -> None:
-    """Mark a table merge-on-read (idempotent; key/order are per-table
-    invariants — a mismatch is a caller bug, not a merge to attempt)."""
-    os.makedirs(os.path.join(path, _MOR_DIR), exist_ok=True)
-    spec_path = _mor_spec_path(path)
-    spec = {"key": key, "order_col": order_col}
-    if os.path.exists(spec_path):
-        with open(spec_path) as f:
-            existing = json.load(f)
-        if existing != spec:
-            raise ValueError(
-                f"MOR table {path} was created with {existing}, "
-                f"merge called with {spec}"
-            )
-        return
-    with open(spec_path, "w") as f:
+def _mor_write_spec(path: str, spec: dict) -> None:
+    """Atomic spec commit: write-beside + ``os.replace`` (POSIX-atomic).
+    The spec flip IS the compaction commit point — readers only ever
+    see a complete spec naming a fully-written base."""
+    sp = _mor_spec_path(path)
+    tmp = sp + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         json.dump(spec, f)
+    os.replace(tmp, sp)
 
 
 def _mor_spec(path: str) -> dict:
     with open(_mor_spec_path(path)) as f:
-        return json.load(f)
+        spec = json.load(f)
+    # tables written by the pre-pointer layout: base at top level,
+    # nothing folded, no bucket spec
+    spec.setdefault("base", None)
+    spec.setdefault("folded", 0)
+    spec.setdefault("n_buckets", None)
+    return spec
+
+
+_SEG_RE = re.compile(r"seg_(\d+)$")
+_BASE_RE = re.compile(r"base_(\d+)$")
+
+
+def _mor_segments(path: str, folded: int | None = None) -> list[str]:
+    """LIVE segment dirs in commit order (zero-padded names sort
+    correctly). Segments at or below the ``folded`` watermark (read
+    from the spec when not supplied) are already merged into the
+    current base — retained one compaction cycle for in-flight readers
+    but hidden here, so a deferred or failed cleanup can never
+    double-apply them."""
+    if folded is None:
+        folded = (
+            _mor_spec(path)["folded"]
+            if os.path.exists(_mor_spec_path(path))
+            else 0
+        )
+    segs = sorted(_glob.glob(os.path.join(path, _MOR_DIR, "seg_*")))
+    return [s for s in segs if int(_SEG_RE.search(s).group(1)) > folded]
+
+
+def _mor_init(
+    path: str, key: str, order_col: str, n_buckets: int | None = None
+) -> None:
+    """Mark a table merge-on-read (idempotent; key/order are per-table
+    invariants — a mismatch is a caller bug, not a merge to attempt).
+    ``n_buckets`` only applies when the spec is first written AND the
+    base files were written bucketed (creation path); converting a
+    pre-existing plain table records no bucket spec — its files carry
+    no bucket ids to trust."""
+    os.makedirs(os.path.join(path, _MOR_DIR), exist_ok=True)
+    if os.path.exists(_mor_spec_path(path)):
+        existing = _mor_spec(path)
+        if (existing["key"], existing["order_col"]) != (key, order_col):
+            raise ValueError(
+                f"MOR table {path} was created with key={existing['key']!r} "
+                f"order_col={existing['order_col']!r}, merge called with "
+                f"key={key!r} order_col={order_col!r}"
+            )
+        return
+    _mor_write_spec(
+        path,
+        {
+            "key": key,
+            "order_col": order_col,
+            "base": None,
+            "folded": 0,
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def _mor_next_seq(path: str, spec: dict) -> int:
+    """Next segment number: strictly above every on-disk segment AND the
+    folded watermark, so numbering keeps increasing across compactions
+    (single writer per table — pipeline.app_lock — like every
+    file-layout mutation here)."""
+    nums = [
+        int(_SEG_RE.search(s).group(1))
+        for s in _glob.glob(os.path.join(path, _MOR_DIR, "seg_*"))
+    ]
+    return max(nums + [int(spec["folded"])]) + 1
 
 
 def _mor_append(spark: SparkSession, path: str, batch: DataFrame) -> None:
     """Commit one segment: write beside, rename into place (the rename
-    is the commit point — readers glob ``seg_*`` only)."""
+    is the commit point — readers glob ``seg_*`` only). The segment's
+    sequence number is stamped INTO the data (``__mor_seq``) so the
+    whole segment log reads back as ONE multi-path scan instead of one
+    plan node per segment."""
+    spec = _mor_spec(path)
+    n = _mor_next_seq(path, spec)
     mor = os.path.join(path, _MOR_DIR)
     tmp = os.path.join(mor, f"_tmp_{uuid.uuid4().hex[:8]}")
     try:
-        batch.write.mode("overwrite").parquet(tmp)
+        batch.withColumn("__mor_seq", F.lit(n)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)  # no stale half-segments
         raise
-    n = len(_mor_segments(path)) + 1
     os.rename(tmp, os.path.join(mor, f"seg_{n:06d}"))
 
 
-def _mor_read(spark: SparkSession, path: str) -> DataFrame:
-    """Resolve base + segments to the last-wins view.
+def _mor_base_location(path: str, spec: dict) -> str:
+    return (
+        path
+        if spec["base"] is None
+        else os.path.join(path, _MOR_DIR, spec["base"])
+    )
 
-    Per key, sequentially folding the merges (each upsert wins iff its
+
+def _bucketed_table_name(location: str) -> str:
+    return (
+        "mor_base_"
+        + hashlib.sha1(os.path.abspath(location).encode()).hexdigest()[:16]
+    )
+
+
+def _write_base(
+    spark: SparkSession,
+    df: DataFrame,
+    location: str,
+    key: str,
+    n_buckets: int | None,
+) -> None:
+    """Write a base file set. With a bucket spec: bucketed + sorted on
+    the key, one file per bucket (repartition first — multi-file
+    buckets silently re-sort in every SMJ, SPARK-24528; same rationale
+    as ``sinks.indexes.save_bucketed``), so every id-keyed state join
+    downstream plans with zero base-side Exchange."""
+    if not n_buckets:
+        df.write.mode("overwrite").parquet(location)
+        return
+    name = _bucketed_table_name(location)
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", location)
+        .saveAsTable(name)
+    )
+
+
+def _mor_base_df(spark: SparkSession, path: str, spec: dict) -> DataFrame:
+    loc = _mor_base_location(path, spec)
+    if not spec["n_buckets"]:
+        return spark.read.parquet(loc)
+    name = _bucketed_table_name(loc)
+    if not spark.catalog.tableExists(name):
+        # bucket metadata only survives the catalog route, and the
+        # in-memory catalog is per-session: re-register an EXTERNAL
+        # bucketed table over the existing files (bucket ids ride in
+        # the bucketBy file names) on each session's first read
+        schema = spark.read.parquet(loc).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE `{name}` ({ddl}) USING PARQUET "
+            f"CLUSTERED BY (`{spec['key']}`) SORTED BY (`{spec['key']}`) "
+            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{loc}'"
+        )
+    else:
+        spark.catalog.refreshTable(name)
+    return spark.table(name)
+
+
+def _mor_parts(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Resolve a MOR table as ``(untouched, overrides, override_keys)``.
+
+    ``read_table`` ≡ untouched ∪ overrides, key-disjoint. Per key,
+    sequentially folding the merges (each upsert wins iff its
     ``order_col`` >= the current row's; each delete unconditionally
     clears) leaves exactly the live row that is lexicographically
     maximal in (order_col, segment seq) among rows newer than the key's
-    last tombstone — so one window computes the fold's fixpoint.
+    last tombstone — so one window computes the fold's fixpoint for the
+    override set.
 
-    The base is split on the segment key set (small by the compaction
-    bound, hence broadcast): untouched keys stream through with NO
-    shuffle; only segment-key rows enter the window. Read amplification
-    vs plain parquet: one extra (pruned, semi-joined) base probe plus a
-    changed-keys-sized shuffle — both O(segments), not O(corpus).
+    The base is split on the segment key set: untouched keys stream
+    through with NO shuffle — and ``untouched`` PRESERVES the base
+    scan's physical layout (a bucketed base → downstream id-keyed joins
+    need no state-side Exchange; ``read_table_parts`` is the public
+    seam the sync diff uses). Overrides and keys are O(segments). The
+    key probes broadcast while the live segment bytes sit under
+    ``MOR_SEG_BROADCAST_MAX_BYTES`` — the 10% compaction bound is
+    relative to the base, so an absolute cap guards the broadcast on
+    large standing corpora; past it the probes run as plain joins.
+    ``(base, None, None)`` when no live segments.
     """
-    base = spark.read.parquet(path)  # `_mor` is invisible: `_` prefix
-    segs = _mor_segments(path)
-    if not segs:
-        return base
     spec = _mor_spec(path)
     key, order_col = spec["key"], spec["order_col"]
-    sdf = None
-    for i, d in enumerate(segs):
-        s = spark.read.parquet(d).withColumn("__mor_seq", F.lit(i + 1))
-        sdf = s if sdf is None else sdf.unionByName(s, allowMissingColumns=True)
+    base = _mor_base_df(spark, path, spec)
+    segs = _mor_segments(path, spec["folded"])
+    if not segs:
+        return base, None, None
+    # ONE scan node for the whole segment log (seq rides in the data);
+    # mergeSchema unions evolved segment schemas like the resolve's
+    # allowMissingColumns union does
+    sdf = spark.read.option("mergeSchema", "true").parquet(*segs)
+    seg_bytes = sum(_dir_bytes(s) for s in segs)
+    hint = (
+        F.broadcast
+        if seg_bytes <= MOR_SEG_BROADCAST_MAX_BYTES
+        else (lambda df: df)
+    )
     keys = sdf.select(key).distinct()
     aff = (
-        base.join(F.broadcast(keys), [key], "left_semi")
+        base.join(hint(keys), [key], "left_semi")
         .withColumn("__mor_op", F.lit("u"))
         .withColumn("__mor_seq", F.lit(0))
         .unionByName(sdf, allowMissingColumns=True)
@@ -201,8 +363,38 @@ def _mor_read(spark: SparkSession, path: str) -> DataFrame:
         .filter(F.col("__mor_rn") == 1)
         .drop("__mor_op", "__mor_seq", "__mor_dseq", "__mor_rn")
     )
-    untouched = base.join(F.broadcast(keys), [key], "left_anti")
+    untouched = base.join(hint(keys), [key], "left_anti")
+    # the returned key set carries the same gated broadcast hint the
+    # internal probes use — callers joining it inherit the cap decision
+    return untouched, winners, hint(keys)
+
+
+def _mor_read(spark: SparkSession, path: str) -> DataFrame:
+    """The resolved last-wins view (see ``_mor_parts`` for the fold)."""
+    untouched, winners, _keys = _mor_parts(spark, path)
+    if winners is None:
+        return untouched
     return untouched.unionByName(winners, allowMissingColumns=True)
+
+
+def read_table_parts(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Split state read for exchange-free downstream joins.
+
+    Returns ``(untouched, overrides, override_keys)`` with
+    ``read_table(path)`` ≡ untouched ∪ overrides and the two parts
+    key-disjoint. For non-MOR tables (and segment-free MOR tables) the
+    overrides are ``None`` and ``untouched`` is the whole table. The
+    point of the seam: a MOR resolve ends in a union, which destroys
+    the base's output partitioning for the planner — callers that join
+    the state on its key (the sync diff, the deletion guard) instead
+    join the big bucketed ``untouched`` side exchange-free and handle
+    the small override side with broadcasts
+    (``operators.incremental.sync_diff_parts``)."""
+    if is_mor_table(path) and not is_delta_table(path):
+        return _mor_parts(spark, path)
+    return read_table(spark, path), None, None
 
 
 def _dir_bytes(path: str, top_only: bool = False) -> int:
@@ -215,24 +407,67 @@ def _dir_bytes(path: str, top_only: bool = False) -> int:
 
 
 def _mor_compact(spark: SparkSession, path: str) -> None:
-    """Unconditional fold: rewrite the resolved view as the new base
-    (write-beside-and-swap, like the copy-on-write twin) — O(corpus),
-    the cost the segment appends amortize. The table stays MOR."""
+    """Fold the live segments into a NEW base epoch — O(corpus), the
+    cost the segment appends amortize; the table stays MOR.
+
+    Write-beside + one atomic spec flip: the new base is written under
+    ``_mor/base_<epoch>`` (invisible until the spec names it), then
+    ``spec.json`` flips the base pointer and the folded watermark in one
+    ``os.replace``. A reader either resolves the previous epoch — whose
+    files are RETAINED for one more compaction cycle — or the new one;
+    there is no window where the base is missing (the round-6
+    delete-then-rename swap race). Cleanup of artifacts superseded two
+    epochs ago runs best-effort AFTER the flip; a crash mid-cleanup
+    leaves garbage hidden by the pointer/watermark, never corruption.
+    """
     spec = _mor_spec(path)
+    segs = _mor_segments(path, spec["folded"])
+    if not segs:
+        return
     resolved = _mor_read(spark, path)
-    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    resolved.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    _mor_init(path, spec["key"], spec["order_col"])
+    max_seq = max(int(_SEG_RE.search(s).group(1)) for s in segs)
+    old_rel = spec["base"]
+    epoch = (int(_BASE_RE.search(old_rel).group(1)) if old_rel else 0) + 1
+    new_rel = f"base_{epoch:06d}"
+    _write_base(
+        spark,
+        resolved,
+        os.path.join(path, _MOR_DIR, new_rel),
+        spec["key"],
+        spec["n_buckets"],
+    )
+    _mor_write_spec(path, {**spec, "base": new_rel, "folded": max_seq})
     spark.catalog.refreshByPath(path)
-    spark.catalog.refreshByPath(tmp)
+    # grace retention: keep exactly the just-superseded epoch; older
+    # bases (and, once the base has left the top level, the epoch-0
+    # top-level files) are two epochs stale — remove them
+    keep = {new_rel, old_rel}
+    for d in _glob.glob(os.path.join(path, _MOR_DIR, "base_*")):
+        if os.path.basename(d) not in keep:
+            shutil.rmtree(d, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_table_name(d)}`")
+    if old_rel is not None:
+        for f in _glob.glob(os.path.join(path, "*")):
+            if os.path.basename(f) != _MOR_DIR and os.path.isfile(f):
+                os.remove(f)
+        spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_table_name(path)}`")
+    # segments folded by the PREVIOUS flip (≤ its watermark) die now;
+    # the ones folded THIS flip stay hidden until the next compaction
+    for s in _glob.glob(os.path.join(path, _MOR_DIR, "seg_*")):
+        if int(_SEG_RE.search(s).group(1)) <= spec["folded"]:
+            shutil.rmtree(s, ignore_errors=True)
 
 
 def _mor_maybe_compact(spark: SparkSession, path: str) -> None:
     """Fold segments into the base once they outgrow the fraction bound."""
-    seg_bytes = _dir_bytes(os.path.join(path, _MOR_DIR))
-    base_bytes = _dir_bytes(path, top_only=True)
+    spec = _mor_spec(path)
+    segs = _mor_segments(path, spec["folded"])
+    if not segs:
+        return
+    seg_bytes = sum(_dir_bytes(s) for s in segs)
+    base_bytes = _dir_bytes(
+        _mor_base_location(path, spec), top_only=spec["base"] is None
+    )
     if seg_bytes <= MOR_COMPACT_FRACTION * max(base_bytes, 1):
         return
     _mor_compact(spark, path)
@@ -246,8 +481,8 @@ def compact_table(spark: SparkSession, path: str, force: bool = True) -> None:
     non-MOR tables."""
     if not is_mor_table(path):
         return
-    if force and _mor_segments(path):
-        _mor_compact(spark, path)
+    if force:
+        _mor_compact(spark, path)  # no-op when no live segments
         return
     _mor_maybe_compact(spark, path)
 
@@ -258,15 +493,20 @@ def _mor_upsert(
     updates: DataFrame,
     key: str,
     order_col: str,
+    n_buckets: int | None = None,
 ) -> None:
     """O(batch) upsert: within-batch last-wins dedup (unique keys per
     segment make the resolve window deterministic), append, maybe
     compact. A pre-existing plain-parquet table converts in place —
-    its files become the MOR base untouched."""
+    its files become the MOR base untouched (and therefore unbucketed:
+    ``n_buckets`` only takes effect when this call CREATES the table,
+    whose base is then written bucketed+sorted on the key and stays so
+    through every compaction — the layout that makes the sync's
+    state-side joins exchange-free, see ``read_table_parts``)."""
     src = _dedup_last_wins(updates, key, order_col)
     if not table_exists(path):
-        src.write.parquet(path)
-        _mor_init(path, key, order_col)
+        _write_base(spark, src, path, key, n_buckets)
+        _mor_init(path, key, order_col, n_buckets=n_buckets)
         return
     _mor_init(path, key, order_col)
     _mor_append(spark, path, src.withColumn("__mor_op", F.lit("u")))
@@ -309,10 +549,17 @@ def merge_upsert(
     order_col: str = "indexed_at",
     backend: str = "auto",
     strategy: str = "window",
+    n_buckets: int | None = None,
 ) -> None:
     """Keyed last-wins upsert; ties go to the update (idempotent under
     at-least-once replay) — identical semantics on both backends,
     pinned by the backend-parametrized merge tests.
+
+    ``n_buckets``: bucket the state on its key at creation time (mor
+    backend only) — every base rewrite stays bucketed+sorted, so the
+    sync's id-keyed state joins plan with zero state-side Exchange
+    (``read_table_parts``). Ignored for existing tables (the layout is
+    a per-table invariant recorded in the MOR spec).
 
     ``strategy`` picks the parquet-twin merge plan (ignored on delta
     and mor, whose merges are O(changed files) / O(batch)): "window" =
@@ -326,7 +573,7 @@ def merge_upsert(
     under "auto", like Delta."""
     picked = _pick_backend(spark, path, backend)
     if picked == "mor":
-        _mor_upsert(spark, path, updates, key, order_col)
+        _mor_upsert(spark, path, updates, key, order_col, n_buckets=n_buckets)
         return
     if picked == "delta":
         from delta.tables import DeltaTable
@@ -382,12 +629,15 @@ def merge_upsert(
         merged = _dedup_last_wins(updates, key, order_col)
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
+    was_mor = is_mor_table(path) if os.path.exists(path) else False
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
     # the swap happened outside Spark: drop stale file-status cache
     spark.catalog.refreshByPath(path)
     spark.catalog.refreshByPath(tmp)
+    if was_mor:  # MOR→CoW conversion: drop any stale bucketed-base entry
+        spark.sql(f"DROP TABLE IF EXISTS `{_bucketed_table_name(path)}`")
 
 
 def merge_delete(
@@ -401,8 +651,15 @@ def merge_delete(
     a tombstone segment on mor, or anti-join + swap on parquet."""
     picked = _pick_backend(spark, path, backend)
     if picked == "mor":
-        _mor_delete(spark, path, doomed, key)
-        return
+        if is_mor_table(path):
+            _mor_delete(spark, path, doomed, key)
+            return
+        # mor requested on a (still) plain table — e.g. a sync whose
+        # first run fetched nothing but approved deletions, so the
+        # upsert that would have converted the layout never ran. Fall
+        # through to the parquet anti-join delete instead of failing
+        # mid-sync; the next upsert converts the survivors in place.
+        picked = "parquet"
     if picked == "delta":
         from delta.tables import DeltaTable
 

@@ -177,8 +177,9 @@ def test_mor_sticky_under_auto(spark, tmp_path, monkeypatch):
 
 
 def test_mor_compaction_folds_segments(spark, tmp_path, monkeypatch):
-    """Past the fraction bound the segments fold into the base; the
-    resolved view is unchanged and the table stays MOR."""
+    """Past the fraction bound the segments fold into a NEW base epoch
+    (pointer flip in spec.json); the resolved view is unchanged, the
+    table stays MOR, and the new base alone carries the fold."""
     path = str(tmp_path / "t")
     LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor")
     monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 0.0)  # always compact
@@ -186,9 +187,171 @@ def test_mor_compaction_folds_segments(spark, tmp_path, monkeypatch):
     assert LK.is_mor_table(path) and LK._mor_segments(path) == []
     got = _rows(spark, path)
     assert got["a"][0] == "v2" and set(got) == {"a", "b", "c"}
-    # and a plain read of the compacted base agrees (segments folded in)
-    plain = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
-    assert plain == {"a": "v2", "b": "v1", "c": "v1"}
+    # the spec points at the new epoch, and reading IT (not the
+    # retained stale epoch-0 files at the top level) yields the fold
+    spec = LK._mor_spec(path)
+    assert spec["base"] is not None and spec["folded"] >= 1
+    folded = {
+        r["id"]: r["v"]
+        for r in spark.read.parquet(
+            LK._mor_base_location(path, spec)
+        ).collect()
+    }
+    assert folded == {"a": "v2", "b": "v1", "c": "v1"}
+
+
+def test_mor_compaction_retains_previous_epoch_for_readers(
+    spark, tmp_path, monkeypatch
+):
+    """The round-6 swap race is closed: a reader whose plan was built
+    BEFORE compaction still collects correctly afterwards (its epoch's
+    files are retained one cycle), and artifacts two epochs stale are
+    cleaned on the next flip."""
+    import os
+
+    path = str(tmp_path / "t")
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v2", 2)]), backend="mor")
+    reader = LK.read_table(spark, path)  # planned against epoch 0
+    LK.compact_table(spark, path)  # epoch 1: flip, epoch-0 files retained
+    got = {r["id"]: r["v"] for r in reader.collect()}  # old plan survives
+    assert got == {"a": "v2", "b": "v1"}
+    assert _base_files(path)  # epoch-0 top-level files still present
+    spec1 = LK._mor_spec(path)
+    assert spec1["base"] is not None
+    # second flip: epoch-0 files and epoch-1's folded segments die
+    LK.merge_upsert(spark, path, _df(spark, [("c", "v1", 3)]), backend="mor")
+    LK.compact_table(spark, path)
+    assert not _base_files(path)  # two-epochs-stale top level cleaned
+    spec2 = LK._mor_spec(path)
+    assert spec2["base"] != spec1["base"]
+    assert os.path.isdir(os.path.join(path, "_mor", spec1["base"]))  # grace
+    assert set(_rows(spark, path)) == {"a", "b", "c"}
+
+
+def test_mor_many_segments_read_is_one_scan(spark, tmp_path, monkeypatch):
+    """Plan-size bound: the segment log reads as ONE multi-path scan
+    (seq rides in the data), so the resolve plan does not grow a scan
+    node per segment — the round-6 union loop did."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v0", 1), ("z", "v0", 1)]), backend="mor")
+    for i in range(12):
+        LK.merge_upsert(
+            spark, path, _df(spark, [("a", f"v{i + 1}", min(i + 2, 28))]),
+            backend="mor",
+        )
+    assert len(LK._mor_segments(path)) == 12
+    df = LK.read_table(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # constant scan count (base appears on the semi and anti legs, the
+    # segment scan on the key and data legs) — NOT 12+ nodes
+    assert plan.count("Scan parquet") <= 6, plan.count("Scan parquet")
+    assert {r["id"]: r["v"] for r in df.collect()} == {"a": "v12", "z": "v0"}
+
+
+def test_mor_delete_on_plain_table_falls_back(spark, tmp_path):
+    """backend='mor' delete against a (still) plain-parquet table — the
+    first run fetched nothing so no upsert ever converted the layout —
+    must fall back to the anti-join delete, not fail mid-sync."""
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark, path, _df(spark, [("a", "v", 1), ("b", "v", 1)]),
+        backend="parquet",
+    )
+    doomed = spark.createDataFrame([("a",)], "id string")
+    LK.merge_delete(spark, path, doomed, backend="mor")
+    assert set(_rows(spark, path)) == {"b"}
+    assert not LK.is_mor_table(path)
+
+
+def test_mor_bucketed_base_parts_join_exchange_free(
+    spark, tmp_path, monkeypatch
+):
+    """n_buckets at creation lays the base out bucketed+sorted on the
+    key, at every epoch: read_table_parts' untouched leg then joins an
+    arbitrary id-keyed relation with ZERO state-side Exchange (only the
+    other side shuffles into the bucket count) — the property the sync
+    diff join rides (VERDICT r6 #1). Contrast-checked against a plain
+    scan of the same files, which pays two exchanges."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    rows = [(f"k{i}", "v1", 1) for i in range(50)]
+    LK.merge_upsert(spark, path, _df(spark, rows), backend="mor", n_buckets=4)
+    LK.merge_upsert(spark, path, _df(spark, [("k1", "v2", 2)]), backend="mor")
+    got = _rows(spark, path)
+    assert got["k1"][0] == "v2" and len(got) == 50
+
+    base, winners, keys = LK.read_table_parts(spark, path)
+    assert winners is not None
+    other = spark.range(200).selectExpr("concat('k', id) as id", "id as x")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        import re
+
+        def bucket_exchanges(df):
+            """(state side bucketed?, exchanges INTO the bucket count).
+            The only exchange targeting 4 partitions is the non-bucketed
+            side being co-partitioned with the buckets; a tiny
+            segment-keys distinct inside the broadcast leg shuffles at
+            the session default and must not count."""
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            into_buckets = len(
+                re.findall(r"Exchange hashpartitioning\([^)]*, 4\)", plan)
+            )
+            return "Bucketed: true" in plan, into_buckets
+
+        bucketed, n = bucket_exchanges(base.join(other, "id"))
+        assert bucketed and n == 1  # other side co-partitions; base free
+        loc = LK._mor_base_location(path, LK._mor_spec(path))
+        plain = spark.read.parquet(loc)
+        bucketed, n = bucket_exchanges(plain.join(other, "id"))
+        assert not bucketed and n == 0  # contrast: both sides re-shuffle
+
+        # cross-session shape: catalog entry gone → re-registered on read
+        spark.sql(f"DROP TABLE IF EXISTS `{LK._bucketed_table_name(loc)}`")
+        assert _rows(spark, path)["k1"][0] == "v2"
+
+        # compaction keeps the new epoch bucketed
+        LK.compact_table(spark, path)
+        base2, w2, _ = LK.read_table_parts(spark, path)
+        assert w2 is None  # segments folded
+        bucketed, n = bucket_exchanges(base2.join(other, "id"))
+        assert bucketed and n == 1
+        assert _rows(spark, path) == got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_mor_seg_broadcast_cap_falls_back_to_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """Past the absolute cap the resolve stops FORCING the key-set
+    broadcast (round-6 ADVICE: the 10% bound is relative, a standing
+    corpus can accumulate a key set past the broadcast limits) — the
+    strategy hint disappears from the logical plan and the optimizer is
+    free to pick a shuffle join from its own size estimates (it may
+    STILL broadcast a genuinely tiny set, which is correct). Same
+    answer either way."""
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor")
+    LK.merge_upsert(spark, path, _df(spark, [("a", "v2", 2)]), backend="mor")
+
+    def hinted(df):
+        return "strategy=broadcast" in (
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert hinted(LK.read_table(spark, path))  # under the cap: forced
+    want = _rows(spark, path)
+    monkeypatch.setattr(LK, "MOR_SEG_BROADCAST_MAX_BYTES", 0)
+    assert not hinted(LK.read_table(spark, path))  # past it: unhinted
+    assert _rows(spark, path) == want
 
 
 def test_mor_delete_then_reinsert(spark, tmp_path):

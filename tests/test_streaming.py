@@ -222,8 +222,17 @@ def test_incremental_upsert_stream_on_mor(spark, tmp_path, monkeypatch):
     assert got == {"a": "v2", "b": "v1", "c": "v1"}
     assert len(LK._mor_segments(state)) == 1  # b2 appended, base untouched
 
-    # compact_table (the OPTIMIZE twin): fold now, view unchanged
+    # compact_table (the OPTIMIZE twin): fold now, view unchanged; the
+    # fold lives at the NEW base epoch the spec points to (the stale
+    # epoch-0 top level is retained one cycle for in-flight readers)
     LK.compact_table(spark, state)
     assert LK._mor_segments(state) == []
-    plain = {r["id"]: r["payload"] for r in spark.read.parquet(state).collect()}
+    spec = LK._mor_spec(state)
+    assert spec["base"] is not None
+    plain = {
+        r["id"]: r["payload"]
+        for r in spark.read.parquet(
+            LK._mor_base_location(state, spec)
+        ).collect()
+    }
     assert plain == got
