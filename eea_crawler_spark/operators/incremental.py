@@ -66,6 +66,37 @@ def sync_diff(
     )
 
 
+def sync_diff_parts(
+    listing: DataFrame,
+    parts: tuple[DataFrame, DataFrame | None, DataFrame | None],
+    id_col: str = "id",
+    modified_col: str = "modified",
+    errors_col: str = "errors",
+) -> DataFrame:
+    """J1 over a split state read (``sinks.lakehouse.read_table_parts``).
+
+    The MOR resolve ends in a union, which erases the base scan's
+    output partitioning — diffing the resolved view re-shuffles the
+    corpus-sized state side every sync. The parts are key-disjoint and
+    cover the state exactly, so the diff splits losslessly along them:
+    listing rows whose id a segment overrides diff against the (small)
+    override rows; every other listing row diffs against the untouched
+    base — which, laid out bucketed on the id, joins with ZERO
+    state-side Exchange (the property ``save_bucketed`` proved for q7,
+    extended to the sync path). A tombstoned id has no override row →
+    'new', exactly the resolved view's answer. The key set arrives with
+    the resolve's own gated broadcast hint already attached.
+    """
+    base, overrides, keys = parts
+    if overrides is None:
+        return sync_diff(listing, base, id_col, modified_col, errors_col)
+    on_base = listing.join(keys, on=id_col, how="left_anti")
+    on_seg = listing.join(keys, on=id_col, how="left_semi")
+    return sync_diff(
+        on_base, base, id_col, modified_col, errors_col
+    ).unionByName(sync_diff(on_seg, overrides, id_col, modified_col, errors_col))
+
+
 def deletion_candidates(
     state: DataFrame, listing: DataFrame, id_col: str = "id"
 ) -> DataFrame:
@@ -116,6 +147,166 @@ def guarded_deletes(
     n_prev, n_del = row["n_prev"], row["n_del"] or 0
     ratio = (100.0 * n_del / n_prev) if n_prev else 0.0
     return cand, force or ratio <= threshold_pct, ratio
+
+
+def guarded_deletes_parts(
+    parts: tuple[DataFrame, DataFrame | None, DataFrame | None],
+    listing: DataFrame,
+    id_col: str = "id",
+    threshold_pct: int = DELETE_THRESHOLD_PCT,
+    force: bool = False,
+) -> tuple[DataFrame, bool, float]:
+    """``guarded_deletes`` over a split state read — same contract.
+
+    The corpus-sized leg (untouched base × listing ids) is the only
+    big join, and on a bucketed base it needs no state-side Exchange;
+    the override rows are checked via broadcast probes of the listing
+    (override keys are O(segments)). Counts: |state| = |untouched| +
+    |overrides| (key-disjoint cover), candidates = the same anti-joins
+    the resolved view would produce — tombstoned keys are in neither
+    part, so they can never re-enter the deletion set.
+    """
+    base, overrides, _keys = parts
+    if overrides is None:
+        return guarded_deletes(base, listing, id_col, threshold_pct, force)
+    listed = (
+        listing.select(F.col(id_col))
+        .dropDuplicates([id_col])
+        .withColumn("__listed", F.lit(True))
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n_prev"),
+        F.sum(F.when(F.col("__listed").isNull(), 1).otherwise(0)).alias(
+            "n_del"
+        ),
+    ]
+    row_b = (
+        base.select(F.col(id_col)).join(listed, on=id_col, how="left").agg(*agg).first()
+    )
+    ov_keys = overrides.select(F.col(id_col))
+    # which override keys the source still lists: one narrow broadcast
+    # pass over the listing, then everything override-sized broadcasts
+    listed_ov = listed.join(F.broadcast(ov_keys), on=id_col, how="left_semi")
+    row_o = (
+        ov_keys.join(F.broadcast(listed_ov), on=id_col, how="left")
+        .agg(*agg)
+        .first()
+    )
+    n_prev = row_b["n_prev"] + row_o["n_prev"]
+    n_del = (row_b["n_del"] or 0) + (row_o["n_del"] or 0)
+    cand = base.join(
+        listed.select(F.col(id_col)), on=id_col, how="left_anti"
+    ).unionByName(
+        overrides.join(
+            F.broadcast(listed_ov.select(F.col(id_col))),
+            on=id_col,
+            how="left_anti",
+        ),
+        allowMissingColumns=True,
+    )
+    ratio = (100.0 * n_del / n_prev) if n_prev else 0.0
+    return cand, force or ratio <= threshold_pct, ratio
+
+
+def sync_sweep_parts(
+    lf: DataFrame,
+    parts: tuple[DataFrame, DataFrame | None, DataFrame | None],
+    id_col: str = "id",
+    modified_col: str = "modified",
+    errors_col: str = "errors",
+    threshold_pct: int = DELETE_THRESHOLD_PCT,
+    force: bool = False,
+    fetchable_col: str = "__fetchable",
+    preserved_col: str = "__preserved",
+) -> tuple[DataFrame, DataFrame, int, int, bool, float]:
+    """J1 + J2 + J3 in ONE corpus-join execution (the fused sweep).
+
+    The separate diff and guard each join the same 5M×5M relations on
+    the same key — and the guard's join used to execute TWICE (the
+    ratio aggregate and the candidate materialization are separate
+    actions), so a quick sync paid three O(corpus) join executions for
+    one logical comparison. Here the listing arrives ONCE with its
+    filter outcomes as flags (``fetchable`` = passes source filters and
+    is not quarantined → eligible for the diff; ``preserved`` = passes
+    filters OR is quarantined → protected from deletion, the
+    reference's 'Document had errors' branch), full-outer-joins the
+    state (split along ``read_table_parts`` — bucketed base side needs
+    no Exchange), and only the due + candidate rows — changed-set-sized
+    on a quick sync — are checkpointed. Every downstream action (fetch
+    input, envelope join, counts, deletes) is a filter over that small
+    checkpoint; nothing re-executes a corpus join. |state| for the
+    guard's denominator comes from a column-pruned count of the parts
+    (parquet row-group counts — no join needed).
+
+    Listings fold to one row per id first (flags by OR, attributes by
+    first — the reference's id-keyed dict semantics, and what the
+    guard's distinct-listing count requires).
+
+    Returns ``(due, doomed, n_prev, n_del, allowed, ratio_pct)``:
+    ``due`` = listing columns + change_type, ``doomed`` = candidate
+    ids; both are filters over the one eager checkpoint, so they
+    survive the state-table swaps that follow.
+    """
+    base, overrides, keys = parts
+    attrs = [
+        c for c in lf.columns if c not in (id_col, fetchable_col, preserved_col)
+    ]
+    L = lf.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in attrs],
+        F.max(fetchable_col).alias(fetchable_col),
+        F.max(preserved_col).alias(preserved_col),
+    )
+
+    def outer(Lx: DataFrame, Sx: DataFrame) -> DataFrame:
+        S = Sx.select(
+            F.col(id_col).alias("__sid"),
+            F.col(modified_col).alias("__smod"),
+            F.col(errors_col).alias("__serr"),
+        )
+        return Lx.join(S, Lx[id_col] == S["__sid"], "full_outer")
+
+    if overrides is None:
+        full = outer(L, base)
+    else:
+        # key-disjoint split, exact like sync_diff_parts: overridden
+        # ids meet the (small) override rows, everything else meets the
+        # untouched (bucketed) base with no state-side Exchange
+        full = outer(L.join(keys, on=id_col, how="left_anti"), base).unionByName(
+            outer(L.join(keys, on=id_col, how="left_semi"), overrides)
+        )
+
+    s_present = F.col("__sid").isNotNull()
+    change = (
+        F.when(~s_present, F.lit("new"))
+        .when(
+            F.size(F.coalesce(F.col("__serr"), F.array())) > 0,
+            F.lit("error_retry"),
+        )
+        .when(~F.col(modified_col).eqNullSafe(F.col("__smod")), F.lit("changed"))
+        .otherwise(F.lit(None))
+    )
+    is_due = (
+        F.col(id_col).isNotNull()
+        & F.coalesce(F.col(fetchable_col), F.lit(False))
+        & change.isNotNull()
+    )
+    is_cand = s_present & ~F.coalesce(F.col(preserved_col), F.lit(False))
+    small = (
+        full.withColumn("change_type", change)
+        .withColumn("__due", is_due)
+        .withColumn("__cand", is_cand)
+        .filter(F.col("__due") | F.col("__cand"))
+        # candidate rows carry their id on the state side only
+        .withColumn(id_col, F.coalesce(F.col(id_col), F.col("__sid")))
+        .drop("__sid", "__smod", "__serr", fetchable_col, preserved_col)
+        .localCheckpoint(eager=True)
+    )
+    due = small.filter(F.col("__due")).select(id_col, *attrs, "change_type")
+    doomed = small.filter(F.col("__cand")).select(id_col)
+    n_del = doomed.count()  # free: a filter over the checkpoint
+    n_prev = base.count() + (overrides.count() if overrides is not None else 0)
+    ratio = (100.0 * n_del / n_prev) if n_prev else 0.0
+    return due, doomed, n_prev, n_del, force or ratio <= threshold_pct, ratio
 
 
 def quarantine_fold(

@@ -138,6 +138,12 @@ class SyncConfig:
     # dir sees only the base — readers must go through LK.read_table,
     # which everything in this engine does.
     state_backend: str = "auto"
+    # Bucket the state tables on their key at creation (mor backend
+    # only): every sync's listing×state joins (J1 diff, J2/J3 deletes)
+    # then run with ZERO state-side Exchange — the corpus never
+    # re-shuffles on a quick sync, only the listing co-partitions into
+    # the bucket count. Size like shuffle partitions (~64 MB/bucket).
+    state_buckets: int | None = None
 
 
 @dataclass
@@ -161,6 +167,22 @@ def _read_state(spark: SparkSession, path: str) -> DataFrame:
         return LK.read_table(spark, path).select("id", "modified", "errors")
     except Exception:  # first run: no table yet
         return _empty_state(spark)
+
+
+def _read_state_parts(spark, path):
+    """Split state read for the diff/guard joins (LK.read_table_parts),
+    projected to the three columns the sync compares. On a bucketed MOR
+    base the untouched part keeps its layout, so the corpus-sized joins
+    below run with no state-side Exchange."""
+    try:
+        base, overrides, keys = LK.read_table_parts(spark, path)
+    except Exception:  # first run: no table yet
+        return _empty_state(spark), None, None
+    cols = ["id", "modified", "errors"]
+    base = base.select(*cols)
+    if overrides is not None:
+        overrides = overrides.select(*cols)
+    return base, overrides, keys
 
 
 def _read_quarantine(spark: SparkSession, path: str) -> DataFrame:
@@ -228,46 +250,42 @@ def run_sync(
         )
     # snapshot: the listing is reused after the state tables are swapped
     # below — cut its lineage to the pre-swap files (small: ids + stamps;
-    # Delta's transaction log makes this unnecessary in prod). The
-    # UNFILTERED snapshot survives for the deletion step: the reference
-    # preserves quarantined docs that the source still lists
-    # (crawl_plone_restapi.py:99-103) regardless of other filters.
+    # Delta's transaction log makes this unnecessary in prod).
     listing_raw = listing_raw.localCheckpoint(eager=True)
-    listing = listing_raw
-    if cfg.types_blacklist:
-        listing = listing.filter(~F.col("doc_type").isin(cfg.types_blacklist))  # P7
-    listing = listing.filter(~F.coalesce(F.col("seo_noindex"), F.lit(False)))  # P8
-    if robots_rules:
-        listing = AQ.robots_filter(listing, robots_rules)  # P4
 
-    # 2. quarantine filter (P9) + diff vs state (J1)
+    # 2. THE FUSED SWEEP: source filters (P2-P8) + quarantine (P9) ride
+    # the unfiltered listing as FLAGS, and one full-outer join against
+    # the state answers the diff (J1) AND the deletion guard (J2+J3) in
+    # a single corpus-join execution (INC.sync_sweep_parts — the diff
+    # and the guard used to join the same relations on the same key
+    # three executions deep). The guard still sees the PRE-sync state
+    # (the reference's prev_es_docs_len denominator,
+    # crawl_plone_restapi.py:44,131-141) and quarantined docs the
+    # source still lists stay preserved regardless of other filters
+    # (the 'Document had errors' branch, :99-103) — quarantine must
+    # never cause a serving-index delete.
     ledger = _read_quarantine(spark, paths.quarantine)
     skip_ids = ledger.filter(F.col("skipped")).select("id")
-    fetch_listing = INC.quarantine_filter(listing, ledger)
-    state = _read_state(spark, paths.raw)
-    # snapshot the diff: it is changed-set-sized (tiny on a quick sync)
-    # but its plan is the listing×state join — consumed by the fetch,
-    # the envelope join AND the fetched-count action, which without a
-    # checkpoint re-executes the full-corpus join once each
-    due = INC.sync_diff(fetch_listing, state).localCheckpoint(eager=True)
-
-    # 2b. deletion guard (J2+J3) — evaluated NOW, against the PRE-sync
-    # state (the reference's prev_es_docs_len denominator,
-    # crawl_plone_restapi.py:44,131-141). Preserved ids = the filtered
-    # listing plus quarantined docs the source still lists (the
-    # 'Document had errors' branch removes them from the deletion map,
-    # :99-103) — quarantine must never cause a serving-index delete.
-    preserved = listing.select("id").unionByName(
-        listing_raw.select("id").join(skip_ids, "id", "left_semi")
+    passes = ~F.coalesce(F.col("seo_noindex"), F.lit(False))  # P8
+    if cfg.types_blacklist:
+        passes &= ~F.col("doc_type").isin(cfg.types_blacklist)  # P7
+    if robots_rules:
+        passes &= AQ.robots_verdict(robots_rules)  # P4
+    quarantined = F.col("__q").isNotNull()
+    lf = (
+        listing_raw.join(
+            F.broadcast(skip_ids.withColumn("__q", F.lit(True))), "id", "left"
+        )
+        .withColumn("__fetchable", passes & ~quarantined)
+        .withColumn("__preserved", passes | quarantined)
+        .drop("__q")
     )
-    cand, allowed, ratio = INC.guarded_deletes(
-        state, preserved, threshold_pct=cfg.threshold_pct
+    state_parts = _read_state_parts(spark, paths.raw)
+    due, doomed, _n_prev, _n_del, allowed, ratio = INC.sync_sweep_parts(
+        lf, state_parts, threshold_pct=cfg.threshold_pct
     )
-    doomed = None
-    if allowed:
-        # snapshot before the swaps: the candidate plan reads the raw
-        # table that the MERGE + deletes below replace
-        doomed = cand.select("id").localCheckpoint(eager=True)
+    if not allowed:
+        doomed = None
 
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
@@ -365,6 +383,7 @@ def run_sync(
     SK.upsert_index(
         spark, paths.raw, envelopes, key="id", order_col="indexed_at",
         strategy=merge_strategy, backend=cfg.state_backend,
+        n_buckets=cfg.state_buckets,
     )
 
     # 4. quarantine fold (A7): the ledger folds the CURRENT errored set
@@ -416,6 +435,7 @@ def run_sync(
             if n_norm <= BROADCAST_MERGE_MAX_ROWS
             else "window",
             backend=cfg.state_backend,
+            n_buckets=cfg.state_buckets,
         )
         if cfg.embed and paths.chunks and "fulltext" in searchui.columns:
             from eea_crawler_spark.operators.embeddings import embed_chunks
@@ -431,6 +451,7 @@ def run_sync(
             SK.upsert_index(
                 spark, paths.chunks, chunks, key="chunk_id",
                 order_col="indexed_at", backend=cfg.state_backend,
+                n_buckets=cfg.state_buckets,
             )
 
     # 6. deletions (J2): apply the candidates the step-2b guard approved

@@ -36,16 +36,18 @@ def upsert_index(
     order_col: str = "indexed_at",
     strategy: str = "window",
     backend: str = "auto",
+    n_buckets: int | None = None,
 ) -> None:
     """S11/O4: keyed last-wins upsert into the canonical table.
     ``strategy="broadcast"`` = the small-batch zero-state-shuffle merge
-    plan; ``backend`` routes the table format (delta / mor / parquet —
-    see sinks.lakehouse.merge_upsert)."""
+    plan; ``backend`` routes the table format (delta / mor / parquet),
+    ``n_buckets`` buckets a newly-created mor table on its key —
+    see sinks.lakehouse.merge_upsert."""
     from eea_crawler_spark.sinks.lakehouse import merge_upsert
 
     merge_upsert(
         spark, table_path, updates, key=key, order_col=order_col,
-        strategy=strategy, backend=backend,
+        strategy=strategy, backend=backend, n_buckets=n_buckets,
     )
 
 

@@ -268,18 +268,27 @@ def robots_allowed(rules: list[tuple[str, bool]]) -> Callable[[str], bool]:
     return check
 
 
-def robots_filter(
-    df: DataFrame, rules: list[tuple[str, bool]], url_col: str = "id"
-) -> DataFrame:
-    """P4 as a plan: translate each rule into LIKE/regexp predicates —
-    stays in codegen, no UDF; rules ride along as literals."""
+def robots_verdict(
+    rules: list[tuple[str, bool]], url_col: str = "id"
+):
+    """P4 as a COLUMN: each rule becomes a LIKE/regexp predicate —
+    stays in codegen, no UDF; rules ride along as literals. Exposed so
+    the sync's fused listing sweep can carry the verdict as a flag
+    instead of a filter."""
     path = F.regexp_replace(F.col(url_col), r"^https?://[^/]+", "")
     verdict = F.lit(True)  # default allow
     for pattern, allow in sorted(rules, key=lambda t: len(t[0])):
         verdict = F.when(path.rlike(_robots_regex(pattern)), F.lit(allow)).otherwise(
             verdict
         )
-    return df.filter(verdict)
+    return verdict
+
+
+def robots_filter(
+    df: DataFrame, rules: list[tuple[str, bool]], url_col: str = "id"
+) -> DataFrame:
+    """P4 as a plan: ``robots_verdict`` applied as a filter."""
+    return df.filter(robots_verdict(rules, url_col))
 
 
 # ---- S5: distributed per-doc fetch --------------------------------------

@@ -117,6 +117,11 @@ def main() -> None:
     # layout for a standing corpus without Delta. "auto" resolves to the
     # copy-on-write parquet swap here; run both for the BASELINE table.
     ap.add_argument("--state-backend", default="mor")
+    # bucketed state layout (mor only): the listing×state diff/guard
+    # joins run with zero state-side Exchange — the round-7 answer to
+    # the diff join being the largest quick-sync component (7.9 s of
+    # 26.7 s at 5M docs). 64 buckets ≈ 100 MB/bucket at 5M docs.
+    ap.add_argument("--state-buckets", type=int, default=64)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
@@ -152,6 +157,9 @@ def main() -> None:
                 listing_provider, args.docs, bump
             ),
             state_backend=args.state_backend,
+            state_buckets=(
+                args.state_buckets if args.state_backend == "mor" else None
+            ),
         )
 
     t0 = time.perf_counter()
@@ -198,6 +206,7 @@ def main() -> None:
             {
                 "metric": "sync_scale",
                 "state_backend": args.state_backend,
+                "state_buckets": args.state_buckets,
                 "docs": args.docs,
                 "initial_sync_sec": t_initial,
                 "quick_sync_sec": t_quick,

@@ -149,3 +149,217 @@ def test_quarantine_clears_on_success(spark):
     out = {r["id"]: r.asDict() for r in INC.quarantine_fold(ledger, errored).collect()}
     assert 1 not in out  # cleared on success
     assert out[2]["error_cnt"] == 2 and not out[2]["skipped"]
+
+
+def test_parts_diff_and_guard_match_resolved_view(spark, tmp_path):
+    """sync_diff_parts / guarded_deletes_parts over a segmented MOR
+    state must equal sync_diff / guarded_deletes over the RESOLVED view
+    — randomized state history (upserts, stale updates, tombstones) and
+    a listing mixing new / changed / unchanged / err-retry / unlisted
+    ids, seeded for reproducibility."""
+    import datetime as dt
+    import random
+
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    rng = random.Random(13)
+    path = str(tmp_path / "raw")
+    LK.MOR_COMPACT_FRACTION, saved = 1e9, LK.MOR_COMPACT_FRACTION
+    try:
+        def df(rows):
+            return spark.createDataFrame(
+                [
+                    (f"u{i}", f"2024-01-{m:02d}", ["boom"] if e else [],
+                     dt.datetime(2024, 1, d))
+                    for i, m, e, d in rows
+                ],
+                "id string, modified string, errors array<string>, "
+                "indexed_at timestamp",
+            )
+
+        ids = list(range(40))
+        LK.merge_upsert(
+            spark, path,
+            df([(i, 1, i % 7 == 0, 1) for i in ids]),
+            key="id", order_col="indexed_at", backend="mor",
+        )
+        for day in (2, 3):  # two segment generations incl. stale rows
+            batch = [
+                (i, rng.randint(1, 3), rng.random() < 0.2, rng.choice((1, day)))
+                for i in rng.sample(ids, 12)
+            ]
+            LK.merge_upsert(
+                spark, path, df(batch), key="id", order_col="indexed_at",
+                backend="mor",
+            )
+        LK.merge_delete(
+            spark, path,
+            spark.createDataFrame(
+                [(f"u{i}",) for i in rng.sample(ids, 5)], "id string"
+            ),
+            backend="mor",
+        )
+        assert LK._mor_segments(path)  # the split path is actually live
+
+        listing = spark.createDataFrame(
+            [
+                (f"u{i}", "Document", f"2024-01-{rng.randint(1, 3):02d}", False)
+                for i in rng.sample(ids, 30)
+            ]
+            + [(f"new{i}", "Document", "2024-01-01", False) for i in range(4)],
+            "id string, doc_type string, modified string, seo_noindex boolean",
+        )
+        resolved = LK.read_table(spark, path).select("id", "modified", "errors")
+        parts = LK.read_table_parts(spark, path)
+        parts = (
+            parts[0].select("id", "modified", "errors"),
+            parts[1].select("id", "modified", "errors"),
+            parts[2],
+        )
+
+        want = {
+            (r["id"], r["change_type"])
+            for r in INC.sync_diff(listing, resolved).collect()
+        }
+        got = {
+            (r["id"], r["change_type"])
+            for r in INC.sync_diff_parts(listing, parts).collect()
+        }
+        assert got == want and want  # non-trivial diff
+
+        cand_w, ok_w, ratio_w = INC.guarded_deletes(resolved, listing)
+        cand_g, ok_g, ratio_g = INC.guarded_deletes_parts(parts, listing)
+        assert {r["id"] for r in cand_g.collect()} == {
+            r["id"] for r in cand_w.collect()
+        }
+        assert (ok_g, round(ratio_g, 6)) == (ok_w, round(ratio_w, 6))
+    finally:
+        LK.MOR_COMPACT_FRACTION = saved
+
+
+def test_fused_sweep_matches_diff_plus_guard(spark, tmp_path):
+    """sync_sweep_parts (one full-outer execution) must equal the
+    legacy composition — quarantine_filter → sync_diff for the due set,
+    preserved-ids guarded_deletes for the candidates/ratio — over a
+    segmented MOR state, with filter flags exercising every branch:
+    filtered-out listings become deletion candidates, quarantined
+    listings are preserved but never fetched, tombstoned state ids
+    re-listed come back as 'new'."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    rng = random.Random(29)
+    path = str(tmp_path / "raw")
+    LK.MOR_COMPACT_FRACTION, saved = 1e9, LK.MOR_COMPACT_FRACTION
+    try:
+        def sdf(rows):
+            return spark.createDataFrame(
+                [
+                    (f"u{i}", f"2024-01-{m:02d}", ["x"] if e else [],
+                     dt.datetime(2024, 1, d))
+                    for i, m, e, d in rows
+                ],
+                "id string, modified string, errors array<string>, "
+                "indexed_at timestamp",
+            )
+
+        ids = list(range(60))
+        LK.merge_upsert(
+            spark, path, sdf([(i, 1, i % 9 == 0, 1) for i in ids]),
+            key="id", order_col="indexed_at", backend="mor",
+        )
+        LK.merge_upsert(
+            spark, path,
+            sdf([(i, rng.randint(1, 3), rng.random() < 0.2, 2)
+                 for i in rng.sample(ids, 15)]),
+            key="id", order_col="indexed_at", backend="mor",
+        )
+        LK.merge_delete(
+            spark, path,
+            spark.createDataFrame(
+                [(f"u{i}",) for i in rng.sample(ids, 6)], "id string"
+            ),
+            backend="mor",
+        )
+        assert LK._mor_segments(path)
+
+        listed = rng.sample(ids, 45)
+        listing_raw = spark.createDataFrame(
+            [
+                (f"u{i}", "Document", f"2024-01-{rng.randint(1, 3):02d}",
+                 rng.random() < 0.15)  # some noindex → filtered out
+                for i in listed
+            ]
+            + [(f"new{i}", "Document", "2024-01-01", False) for i in range(5)],
+            "id string, doc_type string, modified string, seo_noindex boolean",
+        )
+        skip_ids = spark.createDataFrame(
+            [(f"u{i}",) for i in rng.sample(listed, 8)], "id string"
+        )
+        ledger = skip_ids.select(
+            "id", F.lit(3).alias("error_cnt"), F.lit(0).alias("skip_cnt"),
+            F.lit(True).alias("skipped"),
+        )
+
+        # ---- legacy composition over the RESOLVED view
+        resolved = LK.read_table(spark, path).select("id", "modified", "errors")
+        listing = listing_raw.filter(~F.coalesce("seo_noindex", F.lit(False)))
+        fetch_listing = INC.quarantine_filter(listing, ledger)
+        want_due = {
+            (r["id"], r["change_type"])
+            for r in INC.sync_diff(fetch_listing, resolved).collect()
+        }
+        preserved = listing.select("id").unionByName(
+            listing_raw.select("id").join(skip_ids, "id", "left_semi")
+        )
+        cand_w, ok_w, ratio_w = INC.guarded_deletes(resolved, preserved)
+        want_cand = {r["id"] for r in cand_w.collect()}
+
+        # ---- fused sweep over the split parts
+        parts = LK.read_table_parts(spark, path)
+        parts = (
+            parts[0].select("id", "modified", "errors"),
+            parts[1].select("id", "modified", "errors")
+            if parts[1] is not None else None,
+            parts[2],
+        )
+        passes = ~F.coalesce(F.col("seo_noindex"), F.lit(False))
+        q = F.col("__q").isNotNull()
+        lf = (
+            listing_raw.join(
+                F.broadcast(skip_ids.withColumn("__q", F.lit(True))),
+                "id", "left",
+            )
+            .withColumn("__fetchable", passes & ~q)
+            .withColumn("__preserved", passes | q)
+            .drop("__q")
+        )
+        due, doomed, n_prev, n_del, ok_g, ratio_g = INC.sync_sweep_parts(
+            lf, parts
+        )
+        assert {
+            (r["id"], r["change_type"]) for r in due.collect()
+        } == want_due and want_due
+        assert {r["id"] for r in doomed.collect()} == want_cand and want_cand
+        assert n_del == len(want_cand)
+        assert (ok_g, round(ratio_g, 6)) == (ok_w, round(ratio_w, 6))
+
+        # duplicate listings fold to ONE due row (id-keyed dict semantics)
+        dup = listing_raw.unionByName(listing_raw.limit(10))
+        lf2 = (
+            dup.join(
+                F.broadcast(skip_ids.withColumn("__q", F.lit(True))),
+                "id", "left",
+            )
+            .withColumn("__fetchable", passes & ~q)
+            .withColumn("__preserved", passes | q)
+            .drop("__q")
+        )
+        due2 = INC.sync_sweep_parts(lf2, parts)[0]
+        assert due2.count() == due2.select("id").distinct().count()
+    finally:
+        LK.MOR_COMPACT_FRACTION = saved

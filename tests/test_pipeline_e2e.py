@@ -311,16 +311,22 @@ def test_quarantined_doc_is_not_deleted(spark, paths):
     assert f"{SITE}/d3" not in ledger5  # clean refetch → budget cleared
 
 
-def test_full_sync_incremental_on_mor_backend(spark, paths):
+@pytest.mark.parametrize("buckets", [None, 4])
+def test_full_sync_incremental_on_mor_backend(spark, paths, buckets):
     """The same sync lifecycle on the merge-on-read state layout
     (state_backend='mor'): every merge appends a segment instead of
     rewriting the state tables, and the resolved view must agree with
     what the copy-on-write path produces — fetch counts, update
-    propagation, deletes, untouched-row stamps."""
+    propagation, deletes, untouched-row stamps. Parametrized over the
+    bucketed state layout (state_buckets), whose diff/guard joins take
+    the exchange-free split path."""
     from eea_crawler_spark.sinks import lakehouse as LK
 
     site = StubSite()
-    cfg = SyncConfig(site_url=SITE, site_id="eea", state_backend="mor")
+    cfg = SyncConfig(
+        site_url=SITE, site_id="eea", state_backend="mor",
+        state_buckets=buckets,
+    )
 
     r1 = run_sync(spark, cfg, paths, site)
     assert r1["fetched"] == 5 and r1["normalized"] == 5
