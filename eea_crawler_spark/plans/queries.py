@@ -124,6 +124,12 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q7's no-wrap enforcement bound (see the two-level sum below): module
+# constant so the guard's trip path is testable without an 8.4e7-row
+# partition.
+_Q7_I64_GUARD = float(2**63 - 1)
+
+
 def q7_plan(
     spark: SparkSession,
     lineitem: DataFrame,
@@ -208,21 +214,50 @@ def q7_plan(
             _build(o_asia), F.col("l_orderkey") == F.col("o_orderkey")
         )
         # two-level sum: the fact stage sums pure int64 per (n_name,
-        # map partition) — a partial can't wrap (it would take ~8.4e7
-        # rows × max rev_e6 in ONE scan partition) — and only the 25×P
+        # map partition) — a partial can't wrap under sane partition
+        # sizing (it would take ~8.4e7 rows × max rev_e6 in ONE scan
+        # partition; 128 MB splits hold ~1.3e6) — and only the 25×P
         # partial rows meet decimal, so no SF can overflow the total
         # and the per-row path stays whole-stage-codegen long math.
         # Exactness: integer addition is associative; the single
         # decimal division (scale ≥ 6 covers the exact 6-dp rational)
         # then one cast rounds once to double, matching the oracle's
-        # decimal-exact sum bit-for-bit.
+        # decimal-exact sum bit-for-bit. The sizing assumption is
+        # ENFORCED, not trusted (round-6 ADVICE): each partial also
+        # carries its row count and max |rev_e6|; cnt×max bounds the
+        # partial's |sum| from above, so if every group's bound sits
+        # under 2^63 no wrap was possible — otherwise the query RAISES
+        # instead of returning a silently wrapped figure. Two extra
+        # codegen accumulators in the hot stage, no per-row decimal.
         .groupBy("n_name", F.spark_partition_id().alias("__pid"))
-        .agg(F.sum(rev_e6).alias("__e6"))
+        .agg(
+            F.sum(rev_e6).alias("__e6"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.max(F.abs(rev_e6)).alias("__mx"),
+        )
         .groupBy("n_name")
         .agg(
-            (F.sum(F.col("__e6").cast("decimal(26,0)")) / F.lit(1000000))
-            .cast("double")
-            .alias("rev")
+            F.sum(F.col("__e6").cast("decimal(26,0)")).alias("__sum"),
+            F.max(
+                F.col("__cnt").cast("double") * F.col("__mx").cast("double")
+            ).alias("__risk"),
+        )
+        .select(
+            "n_name",
+            F.when(
+                F.col("__risk") < F.lit(_Q7_I64_GUARD),
+                (F.col("__sum") / F.lit(1000000)).cast("double"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "q7: an int64 partial revenue sum may have wrapped "
+                        "(partition too large) — shrink "
+                        "spark.sql.files.maxPartitionBytes"
+                    )
+                )
+            )
+            .alias("rev"),
         )
         .orderBy("n_name", "rev")
     )

@@ -19,3 +19,15 @@ def con(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, con):
     df = QUERIES[name](spark, sf_dir)
     assert_match(name, df, con, ORACLE[name])
+
+
+def test_q7_overflow_guard_trips(spark, sf_dir, monkeypatch):
+    """q7's int64 partial sum carries a cnt×max no-wrap bound that must
+    RAISE (not return a wrapped figure) when violated; shrink the bound
+    to zero to exercise the trip path the real threshold (2^63-1) makes
+    unreachable under sane partition sizing."""
+    from eea_crawler_spark.plans import queries as Q
+
+    monkeypatch.setattr(Q, "_Q7_I64_GUARD", 0.0)
+    with pytest.raises(Exception, match="int64 partial"):
+        Q.QUERIES["q7"](spark, sf_dir).collect()
