@@ -85,6 +85,45 @@ def _vec_matrix(values) -> "np.ndarray":
     return np.asarray([np.asarray(v, dtype=np.float64) for v in values])
 
 
+# Prescreen slack for _neardup_cells: HALF_UP at 4 digits means a raw
+# score as low as threshold - 0.5e-4 still rounds up to the threshold;
+# the extra 1e-6 dwarfs the ~1e-14 float discrepancy between the
+# normalized-matmul prescreen and the exact divide-after-dot formula.
+_PRESCREEN_MARGIN = 0.51e-4
+
+
+def _neardup_cells(a_mat, a_nrm, b_mat, b_nrm, threshold, extra_mask=None):
+    """Cells of the a×b sims space at/above threshold, with EXACT scores.
+
+    The dense formulation made ~7 elementwise passes over every cell
+    (outer-product norms, divide, then _round_half_up's abs/scale/
+    shift/trunc/sign, then compare) — measured as THE wall of the sf10
+    blocked run (round-6 BASELINE: the post-matmul sweep over 4e10
+    cells, memory-bound, 345 s). Here the only full-size passes are ONE
+    matmul over pre-normalized rows and ONE comparison against
+    (threshold - margin); the handful of surviving cells then get the
+    ORIGINAL dot/(na*nb) + HALF_UP evaluation, so emitted values are
+    bit-identical to the dense path (same per-pair arithmetic,
+    independent of batch/block shape) and the margin guarantees the
+    prescreen is a superset. Zero-norm rows prescreen to 0 and are
+    dropped by the exact filter exactly as the dense NaN path dropped
+    them. Returns (ai, bj, cos) exact-filtered at threshold.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        an = a_mat / np.where(a_nrm == 0, 1.0, a_nrm)[:, None]
+        bn = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
+        cand = (an @ bn.T) >= (threshold - _PRESCREEN_MARGIN)
+        if extra_mask is not None:
+            cand &= extra_mask
+        ai, bj = np.nonzero(cand)
+        if len(ai) == 0:
+            return ai, bj, np.empty(0, dtype=np.float64)
+        dots = np.einsum("ij,ij->i", a_mat[ai], b_mat[bj])
+        cos = _round_half_up(dots / (a_nrm[ai] * b_nrm[bj]))
+    keep = cos >= threshold
+    return ai[keep], bj[keep], cos[keep]
+
+
 def _fused_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -235,14 +274,15 @@ def neardup_pairs(
             a_ids = pdf[id_col].to_numpy()
             a_mat = _vec_matrix(pdf[vec_col])
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            sims = _round_half_up((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm))
-            keep = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bj = np.nonzero(keep)
+            ai, bj, cos = _neardup_cells(
+                a_mat, a_nrm, b_mat, b_nrm, threshold,
+                extra_mask=a_ids[:, None] < b_ids[None, :],
+            )
             yield pd.DataFrame(
                 {
                     "a_id": a_ids[ai],
                     "b_id": b_ids[bj],
-                    "cos": sims[ai, bj],
+                    "cos": cos,
                 }
             )
 
@@ -332,28 +372,25 @@ def _neardup_pairs_blocked(
         outs = []
         # a-side sliced so the sims matrix stays ≤ chunk×|b| (memory
         # note at NEARDUP_SCORE_CHUNK); per-pair values are unchanged —
-        # each dot product still runs over the full dim
+        # _neardup_cells evaluates each surviving pair over the full dim
         for s in range(0, len(a_ids), NEARDUP_SCORE_CHUNK):
             e = s + NEARDUP_SCORE_CHUNK
-            sims = _round_half_up(
-                (a_mat[s:e] @ b_mat.T) / np.outer(a_nrm[s:e], b_nrm)
+            # diagonal: both sides hold the same block — the a<b mask
+            # canonicalizes AND dedups the mirrored orderings
+            mask = (
+                a_ids[s:e, None] < b_ids[None, :] if diagonal else None
             )
-            keep = sims >= threshold
+            ai, bj, cos = _neardup_cells(
+                a_mat[s:e], a_nrm[s:e], b_mat, b_nrm, threshold, mask
+            )
             if diagonal:
-                # both sides hold the same block — the a<b mask
-                # canonicalizes AND dedups the mirrored orderings
-                keep &= a_ids[s:e, None] < b_ids[None, :]
-                ai, bj = np.nonzero(keep)
                 lo, hi = a_ids[s:e][ai], b_ids[bj]
             else:
                 # off-diagonal: every unordered pair occurs exactly
                 # once, in whichever orientation — canonicalize
-                ai, bj = np.nonzero(keep)
                 lo = np.minimum(a_ids[s:e][ai], b_ids[bj])
                 hi = np.maximum(a_ids[s:e][ai], b_ids[bj])
-            outs.append(
-                pd.DataFrame({"a_id": lo, "b_id": hi, "cos": sims[ai, bj]})
-            )
+            outs.append(pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos}))
         return pd.concat(outs, ignore_index=True)
 
     return (
