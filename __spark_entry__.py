@@ -5,9 +5,13 @@
 
 ``queries()`` maps every implemented operator from SURVEY.md §2 to a
 ``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` carries the
-DuckDB-equivalent ANSI SQL for the hash-compare gate. Non-SQL-expressible
-operators (hash-based MinHash/SimHash signatures, streaming state) appear
-in ``queries()`` without an oracle entry → rows-only check.
+DuckDB-equivalent ANSI SQL for the hash-compare gate. Every query inside
+the gate's 50-slot window is oracle-bearing — MinHash's slot holds its
+containment invariant (``dedup_minhash_contained``: verified pairs ⊆
+exact n-gram pairs, hash-checked as an empty set); the raw banded
+MinHash output rides as the 51st declared name (rows-only by design,
+xxhash64 signatures have no SQL twin; bit-identity and recall pinned in
+pytest).
 """
 
 from __future__ import annotations

@@ -235,6 +235,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
 
 
+def dedup_minhash_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strongest driver-checkable invariant MinHash admits (round-6
+    VERDICT #4): its banded signatures are xxhash64-based, so the full
+    output has no SQL oracle (recall < 1 by design) — but every
+    VERIFIED pair carries an exact full-set Jaccard ≥ threshold and
+    must therefore appear in the exact n-gram pair set. This query runs
+    the whole MinHash pipeline (signatures → bands → candidates →
+    verify) and anti-joins the exact pairs: the result is EMPTY iff
+    containment holds, and the driver hash-compares that emptiness
+    (schema included) against the oracle. Recall itself stays pinned in
+    pytest (randomized corpora, test_extras_oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = DD.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    exact = DD.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
+    ).select("doc_a", "doc_b")
+    return mh.join(exact, ["doc_a", "doc_b"], "left_anti").orderBy(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.simhash_pairs(docs)
@@ -481,14 +504,16 @@ ORDER BY a_id, b_id, cos"""
 
 # The driver's correctness gate records at most 50 declared queries
 # (CORRECTNESS_r01/r02 each held exactly 50 entries, truncating the
-# declared tail) — so the registry holds exactly the 50 names the gate
-# can evaluate, oracle-bearing first, the two rows-only entries last.
+# declared tail) — so the first 50 names here are all ORACLE-BEARING:
+# round 7 gave MinHash a hash-checkable containment invariant
+# (dedup_minhash_contained, every verified pair ⊆ the exact n-gram pair
+# set — the round-6 VERDICT's prescription), which takes the gated slot;
+# the raw dedup_minhash_lsh output (rows-only by design — banded
+# xxhash64 signatures have no SQL twin) stays declared as the 51st name
+# for bench/users, its bit-identity and recall pinned in pytest.
 # dedup_simhash / ann_lsh_topk / ann_ivf_topk remain fully implemented
 # and exported (operators/dedup.py, operators/similarity.py) with their
-# stronger exactness/recall checks in pytest
-# (test_extras_oracle.py) — they are deliberately NOT declared here so
-# every declared name gets a CORRECTNESS row instead of three rows-only
-# entries silently falling off the end.
+# stronger exactness/recall checks in pytest (test_extras_oracle.py).
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_tokens": text_tokens,
@@ -497,12 +522,14 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": text_chunks,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_contained": dedup_minhash_contained,
     "ann_cosine_topk": ann_cosine_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "mm_decode_stub": mm_decode_stub,
     "normalize_docs": normalize_docs,
-    # --- rows-only from here down (no SQL-expressible oracle) ---
     "chunk_embed": chunk_embed,
+    # --- past the 50-slot gate: rows-only (no SQL-expressible oracle),
+    # stronger checks in pytest + the containment row above ---
     "dedup_minhash_lsh": dedup_minhash_lsh,
 }
 
@@ -564,3 +591,14 @@ FROM documents ORDER BY media_id""",
     # banded-hash or centroid-based — no SQL oracle (driver rows-only
     # check; recall/exactness pinned in tests).
 }
+
+# The containment invariant's oracle: the verified-pairs ⊆ exact-pairs
+# claim means the Spark side must produce ZERO rows — expressed as the
+# exact-pair query itself under an always-false predicate, so the
+# column names AND types the hash compare needs come from the same SQL
+# the exact set uses (never hand-declared).
+EXTRA_ORACLE["dedup_minhash_contained"] = f"""
+SELECT doc_a, doc_b, jaccard
+FROM ({EXTRA_ORACLE["dedup_ngram_jaccard"]}) t
+WHERE doc_a IS NULL
+ORDER BY doc_a, doc_b, jaccard"""
