@@ -210,8 +210,26 @@ def run_sync(
     ``fold_quarantine=False`` defers the app-level error-budget fold to
     the caller (``run_sync_all`` folds ONCE per sweep, the reference's
     one ``test_errors`` per ``d1_sync``, instead of once per site)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("SPARK_GRAFT_SYNC_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(step: str) -> None:
+        # step-wall telemetry for the scale bench (SPARK_GRAFT_SYNC_TIMING=1):
+        # prints the cumulative wall at each pipeline barrier so a slow
+        # sync decomposes without code edits
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[sync:{cfg.site_id}] {step}: +{now - _t0:.2f}s", file=_sys.stderr)
+            _t0 = now
+
     SK.status_event(spark, paths.status, f"sync:{cfg.site_id}", "started")
     run_stamp = uuid.uuid4().hex[:12]
+    _mark("status_start")
 
     # 1. listing scan (S1) + source-side filters (P2-P8)
     if cfg.listing_source == "datasource":
@@ -252,6 +270,7 @@ def run_sync(
     # below — cut its lineage to the pre-swap files (small: ids + stamps;
     # Delta's transaction log makes this unnecessary in prod).
     listing_raw = listing_raw.localCheckpoint(eager=True)
+    _mark("listing_ckpt")
 
     # 2. THE FUSED SWEEP: source filters (P2-P8) + quarantine (P9) ride
     # the unfiltered listing as FLAGS, and one full-outer join against
@@ -281,11 +300,12 @@ def run_sync(
         .drop("__q")
     )
     state_parts = _read_state_parts(spark, paths.raw)
-    due, doomed, _n_prev, _n_del, allowed, ratio = INC.sync_sweep_parts(
-        lf, state_parts, threshold_pct=cfg.threshold_pct
+    due, doomed, errored_pre, _n_prev, _n_del, allowed, ratio = (
+        INC.sync_sweep_parts(lf, state_parts, threshold_pct=cfg.threshold_pct)
     )
     if not allowed:
         doomed = None
+    _mark("sweep")
 
     # 3. distributed fetch (S5) + raw envelope assembly → raw MERGE
     # snapshot: one network pass, reused for failures after the swaps
@@ -300,6 +320,7 @@ def run_sync(
     fetched = AQ.fetch_docs(
         due.select("id"), transport, url_of=url_of
     ).localCheckpoint(eager=True)
+    _mark("fetch")
     envelopes = fetched.join(due.select("id", "doc_type", "modified"), "id")
     if converter is not None:
         # S7: attachment text via the converter service; per-doc errors
@@ -371,6 +392,7 @@ def run_sync(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
     n_fetched = due.count()
+    _mark("n_fetched")
     # id set of THIS run's fetched docs — the only rows the normalize
     # step may touch; survives the raw-table swap (due is checkpointed)
     changed_ids = due.select("id")
@@ -380,18 +402,36 @@ def run_sync(
     merge_strategy = (
         "broadcast" if n_fetched <= BROADCAST_MERGE_MAX_ROWS else "window"
     )
-    SK.upsert_index(
-        spark, paths.raw, envelopes, key="id", order_col="indexed_at",
-        strategy=merge_strategy, backend=cfg.state_backend,
-        n_buckets=cfg.state_buckets,
-    )
+    # a zero-due sync has nothing to merge — skip the empty-batch write
+    # (on MOR it would append a useless empty segment per sync); the
+    # first run still creates the table so downstream readers find it
+    if n_fetched or not LK.table_exists(paths.raw):
+        SK.upsert_index(
+            spark, paths.raw, envelopes, key="id", order_col="indexed_at",
+            strategy=merge_strategy, backend=cfg.state_backend,
+            n_buckets=cfg.state_buckets, batch_rows=n_fetched,
+        )
+    _mark("raw_merge")
 
     # 4. quarantine fold (A7): the ledger folds the CURRENT errored set
     # (docs whose stored envelope has errors after the merge — the
     # reference's get_all_ids_with_error scan), so a doc refetched
-    # cleanly this run drops out of the ledger immediately
+    # cleanly this run drops out of the ledger immediately. The post-
+    # merge errored set needs NO corpus scan: stored errors changed
+    # only for the docs merged this run, so it is exactly (pre-sync
+    # errored ∖ fetched this run) ∪ (this run's envelopes with errors)
+    # — the sweep checkpoint plus the checkpointed fetch/scrape
+    # outputs. (``fold_app_quarantine`` keeps the corpus-scan fold for
+    # the once-per-sweep app-level path.)
     if fold_quarantine:
-        fold_app_quarantine(spark, paths, ledger=ledger)
+        errored_now = errored_pre.join(
+            due.select("id"), "id", "left_anti"
+        ).unionByName(envelopes.filter(F.size("errors") > 0).select("id"))
+        new_ledger = INC.quarantine_fold(
+            ledger.select("id", "error_cnt", "skip_cnt"), errored_now
+        )
+        SK.replace_table(new_ledger, paths.quarantine)
+    _mark("quarantine_fold")
 
     # 5. normalize (§2.5) + per-site plugins (T28) → searchui MERGE —
     # INCREMENTAL: only docs fetched THIS run flow to normalize (the
@@ -400,33 +440,46 @@ def run_sync(
     # run_renormalize's job. At scale this makes a quick sync
     # O(changed), not O(corpus) — the id semi-join prunes the raw scan
     # before the chain ever runs.
-    normalizer = cfg.normalizer
-    if cfg.scrape_pages and cfg.html_extract and normalizer.html_extract is None:
-        normalizer = replace(normalizer, html_extract=cfg.html_extract)
-    raw_ok = (
-        LK.read_table(spark, paths.raw)
-        .join(changed_ids, "id", "left_semi")
-        .filter(F.size("errors") == 0)
-    )
-    normalized = common_normalizer(raw_ok, normalizer)
-    if "site_id" in normalized.columns:
-        # one site per sync run: prune the dispatch to THIS site's
-        # branch (+ the catch-all default). Without the prune the
-        # union-of-branches re-derives the whole normalize-chain
-        # subtree once per registered site (~20x the chain per action —
-        # measured dominating the 50k-doc sync wall before round 5).
-        normalized = normalize_by_site(normalized, sites=[cfg.site_id])
-    if cfg.nlp:
-        # d5 NLP leg: nlp_250 chunk structs ride on the searchui doc
-        # (variables.json:2319-2327); narrow transform, no shuffle
-        normalized = nlp_preprocess_by_site(normalized, sites=[cfg.site_id])
-    searchui = normalized.withColumn("indexed_at", F.current_timestamp())
-    # n_norm via the chain (the count) + the merge = two chain runs over
-    # the CHANGED docs only; a checkpoint barrier here was measured a
-    # wash at 50k docs and a clear loss on corpus-sized batches (the
-    # round-6 negative result above) — recompute beats materialize for
-    # this pure, input-checkpointed plan.
-    n_norm = searchui.count()
+    # Zero fetched docs ⇒ the changed-id semi-join is empty by
+    # construction — skip even BUILDING the chain plan (the §2.5
+    # column-expression tree costs ~2 s of driver-side construction,
+    # measured on the 5M zero-change sync).
+    if n_fetched:
+        normalizer = cfg.normalizer
+        if (
+            cfg.scrape_pages
+            and cfg.html_extract
+            and normalizer.html_extract is None
+        ):
+            normalizer = replace(normalizer, html_extract=cfg.html_extract)
+        raw_ok = (
+            LK.read_table(spark, paths.raw)
+            .join(changed_ids, "id", "left_semi")
+            .filter(F.size("errors") == 0)
+        )
+        normalized = common_normalizer(raw_ok, normalizer)
+        if "site_id" in normalized.columns:
+            # one site per sync run: prune the dispatch to THIS site's
+            # branch (+ the catch-all default). Without the prune the
+            # union-of-branches re-derives the whole normalize-chain
+            # subtree once per registered site (~20x the chain per
+            # action — measured dominating the 50k-doc sync wall
+            # before round 5).
+            normalized = normalize_by_site(normalized, sites=[cfg.site_id])
+        if cfg.nlp:
+            # d5 NLP leg: nlp_250 chunk structs ride on the searchui doc
+            # (variables.json:2319-2327); narrow transform, no shuffle
+            normalized = nlp_preprocess_by_site(normalized, sites=[cfg.site_id])
+        searchui = normalized.withColumn("indexed_at", F.current_timestamp())
+        # n_norm via the chain (the count) + the merge = two chain runs
+        # over the CHANGED docs only; a checkpoint barrier here was
+        # measured a wash at 50k docs and a clear loss on corpus-sized
+        # batches (the round-6 negative result above) — recompute beats
+        # materialize for this pure, input-checkpointed plan.
+        n_norm = searchui.count()
+    else:
+        n_norm = 0
+    _mark("n_norm")
     if n_norm:
         SK.upsert_index(
             spark, paths.searchui, searchui, key="id",
@@ -435,7 +488,7 @@ def run_sync(
             if n_norm <= BROADCAST_MERGE_MAX_ROWS
             else "window",
             backend=cfg.state_backend,
-            n_buckets=cfg.state_buckets,
+            n_buckets=cfg.state_buckets, batch_rows=n_norm,
         )
         if cfg.embed and paths.chunks and "fulltext" in searchui.columns:
             from eea_crawler_spark.operators.embeddings import embed_chunks
@@ -466,6 +519,7 @@ def run_sync(
                 spark, paths.searchui, doomed, backend=cfg.state_backend
             )
 
+    _mark("searchui_merge_deletes")
     SK.status_event(
         spark,
         paths.status,
@@ -474,6 +528,7 @@ def run_sync(
         msg=f"delete_ratio={ratio:.2f}%",
         docs_cnt=n_norm,
     )
+    _mark("status_finish")
     return {
         "fetched": n_fetched,
         "normalized": n_norm,
@@ -657,7 +712,13 @@ def run_renormalize(
     # round-6 negative result in run_sync)
     n = searchui.count()
     if n:
-        SK.upsert_index(spark, paths.searchui, searchui, key="id", order_col="indexed_at")
+        # batch_rows: a full renormalize is corpus-sized by definition —
+        # on a MOR searchui this takes the direct-fold path (one corpus
+        # write) instead of a corpus segment + immediate compaction
+        SK.upsert_index(
+            spark, paths.searchui, searchui, key="id",
+            order_col="indexed_at", batch_rows=n,
+        )
     SK.status_event(
         spark, paths.status, f"renormalize:{site_id or 'all'}", "finished", docs_cnt=n
     )

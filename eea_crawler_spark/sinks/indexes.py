@@ -37,6 +37,7 @@ def upsert_index(
     strategy: str = "window",
     backend: str = "auto",
     n_buckets: int | None = None,
+    batch_rows: int | None = None,
 ) -> None:
     """S11/O4: keyed last-wins upsert into the canonical table.
     ``strategy="broadcast"`` = the small-batch zero-state-shuffle merge
@@ -48,6 +49,7 @@ def upsert_index(
     merge_upsert(
         spark, table_path, updates, key=key, order_col=order_col,
         strategy=strategy, backend=backend, n_buckets=n_buckets,
+        batch_rows=batch_rows,
     )
 
 
@@ -119,7 +121,12 @@ def status_event(
     df = spark.createDataFrame(
         row, "task_name string, status string, msg string, start_time_ts long, docs_cnt long"
     )
-    df.coalesce(1).write.mode("append").parquet(status_path)
+    # no coalesce(1): a one-row local relation already writes one file,
+    # and Repartition on top of a Python-built LocalRelation blocks the
+    # LocalTableScan conversion — the write then routes through a
+    # Python-RDD scan costing ~3.5 s per event (measured; plain write
+    # of the same row is 0.4 s)
+    df.write.mode("append").parquet(status_path)
 
 
 def es_write_options(

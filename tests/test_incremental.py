@@ -338,8 +338,8 @@ def test_fused_sweep_matches_diff_plus_guard(spark, tmp_path):
             .withColumn("__preserved", passes | q)
             .drop("__q")
         )
-        due, doomed, n_prev, n_del, ok_g, ratio_g = INC.sync_sweep_parts(
-            lf, parts
+        due, doomed, errored, n_prev, n_del, ok_g, ratio_g = (
+            INC.sync_sweep_parts(lf, parts)
         )
         assert {
             (r["id"], r["change_type"]) for r in due.collect()
@@ -347,6 +347,13 @@ def test_fused_sweep_matches_diff_plus_guard(spark, tmp_path):
         assert {r["id"] for r in doomed.collect()} == want_cand and want_cand
         assert n_del == len(want_cand)
         assert (ok_g, round(ratio_g, 6)) == (ok_w, round(ratio_w, 6))
+        # errored = every stored (pre-sync) row with errors — the
+        # quarantine fold's input, folded into the same corpus join
+        want_err = {
+            r["id"]
+            for r in resolved.filter(F.size("errors") > 0).collect()
+        }
+        assert {r["id"] for r in errored.collect()} == want_err and want_err
 
         # duplicate listings fold to ONE due row (id-keyed dict semantics)
         dup = listing_raw.unionByName(listing_raw.limit(10))

@@ -166,6 +166,46 @@ def test_mor_merge_is_o_batch(spark, tmp_path, monkeypatch):
     }
 
 
+def test_mor_direct_fold_for_corpus_sized_batches(spark, tmp_path, monkeypatch):
+    """A batch at/past the compaction fraction (with a caller-supplied
+    batch_rows hint) must merge straight into the NEXT base epoch —
+    ONE corpus write, no transient corpus-sized segment — with the
+    exact same last-wins result as the append route, and pre-existing
+    live segments folded in."""
+    import datetime as dt
+
+    monkeypatch.setattr(LK, "MOR_DIRECT_FOLD_MIN_ROWS", 1)
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 0.5)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark, path,
+        _df(spark, [(f"k{i}", "v1", 1) for i in range(2000)]),
+        backend="mor",
+    )
+    # a small append first (no hint): stays a segment — its bytes are
+    # well under half the 2000-row base
+    LK.merge_upsert(spark, path, _df(spark, [("k7", "v2", 2)]), backend="mor")
+    assert len(LK._mor_segments(path)) == 1
+    # corpus-sized batch with the hint: folds, no corpus segment lands
+    LK.merge_upsert(
+        spark, path,
+        _df(spark, [(f"k{i}", "v3", 3) for i in range(1500)]),
+        backend="mor", batch_rows=1500,
+    )
+    assert LK._mor_segments(path) == []  # pre-existing segment folded too
+    assert LK._mor_spec(path)["base"] is not None  # new base epoch
+    rows = _rows(spark, path)
+    assert len(rows) == 2000
+    assert rows["k7"] == ("v3", dt.datetime(2024, 1, 3))  # hinted batch won
+    assert rows["k1700"] == ("v1", dt.datetime(2024, 1, 1))  # untouched kept
+    # stale hinted batch loses against newer stored rows (last-wins kept)
+    LK.merge_upsert(
+        spark, path, _df(spark, [(f"k{i}", "stale", 2) for i in range(1500)]),
+        backend="mor", batch_rows=1500,
+    )
+    assert _rows(spark, path)["k7"] == ("v3", dt.datetime(2024, 1, 3))
+
+
 def test_mor_sticky_under_auto(spark, tmp_path, monkeypatch):
     """Once MOR, always MOR: backend='auto' merges keep appending."""
     monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
