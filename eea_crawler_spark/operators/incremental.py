@@ -29,6 +29,15 @@ from pyspark.sql.window import Window as W
 ALLOWED_ERRORS = 2  # allowed_errors_for_doc, dags/variables.json:96
 SKIP_RUNS = 100  # skip_doc_cnt, dags/variables.json:116
 DELETE_THRESHOLD_PCT = 25  # crawl_plone_restapi.py:81
+# Ceiling on broadcasting the deletion-candidate id set in the sweep's
+# duplicate-listing veto. The candidate set is unbounded — an empty or
+# truncated source listing makes it corpus-sized, and that is exactly
+# the disaster the delete threshold exists to catch GRACEFULLY; forcing
+# a broadcast of millions of ids there risks a driver OOM before the
+# threshold ever gets to say no. Ids are ~100 B URLs, so 500k rows is
+# ~50 MB — comfortably under the default driver/broadcast limits; past
+# it the veto probes run as plain shuffle joins (same result).
+VETO_BROADCAST_MAX_IDS = 500_000
 
 
 def sync_diff(
@@ -346,14 +355,21 @@ def sync_sweep_parts(
     if n_del:
         # veto: an id the source lists with ANY preserved row is not a
         # deletion candidate (duplicate listing rows may disagree on
-        # flags); one narrow broadcast probe of the checkpointed listing
+        # flags); one narrow probe of the checkpointed listing. The
+        # broadcast hint is gated on n_del (just counted): a truncated
+        # listing makes the candidate set corpus-sized, and the veto
+        # must not OOM the driver before the threshold below gets to
+        # abort gracefully — past the cap both probes shuffle instead.
+        hint = (
+            F.broadcast if n_del <= VETO_BROADCAST_MAX_IDS else (lambda d: d)
+        )
         vetoed = (
             lf.filter(F.coalesce(F.col(preserved_col), F.lit(False)))
             .select(id_col)
-            .join(F.broadcast(doomed), on=id_col, how="left_semi")
+            .join(hint(doomed), on=id_col, how="left_semi")
         )
         doomed = doomed.join(
-            F.broadcast(vetoed), on=id_col, how="left_anti"
+            hint(vetoed), on=id_col, how="left_anti"
         ).localCheckpoint(eager=True)
         n_del = doomed.count()
     errored = small.filter(F.col("__err")).select(id_col).distinct()

@@ -163,21 +163,24 @@ def _empty_state(spark: SparkSession) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return LK.read_table(spark, path).select("id", "modified", "errors")
-    except Exception:  # first run: no table yet
+    # existence-probed, not try/except: a genuine read failure (corrupt
+    # _mor/spec.json, bucketed-base registration error) must surface,
+    # not be masked as "first run" — a masked failure would classify
+    # the whole corpus as new and re-crawl over the damaged table
+    if not LK.table_exists(path):  # first run: no table yet
         return _empty_state(spark)
+    return LK.read_table(spark, path).select("id", "modified", "errors")
 
 
 def _read_state_parts(spark, path):
     """Split state read for the diff/guard joins (LK.read_table_parts),
     projected to the three columns the sync compares. On a bucketed MOR
     base the untouched part keeps its layout, so the corpus-sized joins
-    below run with no state-side Exchange."""
-    try:
-        base, overrides, keys = LK.read_table_parts(spark, path)
-    except Exception:  # first run: no table yet
+    below run with no state-side Exchange. Missing table = first run;
+    any OTHER failure propagates (see _read_state)."""
+    if not LK.table_exists(path):  # first run: no table yet
         return _empty_state(spark), None, None
+    base, overrides, keys = LK.read_table_parts(spark, path)
     cols = ["id", "modified", "errors"]
     base = base.select(*cols)
     if overrides is not None:
@@ -186,12 +189,11 @@ def _read_state_parts(spark, path):
 
 
 def _read_quarantine(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return LK.read_table(spark, path)
-    except Exception:
+    if not LK.table_exists(path):  # first run: no ledger yet
         return spark.createDataFrame(
             [], "id string, error_cnt int, skip_cnt int, skipped boolean"
         )
+    return LK.read_table(spark, path)
 
 
 def run_sync(
@@ -424,8 +426,14 @@ def run_sync(
     # outputs. (``fold_app_quarantine`` keeps the corpus-scan fold for
     # the once-per-sweep app-level path.)
     if fold_quarantine:
+        # anti-join on the ids actually MERGED this run (the envelope
+        # set), not the due set: identical under the current fetch
+        # contract (fetch_docs emits one row per due id), but if fetch
+        # or the converter ever drops a row its still-errored stored
+        # doc must stay in the ledger — keying on `due` would silently
+        # reset its error budget
         errored_now = errored_pre.join(
-            due.select("id"), "id", "left_anti"
+            envelopes.select("id"), "id", "left_anti"
         ).unionByName(envelopes.filter(F.size("errors") > 0).select("id"))
         new_ledger = INC.quarantine_fold(
             ledger.select("id", "error_cnt", "skip_cnt"), errored_now
@@ -545,13 +553,13 @@ def fold_app_quarantine(
     into the quarantine ledger; cleanly-stored docs drop out."""
     if ledger is None:
         ledger = _read_quarantine(spark, paths.quarantine)
-    try:
+    if LK.table_exists(paths.raw):
         errored = (
             LK.read_table(spark, paths.raw)
             .filter(F.size("errors") > 0)
             .select("id")
         )
-    except Exception:  # no raw table yet: nothing errored
+    else:  # no raw table yet: nothing errored
         errored = spark.createDataFrame([], "id string")
     new_ledger = INC.quarantine_fold(
         ledger.select("id", "error_cnt", "skip_cnt"), errored
@@ -691,10 +699,9 @@ def run_renormalize(
     searchui = normalized.withColumn("indexed_at", F.current_timestamp())
 
     if update_only:
-        try:
-            existing = LK.read_table(spark, paths.searchui)
-        except Exception:  # no searchui yet: update-only is a no-op
-            return {"renormalized": 0}
+        if not LK.table_exists(paths.searchui):
+            return {"renormalized": 0}  # no searchui yet: no-op
+        existing = LK.read_table(spark, paths.searchui)
         # ES partial-doc semantics (doc_as_upsert with a metadata-only
         # body): fields the update does not carry — e.g. nlp_250, which
         # the metadata_only path never recomputes — keep their stored

@@ -340,6 +340,21 @@ def _mor_parts(
     # mergeSchema unions evolved segment schemas like the resolve's
     # allowMissingColumns union does
     sdf = spark.read.option("mergeSchema", "true").parquet(*segs)
+    # Legacy segments (pre-seq-in-data layout) carry no __mor_seq
+    # column — the mergeSchema scan yields null there, and a null seq
+    # would fail the live filter below, silently discarding every
+    # un-compacted legacy upsert and un-counting legacy tombstones
+    # (data loss on upgrade). The sequence is recoverable from the
+    # segment directory name, so coalesce it in from the file path.
+    seq_from_path = F.regexp_extract(
+        F.input_file_name(), r"seg_(\d+)", 1
+    ).cast("int")
+    if "__mor_seq" not in sdf.columns:
+        sdf = sdf.withColumn("__mor_seq", seq_from_path)
+    else:
+        sdf = sdf.withColumn(
+            "__mor_seq", F.coalesce(F.col("__mor_seq"), seq_from_path)
+        )
     seg_bytes = sum(_dir_bytes(s) for s in segs)
     hint = (
         F.broadcast

@@ -370,3 +370,35 @@ def test_fused_sweep_matches_diff_plus_guard(spark, tmp_path):
         assert due2.count() == due2.select("id").distinct().count()
     finally:
         LK.MOR_COMPACT_FRACTION = saved
+
+
+@pytest.mark.parametrize("cap", [None, 0])
+def test_sweep_veto_past_broadcast_cap(spark, monkeypatch, cap):
+    """The duplicate-listing veto must not force a broadcast of an
+    unbounded candidate set (round-7 ADVICE: a truncated listing makes
+    it corpus-sized BEFORE the threshold gets to abort gracefully):
+    past ``VETO_BROADCAST_MAX_IDS`` the probes run as plain shuffle
+    joins with identical results."""
+    if cap is not None:
+        monkeypatch.setattr(INC, "VETO_BROADCAST_MAX_IDS", cap)
+    state = spark.createDataFrame(
+        [(f"s{i}", "m1", []) for i in range(10)],
+        "id string, modified string, errors array<string>",
+    )
+    # s0 listed twice with DISAGREEING flags (one preserved row → veto);
+    # s1 listed unpreserved only → candidate; s2..s9 unlisted → doomed
+    lf = spark.createDataFrame(
+        [
+            ("s0", "m1", False, True),
+            ("s0", "m1", False, False),
+            ("s1", "m1", False, False),
+        ],
+        "id string, modified string, __fetchable boolean, __preserved boolean",
+    )
+    due, doomed, _err, n_prev, n_del, allowed, ratio = INC.sync_sweep_parts(
+        lf, (state, None, None), force=True
+    )
+    assert {r["id"] for r in doomed.collect()} == {"s1"} | {
+        f"s{i}" for i in range(2, 10)
+    }
+    assert n_del == 9 and n_prev == 10

@@ -483,3 +483,50 @@ def test_cow_merge_on_mor_table_folds_segments(spark, tmp_path, monkeypatch):
     )
     assert not LK.is_mor_table(path)  # converted by the swap
     assert set(_rows(spark, path)) == {"a", "b", "c"}
+
+
+def test_mor_legacy_segments_without_seq_column(spark, tmp_path, monkeypatch):
+    """Upgrade safety (round-7 ADVICE): segments written by the
+    pre-seq-in-data layout carry no ``__mor_seq`` column — the resolve
+    must recover the sequence from the segment PATH instead of silently
+    dropping every legacy upsert and resurrecting deleted rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor"
+    )
+
+    def legacy_append(batch):
+        n = LK._mor_next_seq(path, LK._mor_spec(path))
+        batch.write.parquet(os.path.join(path, LK._MOR_DIR, f"seg_{n:06d}"))
+
+    # legacy upsert for a (no __mor_seq in the data) ...
+    legacy_append(
+        _df(spark, [("a", "v2", 2)]).withColumn("__mor_op", F.lit("u"))
+    )
+    # ... a legacy tombstone for b ...
+    legacy_append(
+        spark.createDataFrame([("b",)], "id string").withColumn(
+            "__mor_op", F.lit("d")
+        )
+    )
+    # ... and a NEW-layout upsert on top: the mixed log must resolve
+    LK.merge_upsert(spark, path, _df(spark, [("c", "v1", 3)]), backend="mor")
+    got = _rows(spark, path)
+    assert got["a"][0] == "v2"  # legacy upsert applied, not discarded
+    assert "b" not in got  # legacy tombstone honored, b not resurrected
+    assert got["c"][0] == "v1"
+    # sequential-fold order across the legacy/new boundary: a LATER
+    # legacy-style re-insert of b at an older order stamp must win
+    legacy_append(
+        _df(spark, [("b", "back", 1)]).withColumn("__mor_op", F.lit("u"))
+    )
+    got = _rows(spark, path)
+    assert got["b"][0] == "back"
+    # and compaction folds the mixed log into the same answer
+    LK.compact_table(spark, path)
+    assert _rows(spark, path) == got

@@ -400,3 +400,36 @@ def test_sync_fetches_each_doc_exactly_once(spark, paths, tmp_path):
     r = run_sync(spark, SyncConfig(site_url=SITE, site_id="eea"), paths, site)
     assert r["fetched"] == 5
     assert len(os.listdir(markers)) == 5  # not 10
+
+
+def test_corrupt_state_read_surfaces_not_masked(spark, tmp_path):
+    """A genuine state-read failure (corrupt _mor/spec.json) must
+    propagate, NOT be swallowed as 'first run: empty state' — a masked
+    failure would classify the whole corpus as new and re-crawl over
+    the damaged table (round-7 ADVICE)."""
+    import datetime as dt
+
+    from eea_crawler_spark import pipeline as P
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    path = str(tmp_path / "raw")
+    LK.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame(
+            [("a", "m1", [], dt.datetime(2024, 1, 1))],
+            "id string, modified string, errors array<string>, "
+            "indexed_at timestamp",
+        ),
+        backend="mor",
+    )
+    with open(LK._mor_spec_path(path), "w") as f:
+        f.write("{ not json")
+    with pytest.raises(Exception):
+        P._read_state_parts(spark, path)
+    with pytest.raises(Exception):
+        P._read_state(spark, path)
+    # a genuinely missing table is still the first-run empty state
+    missing = str(tmp_path / "never_written")
+    base, overrides, keys = P._read_state_parts(spark, missing)
+    assert base.count() == 0 and overrides is None
