@@ -31,6 +31,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field, replace
 from functools import partial
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -319,9 +320,16 @@ def run_sync(
             fix_items_url=cfg.fix_items_url,
             cache_bust=run_stamp if cfg.avoid_cache_api else None,
         )
+    # DISK_ONLY, not the default MEMORY_AND_DISK: on a bulk (re)crawl
+    # the fetched bodies are corpus-sized (7.5 GB at 5M docs) and a
+    # memory-resident checkpoint pins them in JVM storage right through
+    # the merge stages that need the heap for their sorts/builds —
+    # measured as a hard heap OOM at 5M docs (round-7 VERDICT #7
+    # predicted it). On disk the OS page cache keeps the hot segments
+    # resident, so the ~3 re-reads stay cheap while the heap is free.
     fetched = AQ.fetch_docs(
         due.select("id"), transport, url_of=url_of
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     _mark("fetch")
     envelopes = fetched.join(due.select("id", "doc_type", "modified"), "id")
     if converter is not None:
@@ -352,7 +360,9 @@ def run_sync(
             fix_items_url=cfg.fix_items_url,
             cache_bust=run_stamp if cfg.avoid_cache_web else None,
             url_to_parse=cfg.url_to_parse,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(  # DISK_ONLY: same corpus-sized-body rationale
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         envelopes = (
             envelopes.join(scraped, "id", "left")
             .withColumn(
@@ -388,8 +398,6 @@ def run_sync(
     # the converter on every downstream action would re-download every
     # attachment.
     if converter is not None:
-        from pyspark import StorageLevel
-
         envelopes = envelopes.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )

@@ -62,6 +62,36 @@ def scaled_shuffle_partitions(data_dir: str | None, cpus: int) -> tuple[int, boo
     return int(parts), total >= _AQE_MIN_BYTES
 
 
+_MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_mem(mem: str) -> int:
+    mem = mem.strip().lower()
+    if mem[-1] in _MEM_UNITS:
+        return int(float(mem[:-1]) * _MEM_UNITS[mem[-1]])
+    return int(mem)
+
+
+def _shj_threshold_bytes(mem: str, cpus: int) -> int:
+    """AQE shuffled-hash conversion cap = per-task share of the unified
+    execution pool / 16. The /16 is three stacked expansions between
+    the number AQE compares (COMPRESSED map-output bytes) and what the
+    build actually pins in execution memory: lz4 decompression (~4× on
+    the text-heavy columns here), UnsafeHashedRelation overhead (~2×
+    raw bytes), and the probe/output working set running concurrently
+    (~2×). Measured failure mode at a flat 256m (and still at pool/4):
+    a 5M-doc envelope join's WIDE side compressed under the threshold,
+    both sides got the AQE hint, and the stats tie-break (both sides
+    stats-less checkpoints) built the wide side — 32 concurrent
+    decompressed builds OOMed the shared local-mode pool. Clamped to
+    [8 MB, 64 MB]; SPARK_GRAFT_SHJ_THRESHOLD overrides (0 disables)."""
+    env = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD")
+    if env:
+        return _parse_mem(env)
+    pool = max(0, _parse_mem(mem) - (300 << 20)) * 0.6
+    return int(min(64 << 20, max(8 << 20, pool / max(cpus, 1) / 16)))
+
+
 def get_spark(
     app_name: str = "eea_crawler_spark",
     cpus: int | None = None,
@@ -94,12 +124,30 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # let AQE turn a planned sort-merge join into a shuffled hash
-        # join when the measured build side is ≤256 MB per map
-        # partition: skips sorting the (much larger) probe side — q7's
-        # 60M-row lineitem sort at sf10 — while bounding per-task build
-        # memory, which is what keeps the conversion safe at any scale
-        # (bigger builds stay SMJ; ≤10 MB builds still broadcast)
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+        # join when the measured build side is small per map partition:
+        # skips sorting the (much larger) probe side — q7's 60M-row
+        # lineitem sort at sf10. The threshold is sized from the
+        # PER-TASK execution-memory share, not a flat 256m: in local
+        # mode every core's build draws on ONE shared pool, so `cpus`
+        # concurrent UnsafeHashedRelations (≈2× raw bytes with
+        # overhead) must fit (heap − 300M) × 0.6 together. A flat 256m
+        # OOM-killed the 5M-doc initial sync's envelope join — both
+        # sides were stats-less checkpoints, the tie-break built the
+        # WIDE side at ~235 MB/partition × 32 tasks. The tight bound
+        # also breaks such ties correctly: only the genuinely small
+        # side qualifies for the hint at all.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(_shj_threshold_bytes(_mem, cpus)),
+        )
+        # trust bucketed tables' sortBy order at scan time: every SMJ
+        # on the bucketed state tables then skips the corpus-side Sort
+        # (Spark 3 stopped claiming the order by default — SPARK-28632
+        # — but the claim is still guarded by a ≤1-file-per-bucket
+        # check, which this engine's bucketed writers guarantee by
+        # repartitioning to one file per bucket before every write:
+        # sinks.indexes.save_bucketed / sinks.lakehouse._write_base)
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource scans (sources/plone_datasource) prune

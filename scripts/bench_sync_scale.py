@@ -193,6 +193,15 @@ def main() -> None:
     total = LK.read_table(spark, paths.searchui).count()
     assert total == args.docs, total
 
+    # zero-change sync: the same bumped listing again — state already
+    # carries the bumped stamps, so the sweep must classify nothing as
+    # due and the wall is pure listing + sweep + status overhead
+    t0 = time.perf_counter()
+    r2b = run_sync(spark, cfg(1), paths, transport)
+    t_zero = round(time.perf_counter() - t0, 2)
+    print(f"zero: {t_zero}s {r2b}", file=sys.stderr)
+    assert r2b["fetched"] == 0 and r2b["normalized"] == 0, r2b
+
     t0 = time.perf_counter()
     # per-site renormalize (the reference's d4 unit) — same single-site
     # dispatch prune the sync path gets, so the comparison is the
@@ -210,6 +219,7 @@ def main() -> None:
                 "docs": args.docs,
                 "initial_sync_sec": t_initial,
                 "quick_sync_sec": t_quick,
+                "zero_change_sync_sec": t_zero,
                 "renormalize_sec": t_renorm,
                 "quick_touched_rows": touched,
                 "quick_over_renorm": round(t_quick / t_renorm, 3),
