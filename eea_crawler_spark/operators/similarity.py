@@ -71,6 +71,13 @@ NEARDUP_BROADCAST_MAX_BYTES = 64 << 20
 NEARDUP_BLOCK_BYTES = 32 << 20
 NEARDUP_BLOCK_ROWS = 4096
 NEARDUP_SCORE_CHUNK = 4096
+# Super-tile sizing for the blocked plan: one task owns a g×g tile of
+# block pairs (g = blocks per stripe), so each block ships to
+# ~n_blocks/g tasks instead of n_blocks — the shuffle volume drops by
+# g× while per-sub-pair sims memory stays bounded (the task loops its
+# block pairs serially). This caps the packed bytes one tile side may
+# hold; g follows from it and the block size.
+NEARDUP_TILE_SIDE_BYTES = 64 << 20
 
 
 def _round_half_up(x: "np.ndarray", digits: int = 4) -> "np.ndarray":
@@ -236,14 +243,15 @@ def neardup_pairs(
         ungated collect as the one declared operator with a hard
         driver ceiling.
       * large: the blocked exact plan (``_neardup_pairs_blocked``) —
-        rows hash into ~NEARDUP_BLOCK_BYTES blocks, every block pair
-        (i ≤ j) becomes one applyInPandas group scoring a block×block
-        matmul, survivors only leave the task. Nothing touches the
-        driver; shuffle volume is corpus_bytes × n_blocks (the
-        unavoidable pair materialization), compute parallelism is
-        n_blocks·(n_blocks+1)/2 tasks. For corpora where even that is
-        unpayable, ``hyperplane_lsh_topk`` / MinHash buckets are the
-        approximate candidate generators.
+        rows pack into per-block matrix rows, stripes of g blocks form
+        super-tile tasks (one task loops a g×g tile of block pairs),
+        survivors only leave the task. Nothing touches the driver;
+        shuffle volume is corpus_bytes × n_blocks/g (the pair
+        materialization, cut g× by the tiling), prescreen matmuls run
+        in float32 with a provably-superset margin and exact float64
+        re-scoring. For corpora where even that is unpayable,
+        ``hyperplane_lsh_topk`` / MinHash buckets are the approximate
+        candidate generators.
     """
     id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"a_id {id_type}, b_id {id_type}, cos double"
@@ -293,6 +301,47 @@ def neardup_pairs(
     )
 
 
+def _f32_prescreen_margin(dim: int) -> float:
+    """Prescreen slack when the candidate matmul runs in float32.
+
+    HALF_UP at 4 digits admits raw scores down to threshold − 0.5e-4
+    (``_PRESCREEN_MARGIN``); on top of that, the float32 normalized
+    dot differs from the exact value by at most (d+2)·2⁻²⁴ — one
+    rounding per cast component plus the length-d accumulation bound
+    γ_d, both over Σ|aᵢ||bᵢ| ≤ 1 for unit vectors (Cauchy-Schwarz);
+    any summation order (sequential, pairwise, blocked BLAS) is
+    covered. Taken ×4 for headroom: the slack only ever ADDS
+    candidates, and every candidate is re-scored exactly in float64,
+    so output stays bit-identical to the dense float64 path."""
+    return _PRESCREEN_MARGIN + 4 * (dim + 2) * 2.0**-24
+
+
+def _neardup_cells_f32(a, b, threshold, margin, extra_mask=None):
+    """``_neardup_cells`` with a float32 prescreen over PRE-normalized
+    block matrices (``a``/``b`` are ``_unpack_block`` tuples). The only
+    full-size passes are one sgemm and one compare — half the FLOPs and
+    half the memory traffic of the f64 prescreen (the compare sweep is
+    memory-bound); survivors get the ORIGINAL float64 dot/(na·nb) +
+    HALF_UP evaluation, so emitted values are bit-identical to the
+    dense path and the margin (see ``_f32_prescreen_margin``)
+    guarantees the prescreen is a superset. Zero-norm rows prescreen
+    to 0 and are dropped by the exact filter's NaN compare exactly as
+    the dense path drops them."""
+    a_ids, a_mat, a_nrm, a_n32 = a
+    b_ids, b_mat, b_nrm, b_n32 = b
+    cand = (a_n32 @ b_n32.T) >= np.float32(threshold - margin)
+    if extra_mask is not None:
+        cand &= extra_mask
+    ai, bj = np.nonzero(cand)
+    if len(ai) == 0:
+        return ai, bj, np.empty(0, dtype=np.float64)
+    dots = np.einsum("ij,ij->i", a_mat[ai], b_mat[bj])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = _round_half_up(dots / (a_nrm[ai] * b_nrm[bj]))
+    keep = cos >= threshold
+    return ai[keep], bj[keep], cos[keep]
+
+
 def _neardup_pairs_blocked(
     corpus: DataFrame,
     threshold: float,
@@ -304,26 +353,37 @@ def _neardup_pairs_blocked(
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold with NO driver materialization.
 
-    Rows hash into ``n_blocks`` ≈ corpus_bytes / NEARDUP_BLOCK_BYTES
-    blocks on xxhash64(id) (block membership only partitions the work —
-    every unordered doc pair lands in exactly one block pair, so
-    coverage and output are independent of the hashing). A tiny
-    (bi ≤ bj) pair relation fans each block's rows out to its pairs
-    (the broadcast side is the PAIR LIST, never the data), and one
-    groupBy(bi, bj) assembles each block pair as a single applyInPandas
-    group: two ≤NEARDUP_BLOCK_BYTES matrices, one float64 matmul,
-    survivors only. Same scoring and rounding as the broadcast plan —
-    each (a, b) dot product runs over the same full-dim float64
-    vectors, so the two plans are bit-identical (pinned in
-    tests/test_similarity_matmul.py).
+    Rows hash into ``n_blocks`` ≈ n_rows / block_rows blocks on
+    xxhash64(id) (block membership only partitions the work — every
+    unordered doc pair lands in exactly one block pair, so coverage
+    and output are independent of the hashing). Three stages:
+
+      1. PACK — one corpus shuffle builds ONE ROW PER BLOCK holding the
+         block's ids (pickled) and its float64 matrix as raw bytes.
+         Everything downstream moves whole blocks: per-row Arrow
+         framing and the per-row python→numpy conversion
+         (``_vec_matrix``) — which the previous row-fan-out plan paid
+         n_blocks× per row, measured as a large share of the 135 s
+         sf10 wall — are paid ONCE per block here.
+      2. TILE fan-out — blocks group into stripes of ``g`` blocks;
+         one task owns a stripe×stripe SUPER-TILE of block pairs and
+         loops them serially (sub-pair sims stay ≤ block_rows²). Each
+         block ships to ~n_blocks/g tasks instead of n_blocks: the
+         pair-materialization shuffle drops by g× (sf10: 49× corpus →
+         11× corpus at g=5). The broadcast side is the tiny tile list,
+         never the data.
+      3. SCORE — per block pair, a float32 prescreen matmul over
+         pre-normalized rows (provably-superset margin,
+         ``_f32_prescreen_margin``) and the exact float64 re-score on
+         survivors. Each surviving (a, b) dot product runs over the
+         same full-dim float64 vectors as the broadcast plan, so the
+         two plans are bit-identical (pinned in
+         tests/test_similarity_matmul.py).
     """
     spark = corpus.sparkSession
     # block count from three bounds: the sims-matrix row cap (the
     # memory constraint — see NEARDUP_BLOCK_ROWS), the input-byte cap
-    # (wide vectors), and ≥~2 block pairs per core so the matmuls
-    # actually parallelize. Replication factor is n_blocks, so the
-    # shuffle grows linearly with it — corpora where n_blocks×corpus
-    # bytes is unpayable should use the LSH/MinHash candidate paths.
+    # (wide vectors), and enough stripes that tile tasks ≥ ~8 per core.
     par = spark.sparkContext.defaultParallelism
     block_rows = min(
         NEARDUP_BLOCK_ROWS, max(1, NEARDUP_BLOCK_BYTES // (dim * 8))
@@ -333,9 +393,14 @@ def _neardup_pairs_blocked(
         -(-n_rows // block_rows),
         int(np.ceil((np.sqrt(16 * par + 1) - 1) / 2)),
     )
-    pairs_idx = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int",
+    block_bytes = block_rows * dim * 8
+    g_mem = max(1, NEARDUP_TILE_SIDE_BYTES // max(1, block_bytes))
+    t_min = int(np.ceil((np.sqrt(16 * par + 1) - 1) / 2))
+    g = int(max(1, min(g_mem, -(-n_blocks // t_min))))
+    n_stripes = -(-n_blocks // g)
+    tiles_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_stripes) for j in range(i, n_stripes)],
+        "ti int, tj int",
     )
     blk = corpus.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
@@ -344,58 +409,93 @@ def _neardup_pairs_blocked(
         F.col(id_col),
         F.col(vec_col),
     )
-    # fan out: block i's rows ride to every pair (i, ·) as side a and
-    # every pair (·, i) as side b; for the diagonal pair both sides
-    # carry the block and the a<b filter below dedups
-    side_a = blk.join(F.broadcast(pairs_idx), F.col("__blk") == F.col("bi")).select(
-        "bi", "bj", F.lit(0).alias("__side"), id_col, vec_col
-    )
-    side_b = blk.join(F.broadcast(pairs_idx), F.col("__blk") == F.col("bj")).select(
-        "bi", "bj", F.lit(1).alias("__side"), id_col, vec_col
-    )
-    tagged = side_a.unionByName(side_b)
 
-    def _score_group(pdf):
+    def _pack(key, pdf):
+        import pickle
+
         import pandas as pd
 
-        a = pdf[pdf["__side"] == 0]
-        b = pdf[pdf["__side"] == 1]
-        if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
-        a_ids = a[id_col].to_numpy()
-        b_ids = b[id_col].to_numpy()
-        a_mat = _vec_matrix(a[vec_col])
-        b_mat = _vec_matrix(b[vec_col])
-        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
-        diagonal = pdf["bi"].iloc[0] == pdf["bj"].iloc[0]
+        ids = pdf[id_col].to_numpy()
+        mat = np.ascontiguousarray(_vec_matrix(pdf[vec_col]))
+        return pd.DataFrame(
+            {
+                "__blk": [int(key[0])],
+                "n": [len(ids)],
+                "ids": [pickle.dumps(ids)],
+                "vecs": [mat.tobytes()],
+            }
+        )
+
+    packed = blk.groupBy("__blk").applyInPandas(
+        _pack, "__blk int, n long, ids binary, vecs binary"
+    )
+    packed = packed.withColumn(
+        "__stripe", (F.col("__blk") / F.lit(g)).cast("int")
+    )
+    cols = ["__blk", "n", "ids", "vecs"]
+    side_a = packed.join(
+        F.broadcast(tiles_idx), F.col("__stripe") == F.col("ti")
+    ).select("ti", "tj", F.lit(0).alias("__side"), *cols)
+    side_b = packed.join(
+        F.broadcast(tiles_idx), F.col("__stripe") == F.col("tj")
+    ).select("ti", "tj", F.lit(1).alias("__side"), *cols)
+    tagged = side_a.unionByName(side_b)
+    margin = _f32_prescreen_margin(dim)
+
+    def _unpack_block(row):
+        import pickle
+
+        ids = pickle.loads(row["ids"])
+        mat = np.frombuffer(row["vecs"], dtype=np.float64).reshape(
+            int(row["n"]), dim
+        )
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            n32 = (mat / np.where(nrm == 0, 1.0, nrm)[:, None]).astype(
+                np.float32
+            )
+        return ids, mat, nrm, n32
+
+    def _score_tile(pdf):
+        import pandas as pd
+
+        diagonal_tile = pdf["ti"].iloc[0] == pdf["tj"].iloc[0]
+        cache: dict[int, tuple] = {}  # diagonal tiles unpack once/block
+
+        def blocks(side):
+            rows = pdf[pdf["__side"] == side].sort_values("__blk")
+            out = []
+            for _, row in rows.iterrows():
+                bk = int(row["__blk"])
+                if bk not in cache:
+                    cache[bk] = _unpack_block(row)
+                out.append((bk, cache[bk]))
+            return out
+
         outs = []
-        # a-side sliced so the sims matrix stays ≤ chunk×|b| (memory
-        # note at NEARDUP_SCORE_CHUNK); per-pair values are unchanged —
-        # _neardup_cells evaluates each surviving pair over the full dim
-        for s in range(0, len(a_ids), NEARDUP_SCORE_CHUNK):
-            e = s + NEARDUP_SCORE_CHUNK
-            # diagonal: both sides hold the same block — the a<b mask
-            # canonicalizes AND dedups the mirrored orderings
-            mask = (
-                a_ids[s:e, None] < b_ids[None, :] if diagonal else None
-            )
-            ai, bj, cos = _neardup_cells(
-                a_mat[s:e], a_nrm[s:e], b_mat, b_nrm, threshold, mask
-            )
-            if diagonal:
-                lo, hi = a_ids[s:e][ai], b_ids[bj]
-            else:
-                # off-diagonal: every unordered pair occurs exactly
-                # once, in whichever orientation — canonicalize
-                lo = np.minimum(a_ids[s:e][ai], b_ids[bj])
-                hi = np.maximum(a_ids[s:e][ai], b_ids[bj])
-            outs.append(pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos}))
+        for abk, A in blocks(0):
+            for bbk, B in blocks(1):
+                if diagonal_tile and abk > bbk:
+                    continue  # each unordered block pair scored once
+                # same-block pair: the a<b mask canonicalizes AND
+                # dedups the mirrored orderings
+                mask = A[0][:, None] < B[0][None, :] if abk == bbk else None
+                ai, bj, cos = _neardup_cells_f32(A, B, threshold, margin, mask)
+                if abk == bbk:
+                    lo, hi = A[0][ai], B[0][bj]
+                else:
+                    # cross-block: every unordered pair occurs exactly
+                    # once, in whichever orientation — canonicalize
+                    lo = np.minimum(A[0][ai], B[0][bj])
+                    hi = np.maximum(A[0][ai], B[0][bj])
+                outs.append(pd.DataFrame({"a_id": lo, "b_id": hi, "cos": cos}))
+        if not outs:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
         return pd.concat(outs, ignore_index=True)
 
     return (
-        tagged.groupBy("bi", "bj")
-        .applyInPandas(_score_group, schema)
+        tagged.groupBy("ti", "tj")
+        .applyInPandas(_score_tile, schema)
         .orderBy("a_id", "b_id", "cos")
     )
 

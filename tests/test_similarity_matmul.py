@@ -106,19 +106,45 @@ def test_neardup_matches_expression_form(spark, emb_df):
     assert (3, 11) not in pairs   # antiparallel is far below threshold
 
 
-def test_neardup_blocked_equals_broadcast(spark, emb_df, monkeypatch):
+@pytest.mark.parametrize("block_bytes", [2048, 128])
+def test_neardup_blocked_equals_broadcast(spark, emb_df, monkeypatch, block_bytes):
     """neardup_pairs picks its plan by a corpus-size probe: broadcast
     matmul under NEARDUP_BROADCAST_MAX_BYTES, the blocked exact
     all-pairs plan above (no driver materialization). Forcing the gate
     to 0 must route the SAME corpus through the blocked plan with
-    bit-identical output — same pairs, same cosines (each dot product
-    runs over the same full-dim float64 vectors either way)."""
+    bit-identical output — same pairs, same cosines (each surviving
+    dot product runs over the same full-dim float64 vectors either
+    way; the float32 prescreen only gates candidates). 2048-byte
+    blocks exercise single-block stripes (g=1, diagonal AND
+    off-diagonal tiles); 128-byte blocks force one-row blocks and
+    MULTI-BLOCK stripes (g>1: same-block, intra-stripe and
+    cross-stripe block pairs all execute)."""
     from eea_crawler_spark.operators import similarity as SIM
 
     small = neardup_pairs(emb_df, threshold=0.2).collect()
     monkeypatch.setattr(SIM, "NEARDUP_BROADCAST_MAX_BYTES", 0)
-    # a few-KB block size forces MULTIPLE blocks (diagonal AND
-    # off-diagonal block pairs both execute)
-    monkeypatch.setattr(SIM, "NEARDUP_BLOCK_BYTES", 2048)
+    monkeypatch.setattr(SIM, "NEARDUP_BLOCK_BYTES", block_bytes)
     blocked = SIM.neardup_pairs(emb_df, threshold=0.2).collect()
     assert blocked == small and len(small) > 0
+
+
+def test_neardup_blocked_zero_norm_rows(spark, monkeypatch):
+    """Zero-norm vectors must vanish from the blocked plan's output the
+    same way the broadcast plan drops them (NaN cosine fails the
+    threshold compare); the f32 prescreen normalizes them to the zero
+    row, so they can never spuriously pass either."""
+    from eea_crawler_spark.operators import similarity as SIM
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    want = SIM.neardup_pairs(df, threshold=0.2).collect()
+    monkeypatch.setattr(SIM, "NEARDUP_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(SIM, "NEARDUP_BLOCK_BYTES", 64)
+    got = SIM.neardup_pairs(df, threshold=0.2).collect()
+    assert got == want
+    assert {(r["a_id"], r["b_id"]) for r in got} == {(1, 2)}
