@@ -362,6 +362,16 @@ def _mor_parts(
         else (lambda df: df)
     )
     keys = sdf.select(key).distinct()
+    if seg_bytes > MOR_SEG_BROADCAST_MAX_BYTES and spec["n_buckets"]:
+        # Past the cap the probes run as plain sort-merge joins. The
+        # distinct leaves the key set hash-partitioned at the SESSION
+        # default — a valid clustering, so EnsureRequirements resolves
+        # the count mismatch by re-shuffling the BASE to that count
+        # (and the planner then disables the bucketed scan as useless):
+        # a full-corpus Exchange on every high-override resolve.
+        # Co-partitioning the (small) key set into the bucket count
+        # keeps the base exchange-free and sort-free instead.
+        keys = keys.repartition(spec["n_buckets"], F.col(key))
     aff = (
         base.join(hint(keys), [key], "left_semi")
         .withColumn("__mor_op", F.lit("u"))

@@ -530,3 +530,53 @@ def test_mor_legacy_segments_without_seq_column(spark, tmp_path, monkeypatch):
     # and compaction folds the mixed log into the same answer
     LK.compact_table(spark, path)
     assert _rows(spark, path) == got
+
+
+def test_mor_past_cap_resolve_base_stays_sort_free(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #5 (high-override-fraction resolve): past the
+    segment-key broadcast cap the resolve's probes run as plain
+    sort-merge joins — the bucketed+sorted base must STILL contribute
+    neither an Exchange nor a Sort to the untouched leg (only the key
+    side shuffles/sorts into the bucket count). A full-corpus sort on
+    the untouched side would make a 30-50%-override resolve
+    O(corpus log corpus) at scale."""
+    import re
+
+    monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
+    monkeypatch.setattr(LK, "MOR_SEG_BROADCAST_MAX_BYTES", 0)  # past cap
+    path = str(tmp_path / "t")
+    LK.merge_upsert(
+        spark,
+        path,
+        _df(spark, [(f"k{i}", "v1", 1) for i in range(50)]),
+        backend="mor",
+        n_buckets=4,
+    )
+    # override half the corpus in one segment
+    LK.merge_upsert(
+        spark,
+        path,
+        _df(spark, [(f"k{i}", "v2", 2) for i in range(0, 50, 2)]),
+        backend="mor",
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        untouched, winners, _keys = LK.read_table_parts(spark, path)
+        assert winners is not None
+        plan = untouched._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert "Bucketed: true" in plan
+        # exactly ONE exchange into the bucket count (the key side);
+        # the base streams from its bucketed files
+        assert len(re.findall(r"Exchange hashpartitioning\([^)]*, 4\)", plan)) == 1
+        # exactly ONE Sort (the key side); the base's sortBy order is
+        # recognized, so no corpus-sized Sort node exists
+        assert plan.count("Sort [") == 1
+        got = _rows(spark, path)
+        assert len(got) == 50
+        assert got["k0"][0] == "v2" and got["k1"][0] == "v1"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
