@@ -95,10 +95,14 @@ def main() -> None:
     saved = LK.MOR_SEG_BROADCAST_MAX_BYTES
     LK.MOR_SEG_BROADCAST_MAX_BYTES = 0  # force the un-hinted fallback
     t_plain = timed_resolve()
-    # plan pin at scale: the untouched leg's base side must be sort-free
+    # plan pin at scale: the base side must contribute no Exchange and
+    # no Sort. Two acceptable shapes: Catalyst estimates the key side
+    # under its own broadcast threshold (BHJ — no shuffle requirement
+    # at all, bucketing rightly unused), or the SMJ fallback where the
+    # bucketed+sorted base streams and only the key side shuffles.
     untouched, winners, _ = LK.read_table_parts(spark, args.state)
     plan = untouched._jdf.queryExecution().executedPlan().toString()
-    assert "Bucketed: true" in plan, "base must scan bucketed"
+    assert "BroadcastHashJoin" in plan or "Bucketed: true" in plan, plan
     assert plan.count("Sort [") <= 1, "no corpus Sort on the untouched side"
     LK.MOR_SEG_BROADCAST_MAX_BYTES = saved
     t_hinted = timed_resolve()
