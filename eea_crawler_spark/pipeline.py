@@ -331,7 +331,16 @@ def run_sync(
         due.select("id"), transport, url_of=url_of
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     _mark("fetch")
-    envelopes = fetched.join(due.select("id", "doc_type", "modified"), "id")
+    # build-side hint: both sides are stats-less checkpoints, and AQE's
+    # shuffled-hash conversion (all sides under the threshold) has been
+    # observed building the WIDE fetched side (~235 MB decompressed per
+    # partition × all cores = OOM at 5M docs). The hint pins the build
+    # to the narrow due projection (~100 B/row — per-partition build
+    # stays tens of MB at any corpus whose shuffle partitions are sized
+    # to the data); the wide envelopes stream past it.
+    envelopes = fetched.join(
+        due.select("id", "doc_type", "modified").hint("shuffle_hash"), "id"
+    )
     if converter is not None:
         # S7: attachment text via the converter service; per-doc errors
         # merge into the envelope's errors[] (never failing the row)

@@ -74,22 +74,28 @@ def _parse_mem(mem: str) -> int:
 
 def _shj_threshold_bytes(mem: str, cpus: int) -> int:
     """AQE shuffled-hash conversion cap = per-task share of the unified
-    execution pool / 16. The /16 is three stacked expansions between
-    the number AQE compares (COMPRESSED map-output bytes) and what the
-    build actually pins in execution memory: lz4 decompression (~4× on
-    the text-heavy columns here), UnsafeHashedRelation overhead (~2×
-    raw bytes), and the probe/output working set running concurrently
-    (~2×). Measured failure mode at a flat 256m (and still at pool/4):
-    a 5M-doc envelope join's WIDE side compressed under the threshold,
-    both sides got the AQE hint, and the stats tie-break (both sides
-    stats-less checkpoints) built the wide side — 32 concurrent
-    decompressed builds OOMed the shared local-mode pool. Clamped to
-    [8 MB, 64 MB]; SPARK_GRAFT_SHJ_THRESHOLD overrides (0 disables)."""
+    execution pool / 2, clamped to [16 MB, 256 MB];
+    SPARK_GRAFT_SHJ_THRESHOLD overrides (0 disables).
+
+    Two measured anchors picked this. (1) q7 at sf100 loses its
+    sort-skipping conversion below ~75 MB (the 600M-row exchange's
+    build side sits at ~40–75 MB compressed per partition): best-of
+    25.8–26.5 s at 75m/128m/256m vs 29–35 s at 18m/40m — so the cap
+    must sit comfortably above that band. (2) A 5M-doc sync OOMed
+    building SHJ hash maps at 256m — but the enabling condition was
+    ~7.5 GB of corpus checkpoint blocks squatting in the unified pool
+    (SHJ builds, unlike SMJ sorts, cannot spill); that is fixed at the
+    source (the fetch/scrape checkpoints store DISK_ONLY, pipeline.py),
+    and the same sweep passes at this threshold with the pool free.
+    The /2 keeps ONE task's decompressed build (~4× the compressed
+    number AQE compares) within a few tasks' fair share of the pool —
+    concurrent builds can evict unprotected storage, so the fair-share
+    bound need not hold for all 32 at once."""
     env = os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD")
     if env:
         return _parse_mem(env)
     pool = max(0, _parse_mem(mem) - (300 << 20)) * 0.6
-    return int(min(64 << 20, max(8 << 20, pool / max(cpus, 1) / 16)))
+    return int(min(256 << 20, max(16 << 20, pool / max(cpus, 1) / 2)))
 
 
 def get_spark(
