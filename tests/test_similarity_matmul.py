@@ -148,3 +148,43 @@ def test_neardup_blocked_zero_norm_rows(spark, monkeypatch):
     got = SIM.neardup_pairs(df, threshold=0.2).collect()
     assert got == want
     assert {(r["a_id"], r["b_id"]) for r in got} == {(1, 2)}
+
+
+def test_neardup_blocked_randomized_boundary_stress(spark, monkeypatch):
+    """Seeded randomized pin for the f32 prescreen margin: vectors
+    engineered to land NEAR the threshold (pairs rotated to cosines in
+    [t-3e-4, t+3e-4], where HALF_UP rounding and prescreen slack
+    actually decide) must produce bit-identical blocked vs broadcast
+    output — a margin bug would drop or add boundary pairs."""
+    import numpy as np
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(11)
+    t = 0.4
+    base = rng.standard_normal((60, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for i in range(60):
+        rows.append((vid, [float(x) for x in base[i]])); vid += 1
+    # boundary partners: rotate a copy of each of 30 vectors to an
+    # exact target cosine within ±3e-4 of the threshold
+    for i in range(30):
+        a = base[i]
+        r = rng.standard_normal(32)
+        r -= (r @ a) * a
+        r /= np.linalg.norm(r)
+        c = t + (i - 15) * 4e-5  # sweep across the boundary
+        v = c * a + np.sqrt(max(0.0, 1 - c * c)) * r
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    want = SIM.neardup_pairs(df, threshold=t).collect()
+    monkeypatch.setattr(SIM, "NEARDUP_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(SIM, "NEARDUP_BLOCK_BYTES", 1024)
+    got = SIM.neardup_pairs(df, threshold=t).collect()
+    assert got == want
+    # the boundary engineering worked: some rotated pairs are in, the
+    # sub-threshold ones are out
+    cosines = {round(r["cos"], 4) for r in want}
+    assert any(abs(c - t) < 3e-4 for c in cosines)
