@@ -363,10 +363,15 @@ def sync_sweep_parts(
         hint = (
             F.broadcast if n_del <= VETO_BROADCAST_MAX_IDS else (lambda d: d)
         )
+        # distinct BEFORE the broadcast hint: the semi-join keeps
+        # duplicate listing rows, so without it |vetoed| is bounded by
+        # the raw listing, not by n_del — the cap above would then not
+        # actually bound the second broadcast
         vetoed = (
             lf.filter(F.coalesce(F.col(preserved_col), F.lit(False)))
             .select(id_col)
             .join(hint(doomed), on=id_col, how="left_semi")
+            .distinct()
         )
         doomed = doomed.join(
             hint(vetoed), on=id_col, how="left_anti"

@@ -56,21 +56,17 @@ from pyspark.sql.window import Window as W
 # driver, O(n²) work spreads over block-pair tasks.
 NEARDUP_BROADCAST_MAX_BYTES = 64 << 20
 # Block sizing for the blocked plan. The binding memory constraint is
-# NOT the input block (rows×dim×8) but the per-task SIMS MATRIX: a
-# block pair scores rows_a×rows_b float64 similarities, and with 32
-# concurrent Python workers an 18k-row block (2.6 GB of sims each)
-# OOM-killed the box — measured, kernel oom-kill on the first sf10
-# run. The scorer matmuls the a-side in NEARDUP_SCORE_CHUNK row slices
-# (sims ≤ chunk×block_rows), which decouples the memory cap from the
-# block size for wide vectors. Block size is MEASURED, not derived:
-# 4096-row blocks ran sf10 (200k vectors, 49-replica fan-out) in 345 s;
-# 16k-row blocks (14 replicas — the "less shuffle" theory) ran ~2×
-# SLOWER — the wall is the per-group elementwise post-matmul sweep
-# (round/mask/nonzero over the 4e10-cell sims space, memory-bound) and
-# big groups serialize it into fewer, straggling tasks.
+# NOT the input block (rows×dim×8) but the per-sub-pair SIMS MATRIX:
+# the tile scorer evaluates one block pair at a time, so its peak is
+# block_rows² float32 cells (4096² × 4 B = 67 MB) — an 18k-row block
+# (2.6 GB of sims) OOM-killed the box on the first sf10 run, measured.
+# Block size is MEASURED, not derived: 4096-row blocks beat 16k-row
+# blocks ~2× — the wall is the per-pair post-matmul sweep
+# (compare/nonzero over the sims cells, memory-bound) and big blocks
+# serialize it into fewer, straggling sub-pairs. For wide vectors the
+# byte cap shrinks block_rows, which shrinks the sims quadratically.
 NEARDUP_BLOCK_BYTES = 32 << 20
 NEARDUP_BLOCK_ROWS = 4096
-NEARDUP_SCORE_CHUNK = 4096
 # Super-tile sizing for the blocked plan: one task owns a g×g tile of
 # block pairs (g = blocks per stripe), so each block ships to
 # ~n_blocks/g tasks instead of n_blocks — the shuffle volume drops by
@@ -429,6 +425,12 @@ def _neardup_pairs_blocked(
     packed = blk.groupBy("__blk").applyInPandas(
         _pack, "__blk int, n long, ids binary, vecs binary"
     )
+    # lazy checkpoint: BOTH tile sides consume `packed`, and a union's
+    # ReusedExchange dedups only the shuffle — the Python pack stage
+    # above it would otherwise execute twice (the whole-corpus
+    # conversion paid again). The checkpoint materializes once, in the
+    # tile job's first pass.
+    packed = packed.localCheckpoint(eager=False)
     packed = packed.withColumn(
         "__stripe", (F.col("__blk") / F.lit(g)).cast("int")
     )

@@ -9,6 +9,7 @@ read time).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -62,14 +63,22 @@ def scaled_shuffle_partitions(data_dir: str | None, cpus: int) -> tuple[int, boo
     return int(parts), total >= _AQE_MIN_BYTES
 
 
-_MEM_UNITS = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_MEM_UNITS = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_MEM_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([kmgt]?)b?\s*$")
 
 
 def _parse_mem(mem: str) -> int:
-    mem = mem.strip().lower()
-    if mem[-1] in _MEM_UNITS:
-        return int(float(mem[:-1]) * _MEM_UNITS[mem[-1]])
-    return int(mem)
+    """Spark-grammar byte strings: '12g', '12gb', '512m', bare bytes.
+    Must accept everything spark.driver.memory accepts — this value
+    went to Spark verbatim before the threshold derivation existed,
+    so a narrower grammar here would turn a previously-valid env
+    setting into a startup crash."""
+    m = _MEM_RE.match(mem.lower())
+    if not m:
+        raise ValueError(
+            f"unparseable memory string {mem!r} (expected e.g. '12g', '512mb')"
+        )
+    return int(float(m.group(1)) * _MEM_UNITS[m.group(2)])
 
 
 def _shj_threshold_bytes(mem: str, cpus: int) -> int:

@@ -346,8 +346,12 @@ def _mor_parts(
     # un-compacted legacy upsert and un-counting legacy tombstones
     # (data loss on upgrade). The sequence is recoverable from the
     # segment directory name, so coalesce it in from the file path.
+    # The pattern is anchored to the _mor dir: an unanchored
+    # `seg_(\d+)` would take its FIRST match anywhere in the path, so
+    # a table living under e.g. /data/seg_2024/ would stamp every
+    # legacy segment with the same wrong sequence.
     seq_from_path = F.regexp_extract(
-        F.input_file_name(), r"seg_(\d+)", 1
+        F.input_file_name(), r"/" + _MOR_DIR + r"/seg_(\d+)/", 1
     ).cast("int")
     if "__mor_seq" not in sdf.columns:
         sdf = sdf.withColumn("__mor_seq", seq_from_path)

@@ -227,3 +227,25 @@ def test_norm_missing_reference_matches_python_model(spark, doc):
         got = row.get(key)
         want = expected.get(key)
         assert got == want, (key, got, want, doc)
+
+
+def test_parse_mem_accepts_spark_byte_grammar():
+    """SPARK_GRAFT_DRIVER_MEM went to spark.driver.memory verbatim
+    before the SHJ-threshold derivation parsed it — every Spark-valid
+    form must stay valid ('12gb' crashed get_spark when the first
+    parser accepted only single-letter suffixes)."""
+    import pytest as _pytest
+
+    from eea_crawler_spark.session import _parse_mem
+
+    assert _parse_mem("12g") == 12 << 30
+    assert _parse_mem("12gb") == 12 << 30
+    assert _parse_mem("512m") == 512 << 20
+    assert _parse_mem("512MB") == 512 << 20
+    assert _parse_mem("1.5g") == int(1.5 * (1 << 30))
+    assert _parse_mem("1024") == 1024
+    assert _parse_mem(" 8K ") == 8 << 10
+    with _pytest.raises(ValueError):
+        _parse_mem("")
+    with _pytest.raises(ValueError):
+        _parse_mem("lots")

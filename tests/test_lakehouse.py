@@ -495,7 +495,9 @@ def test_mor_legacy_segments_without_seq_column(spark, tmp_path, monkeypatch):
     from pyspark.sql import functions as F
 
     monkeypatch.setattr(LK, "MOR_COMPACT_FRACTION", 1e9)
-    path = str(tmp_path / "t")
+    # table path itself contains 'seg_<digits>': the path-recovery regex
+    # must anchor to the _mor dir, not take the first match in the path
+    path = str(tmp_path / "seg_2024" / "t")
     LK.merge_upsert(
         spark, path, _df(spark, [("a", "v1", 1), ("b", "v1", 1)]), backend="mor"
     )
