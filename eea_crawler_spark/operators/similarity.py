@@ -502,6 +502,103 @@ def _neardup_pairs_blocked(
     )
 
 
+def neardup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    band_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: the SCALE twin of ``neardup_pairs``.
+
+    The exact operator is O(n²) score work by contract; this one
+    restricts candidates to rows sharing a hyperplane bucket in ANY of
+    ``n_bands`` bands of ``band_planes`` sign bits (the banding trick
+    MinHash uses, over the cosine-LSH family) and verifies candidates
+    with the SAME full-dim float64 dot + HALF_UP arithmetic — so every
+    emitted pair also appears in ``neardup_pairs`` output WITH THE
+    SAME cosine (subset property, pinned), but recall < 1 by design:
+    P(caught) = 1 − (1 − p^r)^b with p = 1 − θ/π, so at the defaults
+    a cos-0.9 pair is caught w.p. ~0.996 and recall → 1 as cos → 1,
+    while distant pairs rarely collide. No SQL oracle (recall < 1);
+    exactness-of-emitted-values and recall are pytest-pinned.
+
+    Scale shape: one vectorized signature pass (a P×dim matmul per
+    Arrow batch — P = n_bands·band_planes sign bits, packed into one
+    int per band), a shuffle of (band, bucket)-keyed rows — O(n·b),
+    never O(n²) — and per-bucket exact verification whose cost is
+    Σ|bucket|², controlled by ``band_planes`` (each extra plane halves
+    the expected bucket size). Persisting the signature relation
+    partitioned by (band, bucket) turns re-runs into partition-pruned
+    scans, the same serving layout note as the ANN paths.
+    """
+    planes = hyperplane_planes(
+        dim=int(
+            corpus.select(F.max(F.size(vec_col))).first()[0] or 0
+        ),
+        n_planes=n_bands * band_planes,
+        seed=seed,
+    )
+    p_mat = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(band_planes)).astype(np.int64)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    sig_schema = f"{id_col} {id_type}, {vec_col} array<double>, band int, bucket long"
+    pair_schema = f"a_id {id_type}, b_id {id_type}, cos double"
+
+    def _sign_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = _vec_matrix(pdf[vec_col])
+            bits = (v_mat @ p_mat.T) >= 0  # n × (bands·planes)
+            out = []
+            for b in range(n_bands):
+                seg = bits[:, b * band_planes : (b + 1) * band_planes]
+                buckets = (seg.astype(np.int64) * weights).sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col],
+                            vec_col: pdf[vec_col],
+                            "band": b,
+                            "bucket": buckets,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    signed = corpus.select(id_col, vec_col).mapInPandas(
+        _sign_batches, sig_schema
+    )
+
+    def _verify_bucket(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
+        ids = pdf[id_col].to_numpy()
+        mat = _vec_matrix(pdf[vec_col])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        ai, bj, cos = _neardup_cells(
+            mat, nrm, mat, nrm, threshold,
+            extra_mask=ids[:, None] < ids[None, :],
+        )
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bj], "cos": cos})
+
+    return (
+        signed.groupBy("band", "bucket")
+        .applyInPandas(_verify_bucket, pair_schema)
+        # a close pair collides in several bands — one row per pair
+        # (cos is a pure function of the pair, so distinct is exact)
+        .distinct()
+        .orderBy("a_id", "b_id", "cos")
+    )
+
+
 def hyperplane_planes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (seeded, reproducible across runs)."""
     rng = np.random.RandomState(seed)

@@ -291,6 +291,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=ANN_K, n_clusters=16, n_probe=4)
 
 
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of emb_neardup_pairs: banded hyperplane-LSH
+    candidates, exact in-bucket verification (subset of the exact
+    output with identical cosines; recall < 1 by design, so no SQL
+    oracle — subset/recall pinned in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.neardup_pairs_lsh(emb, threshold=0.9)
+
+
 # ---------- normalize chain (SURVEY §2.5 backbone as a declared query) --
 
 # Restricted config for the declared query so every step has an exact
@@ -539,6 +548,7 @@ UNDECLARED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": dedup_simhash,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "emb_neardup_lsh": emb_neardup_lsh,
 }
 
 EXTRA_ORACLE: dict[str, str] = {

@@ -188,3 +188,48 @@ def test_neardup_blocked_randomized_boundary_stress(spark, monkeypatch):
     # sub-threshold ones are out
     cosines = {round(r["cos"], 4) for r in want}
     assert any(abs(c - t) < 3e-4 for c in cosines)
+
+
+def test_neardup_lsh_subset_and_recall(spark):
+    """neardup_pairs_lsh contract: every emitted pair appears in the
+    exact operator's output WITH THE SAME cosine (subset property —
+    in-bucket verification uses the identical full-dim f64 + HALF_UP
+    arithmetic), near-identical pairs (cos → 1) are caught with
+    near-certain probability at the default banding, and the output is
+    deterministic (seeded planes)."""
+    import numpy as np
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((120, 32))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+    # 20 engineered near-dups: tiny perturbations of existing rows
+    for j in range(20):
+        v = base[j] + 0.01 * rng.standard_normal(32)
+        rows.append((200 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    t = 0.9
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(df, threshold=t).collect()
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(df, threshold=t).collect()
+    }
+    # subset with identical cosines
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    # the engineered near-dup pairs (cos ≈ 0.999) are all caught
+    planted = {(j, 200 + j) for j in range(20)} & set(exact)
+    assert planted and planted <= set(got)
+    # overall recall at this threshold is high
+    assert len(got) >= 0.9 * len(exact)
+    # determinism
+    again = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(df, threshold=t).collect()
+    }
+    assert again == got
