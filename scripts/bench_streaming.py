@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Structured Streaming throughput: the §2.8 surface measured, not just
+parity-tested.
+
+Three walls, all through the production entry points
+(`streaming/pipeline.py`) with `Trigger.AvailableNow` — the quick-sync
+cadence shape — on local[32]:
+
+  1. ``tumbling``  — watermarked tumbling window counts over the sf10
+     events table (10M rows) streamed from files, noop sink.
+  2. ``session``   — session_window counts over the same stream
+     (stateful gap sessions; state = users × open sessions).
+  3. ``ingest``    — ``incremental_upsert_stream``: N update batches
+     drained into a bucketed MOR state via foreachBatch keyed merges
+     (exactly-once per checkpoint), docs/s end-to-end.
+
+Usage: python scripts/bench_streaming.py [--events-sf-dir .scale/sf10]
+       [--ingest-docs 1000000] [--ingest-batches 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--events-sf-dir", default=os.path.join(REPO, ".scale", "sf10")
+    )
+    ap.add_argument("--ingest-docs", type=int, default=1_000_000)
+    ap.add_argument("--ingest-batches", type=int, default=10)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")
+
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.streaming import pipeline as SP
+    from eea_crawler_spark.session import get_spark
+    from eea_crawler_spark.sources.tables import load_table
+
+    spark = get_spark("stream-bench", data_dir=args.events_sf_dir)
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    out = {}
+
+    # ---- windowed analytics over the events stream -------------------
+    ev_dir = os.path.join(work, "events_in")
+    events = load_table(spark, args.events_sf_dir, "events")
+    n_events = events.count()
+    events.repartition(32).write.parquet(ev_dir)
+    schema = spark.read.parquet(ev_dir).schema
+
+    def drain(df, name):
+        t0 = time.perf_counter()
+        q = (
+            df.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{name}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return round(time.perf_counter() - t0, 2)
+
+    stream = spark.readStream.schema(schema).parquet(ev_dir)
+    t = drain(SP.tumbling_counts(stream), "tumbling")
+    out["tumbling_sec"] = t
+    out["tumbling_rows_per_sec"] = int(n_events / t)
+    stream = spark.readStream.schema(schema).parquet(ev_dir)
+    t = drain(SP.session_counts(stream), "session")
+    out["session_sec"] = t
+    out["session_rows_per_sec"] = int(n_events / t)
+    out["n_events"] = n_events
+
+    # ---- incremental upsert ingest into a bucketed MOR state ---------
+    src_dir = os.path.join(work, "updates_in")
+    os.makedirs(src_dir)
+    per_batch = args.ingest_docs // args.ingest_batches
+    base = (
+        spark.range(args.ingest_docs)
+        .select(
+            F.concat(F.lit("doc/"), F.col("id")).alias("id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("indexed_at"),
+        )
+    )
+    for b in range(args.ingest_batches):
+        (
+            base.filter(
+                (F.col("id").substr(5, 99).cast("long") >= b * per_batch)
+                & (F.col("id").substr(5, 99).cast("long") < (b + 1) * per_batch)
+            ).write.parquet(os.path.join(src_dir, f"batch_{b:03d}"))
+        )
+    state = os.path.join(work, "state")
+    # seed the MOR layout (bucketed) so every streamed merge is O(batch)
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    LK.merge_upsert(
+        spark, state, base.limit(0), key="id", order_col="indexed_at",
+        backend="mor", n_buckets=32,
+    )
+    t0 = time.perf_counter()
+    q = SP.incremental_upsert_stream(
+        spark,
+        os.path.join(src_dir, "*"),
+        state,
+        os.path.join(work, "ckpt_ingest"),
+        base.schema,
+        backend="mor",
+    )
+    q.awaitTermination()
+    t = round(time.perf_counter() - t0, 2)
+    n_state = LK.read_table(spark, state).count()
+    assert n_state == args.ingest_docs, (n_state, args.ingest_docs)
+    out["ingest_sec"] = t
+    out["ingest_docs_per_sec"] = int(args.ingest_docs / t)
+    out["ingest_docs"] = args.ingest_docs
+
+    print(json.dumps({"metric": "streaming_bench", **out}))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
