@@ -502,6 +502,28 @@ def _neardup_pairs_blocked(
     )
 
 
+# a-side slice for the in-bucket verify: bounds the per-slice sims
+# allocation at chunk×|bucket| cells, so a pathologically skewed bucket
+# costs more slices instead of an |bucket|²-cell OOM
+LSH_VERIFY_CHUNK = 2048
+
+
+def _band_buckets(
+    m: "np.ndarray", p_mat: "np.ndarray", band_planes: int
+) -> "np.ndarray":
+    """Banded sign-bit buckets: (n, n_bands) int64 — one bucket id per
+    band of ``band_planes`` consecutive planes. THE hyperplane-LSH
+    bucketing rule, shared by ``hyperplane_lsh_topk`` (one band of all
+    its planes) and ``neardup_pairs_lsh`` so the two paths cannot
+    drift."""
+    bits = (m @ p_mat.T) >= 0
+    n_bands = bits.shape[1] // band_planes
+    w = (1 << np.arange(band_planes)).astype(np.int64)
+    return (
+        bits.reshape(len(m), n_bands, band_planes).astype(np.int64) * w
+    ).sum(axis=2)
+
+
 def neardup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -527,12 +549,22 @@ def neardup_pairs_lsh(
 
     Scale shape: one vectorized signature pass (a P×dim matmul per
     Arrow batch — P = n_bands·band_planes sign bits, packed into one
-    int per band), a shuffle of (band, bucket)-keyed rows — O(n·b),
-    never O(n²) — and per-bucket exact verification whose cost is
-    Σ|bucket|², controlled by ``band_planes`` (each extra plane halves
-    the expected bucket size). Persisting the signature relation
-    partitioned by (band, bucket) turns re-runs into partition-pruned
-    scans, the same serving layout note as the ANN paths.
+    int per band, one output frame per band so worker memory stays
+    ~1× the input batch), a shuffle of (band, bucket)-keyed rows —
+    O(n·b), never O(n²) — and per-bucket exact verification whose
+    EXPECTED cost is Σ|bucket|², controlled by ``band_planes`` (each
+    extra plane halves the expected bucket size); the verifier chunks
+    its a-side so a SKEWED bucket degrades to more slices, never to an
+    |bucket|²-cell allocation (the same hazard NEARDUP_BLOCK_ROWS
+    bounds in the exact plan). Zero-norm rows are dropped at signature
+    time — they can never appear in output (NaN cosine) and they all
+    sign into ONE bucket per band, the worst skew shape. For very wide
+    vectors the b× vector shuffle can be avoided by shuffling (id,
+    band, bucket) only and re-fetching vectors for surviving candidate
+    pairs — the minhash verify pattern; not needed at the dims this
+    engine stores. Persisting the signature relation partitioned by
+    (band, bucket) turns re-runs into partition-pruned scans, the same
+    serving layout note as the ANN paths.
     """
     planes = hyperplane_planes(
         dim=int(
@@ -542,7 +574,6 @@ def neardup_pairs_lsh(
         seed=seed,
     )
     p_mat = np.asarray(planes, dtype=np.float64)
-    weights = (1 << np.arange(band_planes)).astype(np.int64)
     id_type = corpus.schema[id_col].dataType.simpleString()
     sig_schema = f"{id_col} {id_type}, {vec_col} array<double>, band int, bucket long"
     pair_schema = f"a_id {id_type}, b_id {id_type}, cos double"
@@ -554,22 +585,22 @@ def neardup_pairs_lsh(
             if len(pdf) == 0:
                 continue
             v_mat = _vec_matrix(pdf[vec_col])
-            bits = (v_mat @ p_mat.T) >= 0  # n × (bands·planes)
-            out = []
+            keep = (v_mat * v_mat).sum(axis=1) > 0  # zero-norm prefilter
+            if not keep.all():
+                pdf = pdf[keep].reset_index(drop=True)
+                v_mat = v_mat[keep]
+            if len(pdf) == 0:
+                continue
+            buckets = _band_buckets(v_mat, p_mat, band_planes)
             for b in range(n_bands):
-                seg = bits[:, b * band_planes : (b + 1) * band_planes]
-                buckets = (seg.astype(np.int64) * weights).sum(axis=1)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            id_col: pdf[id_col],
-                            vec_col: pdf[vec_col],
-                            "band": b,
-                            "bucket": buckets,
-                        }
-                    )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "band": b,
+                        "bucket": buckets[:, b],
+                    }
                 )
-            yield pd.concat(out, ignore_index=True)
 
     signed = corpus.select(id_col, vec_col).mapInPandas(
         _sign_batches, sig_schema
@@ -583,11 +614,31 @@ def neardup_pairs_lsh(
         ids = pdf[id_col].to_numpy()
         mat = _vec_matrix(pdf[vec_col])
         nrm = np.sqrt((mat * mat).sum(axis=1))
-        ai, bj, cos = _neardup_cells(
-            mat, nrm, mat, nrm, threshold,
-            extra_mask=ids[:, None] < ids[None, :],
-        )
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bj], "cos": cos})
+        outs = []
+        # a-side chunked + b-side sliced to [s:]: sims stay ≤ chunk×n
+        # (skew-safe), and every POSITION pair (p, q), p < q, is scored
+        # exactly once — the positional mask, with min/max id
+        # canonicalization after, replaces the id-order mask so the
+        # upper-triangle restriction also halves the matmul work
+        for s in range(0, len(ids), LSH_VERIFY_CHUNK):
+            e = min(s + LSH_VERIFY_CHUNK, len(ids))
+            pos_mask = (
+                np.arange(s, e)[:, None] < np.arange(s, len(ids))[None, :]
+            )
+            ai, bj, cos = _neardup_cells(
+                mat[s:e], nrm[s:e], mat[s:], nrm[s:], threshold, pos_mask
+            )
+            a_ids, b_ids = ids[s:e][ai], ids[s:][bj]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.minimum(a_ids, b_ids),
+                        "b_id": np.maximum(a_ids, b_ids),
+                        "cos": cos,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         signed.groupBy("band", "bucket")
@@ -821,10 +872,10 @@ def hyperplane_lsh_topk(
     """
     planes = hyperplane_planes(dim, n_planes, seed)
     p_mat = np.asarray(planes, dtype=np.float64)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def _bucket_of(m: "np.ndarray") -> "np.ndarray":
-        return (((m @ p_mat.T) >= 0).astype(np.int64) * weights).sum(axis=1)
+        # one band spanning all planes — the shared banded rule
+        return _band_buckets(m, p_mat, n_planes)[:, 0]
 
     def mask_factory(q_ids, q_mat, q_nrm):
         q_buckets = _bucket_of(q_mat)

@@ -65,14 +65,21 @@ def incremental_upsert_stream(
     key: str = "id",
     order_col: str = "indexed_at",
     backend: str = "auto",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Quick-sync as a stream: drain new files, merge by id, stop.
 
     ``AvailableNow`` + checkpoint gives exactly-once file consumption
     across activations; the merge inside foreachBatch is idempotent
     (last-wins), so the pipeline is safe under batch replay too.
+    ``max_files_per_trigger`` slices the drain into several micro-batch
+    merges (without it AvailableNow takes everything discovered in ONE
+    batch — one bulk merge, not the incremental per-batch shape).
     """
-    src = spark.readStream.schema(schema).parquet(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_path)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         state_merge(

@@ -86,7 +86,6 @@ def main() -> None:
     # ---- incremental upsert ingest into a bucketed MOR state ---------
     src_dir = os.path.join(work, "updates_in")
     os.makedirs(src_dir)
-    per_batch = args.ingest_docs // args.ingest_batches
     base = (
         spark.range(args.ingest_docs)
         .select(
@@ -95,12 +94,25 @@ def main() -> None:
             F.lit("2024-01-01 00:00:00").cast("timestamp").alias("indexed_at"),
         )
     )
+    # batch boundaries cover the full id range (last batch takes the
+    # remainder); each batch coalesces to FILES_PER_BATCH files so
+    # maxFilesPerTrigger below slices the drain into one micro-batch
+    # merge per logical batch — without the slicing AvailableNow takes
+    # everything in ONE batch and the number measures a single bulk
+    # merge instead of the incremental path
+    FILES_PER_BATCH = 4
+    per_batch = -(-args.ingest_docs // args.ingest_batches)  # ceil
     for b in range(args.ingest_batches):
+        lo, hi = b * per_batch, min((b + 1) * per_batch, args.ingest_docs)
+        if lo >= hi:
+            continue
         (
             base.filter(
-                (F.col("id").substr(5, 99).cast("long") >= b * per_batch)
-                & (F.col("id").substr(5, 99).cast("long") < (b + 1) * per_batch)
-            ).write.parquet(os.path.join(src_dir, f"batch_{b:03d}"))
+                (F.col("id").substr(5, 99).cast("long") >= lo)
+                & (F.col("id").substr(5, 99).cast("long") < hi)
+            )
+            .coalesce(FILES_PER_BATCH)
+            .write.parquet(os.path.join(src_dir, f"batch_{b:03d}"))
         )
     state = os.path.join(work, "state")
     # seed the MOR layout (bucketed) so every streamed merge is O(batch)
@@ -118,6 +130,7 @@ def main() -> None:
         os.path.join(work, "ckpt_ingest"),
         base.schema,
         backend="mor",
+        max_files_per_trigger=FILES_PER_BATCH,
     )
     q.awaitTermination()
     t = round(time.perf_counter() - t0, 2)
