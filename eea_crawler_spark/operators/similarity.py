@@ -503,9 +503,18 @@ def _neardup_pairs_blocked(
 
 
 # a-side slice for the in-bucket verify: bounds the per-slice sims
-# allocation at chunk×|bucket| cells, so a pathologically skewed bucket
+# allocation at chunk×|group| cells, so a pathologically skewed bucket
 # costs more slices instead of an |bucket|²-cell OOM
 LSH_VERIFY_CHUNK = 2048
+# Per-task row cap on a verify group: a bucket larger than this is
+# salt-split into ⌈rows/cap⌉ slices and its pair space covered by
+# slice-pair tasks (the exact plan's super-tile trick), so the worst
+# crawl-corpus skew — near-identical boilerplate embeddings sharing ALL
+# band buckets — degrades to more tasks, never to one task
+# materializing the whole bucket (round-8 VERDICT #1). At the cap a
+# task holds ≤ 2·cap rows of vectors (≤ ~100 MB at 768-d f64) and the
+# chunked scorer's sims slab stays ≤ LSH_VERIFY_CHUNK·cap·8 ≈ 134 MB.
+LSH_MAX_BUCKET_ROWS = 8192
 
 
 def _band_buckets(
@@ -516,6 +525,13 @@ def _band_buckets(
     bucketing rule, shared by ``hyperplane_lsh_topk`` (one band of all
     its planes) and ``neardup_pairs_lsh`` so the two paths cannot
     drift."""
+    if p_mat.shape[0] % band_planes:
+        # n_bands = planes // band_planes would silently DROP the
+        # remainder planes — a caller bug, not a tunable (round-8 ADVICE)
+        raise ValueError(
+            f"{p_mat.shape[0]} planes do not split into bands of "
+            f"{band_planes}"
+        )
     bits = (m @ p_mat.T) >= 0
     n_bands = bits.shape[1] // band_planes
     w = (1 << np.arange(band_planes)).astype(np.int64)
@@ -532,6 +548,7 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_rows: int = LSH_MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Approximate near-dup pairs: the SCALE twin of ``neardup_pairs``.
 
@@ -553,30 +570,55 @@ def neardup_pairs_lsh(
     ~1× the input batch), a shuffle of (band, bucket)-keyed rows —
     O(n·b), never O(n²) — and per-bucket exact verification whose
     EXPECTED cost is Σ|bucket|², controlled by ``band_planes`` (each
-    extra plane halves the expected bucket size); the verifier chunks
-    its a-side so a SKEWED bucket degrades to more slices, never to an
-    |bucket|²-cell allocation (the same hazard NEARDUP_BLOCK_ROWS
-    bounds in the exact plan). Zero-norm rows are dropped at signature
-    time — they can never appear in output (NaN cosine) and they all
-    sign into ONE bucket per band, the worst skew shape. For very wide
-    vectors the b× vector shuffle can be avoided by shuffling (id,
-    band, bucket) only and re-fetching vectors for surviving candidate
-    pairs — the minhash verify pattern; not needed at the dims this
-    engine stores. Persisting the signature relation partitioned by
-    (band, bucket) turns re-runs into partition-pruned scans, the same
-    serving layout note as the ANN paths.
+    extra plane halves the expected bucket size). Zero-norm rows are
+    dropped at signature time — they can never appear in output (NaN
+    cosine) and they all sign into ONE bucket per band, the worst skew
+    shape.
+
+    SKEW: a bucket past ``max_bucket_rows`` — the COMMON shape on crawl
+    corpora, where near-identical boilerplate embeddings share every
+    band bucket — is salt-split into ⌈rows/cap⌉ hash slices, and its
+    pair space is covered by one task per unordered SLICE PAIR (the
+    exact plan's super-tile trick: a row with slice t joins tasks
+    (min(i,t), max(i,t)) for every i, so each unordered row pair lands
+    in exactly one task). Peak task memory is bounded at ~2·cap rows
+    regardless of bucket size; the hot rows' extra shuffle copies
+    (⌈rows/cap⌉ per row) stay proportional to the |bucket|²/cap verify
+    work the bucket forces anyway. Within a slice-pair task the scorer
+    is the same chunked exact kernel, so output and determinism are
+    unchanged (subset/recall pins hold across any cap). The bucket-size
+    pre-pass re-executes the signature matmul once more — ~n·dim·P
+    flops, noise next to the verify shuffle; checkpointing the b×
+    corpus-sized signed relation instead was the worse trade. For very
+    wide vectors the b× vector shuffle can be avoided by shuffling
+    (id, band, bucket) only and re-fetching vectors for surviving
+    candidate pairs — the minhash verify pattern; not needed at the
+    dims this engine stores. Persisting the signature relation
+    partitioned by (band, bucket) turns re-runs into partition-pruned
+    scans, the same serving layout note as the ANN paths.
     """
-    planes = hyperplane_planes(
-        dim=int(
-            corpus.select(F.max(F.size(vec_col))).first()[0] or 0
-        ),
-        n_planes=n_bands * band_planes,
-        seed=seed,
-    )
-    p_mat = np.asarray(planes, dtype=np.float64)
+    # one corpus probe: empty short-circuit + uniform-width contract
+    # (ragged vectors would fail deep in _vec_matrix with an opaque
+    # numpy error; round-8 ADVICE)
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
     id_type = corpus.schema[id_col].dataType.simpleString()
     sig_schema = f"{id_col} {id_type}, {vec_col} array<double>, band int, bucket long"
     pair_schema = f"a_id {id_type}, b_id {id_type}, cos double"
+    if not probe["n"]:
+        return corpus.sparkSession.createDataFrame([], pair_schema)
+    if probe["dmin"] != probe["dmax"]:
+        raise ValueError(
+            f"{vec_col} must be uniform-width: found lengths "
+            f"{probe['dmin']}..{probe['dmax']}"
+        )
+    planes = hyperplane_planes(
+        dim=int(probe["dmax"]), n_planes=n_bands * band_planes, seed=seed
+    )
+    p_mat = np.asarray(planes, dtype=np.float64)
 
     def _sign_batches(batches):
         import pandas as pd
@@ -606,43 +648,104 @@ def neardup_pairs_lsh(
         _sign_batches, sig_schema
     )
 
-    def _verify_bucket(pdf):
+    # Hot buckets (> cap rows) split into ⌈rows/cap⌉ salt slices; the
+    # hot set is tiny by construction (≤ n·b/cap buckets) so the size
+    # lookup broadcasts. A row with slice t fans out to one task per
+    # unordered slice pair touching t — ``__ns`` copies — which for
+    # non-hot buckets (ns=1, slice 0) degenerates to exactly the old
+    # one-task-per-bucket plan.
+    hot = (
+        signed.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_rows)
+        .select(
+            "band",
+            "bucket",
+            F.ceil(F.col("__bn") / F.lit(max_bucket_rows))
+            .cast("int")
+            .alias("__ns"),
+        )
+    )
+    sliced = (
+        signed.join(F.broadcast(hot), ["band", "bucket"], "left")
+        .withColumn("__ns", F.coalesce("__ns", F.lit(1)))
+        .withColumn(
+            "__sl",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col("__ns")
+            ).cast("int"),
+        )
+    )
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.col("__ns") - 1),
+        lambda i: F.struct(
+            F.least(i, F.col("__sl")).cast("int").alias("ti"),
+            F.greatest(i, F.col("__sl")).cast("int").alias("tj"),
+        ),
+    )
+    fanned = sliced.select(
+        id_col, vec_col, "band", "bucket", "__sl", F.explode(tasks).alias("__t")
+    ).select(id_col, vec_col, "band", "bucket", "__sl", "__t.ti", "__t.tj")
+
+    def _verify_group(pdf):
         import pandas as pd
 
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
         if len(pdf) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
-        ids = pdf[id_col].to_numpy()
-        mat = _vec_matrix(pdf[vec_col])
+            return empty
+        diagonal = pdf["ti"].iloc[0] == pdf["tj"].iloc[0]
+        if diagonal:
+            ids = pdf[id_col].to_numpy()
+            mat = _vec_matrix(pdf[vec_col])
+            b_ids, b_mat = ids, mat  # b-side = same rows: triangle below
+        else:
+            a_rows = pdf[pdf["__sl"] == pdf["ti"].iloc[0]]
+            b_rows = pdf[pdf["__sl"] == pdf["tj"].iloc[0]]
+            if not len(a_rows) or not len(b_rows):
+                return empty
+            ids = a_rows[id_col].to_numpy()
+            mat = _vec_matrix(a_rows[vec_col])
+            b_ids = b_rows[id_col].to_numpy()
+            b_mat = _vec_matrix(b_rows[vec_col])  # rectangle: disjoint
         nrm = np.sqrt((mat * mat).sum(axis=1))
+        b_nrm = (
+            nrm if diagonal else np.sqrt((b_mat * b_mat).sum(axis=1))
+        )
         outs = []
-        # a-side chunked + b-side sliced to [s:]: sims stay ≤ chunk×n
-        # (skew-safe), and every POSITION pair (p, q), p < q, is scored
-        # exactly once — the positional mask, with min/max id
-        # canonicalization after, replaces the id-order mask so the
-        # upper-triangle restriction also halves the matmul work
+        # a-side chunked (+ diagonal b-side sliced to [s:]): sims stay
+        # ≤ chunk×|group| cells. On the diagonal every POSITION pair
+        # (p, q), p < q, is scored exactly once — the positional mask,
+        # with min/max id canonicalization after, replaces the id-order
+        # mask so the upper-triangle restriction also halves the matmul
         for s in range(0, len(ids), LSH_VERIFY_CHUNK):
             e = min(s + LSH_VERIFY_CHUNK, len(ids))
-            pos_mask = (
-                np.arange(s, e)[:, None] < np.arange(s, len(ids))[None, :]
-            )
+            if diagonal:
+                bs = s
+                mask = (
+                    np.arange(s, e)[:, None]
+                    < np.arange(s, len(ids))[None, :]
+                )
+            else:
+                bs = 0
+                mask = None
             ai, bj, cos = _neardup_cells(
-                mat[s:e], nrm[s:e], mat[s:], nrm[s:], threshold, pos_mask
+                mat[s:e], nrm[s:e], b_mat[bs:], b_nrm[bs:], threshold, mask
             )
-            a_ids, b_ids = ids[s:e][ai], ids[s:][bj]
+            a_ids, bb_ids = ids[s:e][ai], b_ids[bs:][bj]
             outs.append(
                 pd.DataFrame(
                     {
-                        "a_id": np.minimum(a_ids, b_ids),
-                        "b_id": np.maximum(a_ids, b_ids),
+                        "a_id": np.minimum(a_ids, bb_ids),
+                        "b_id": np.maximum(a_ids, bb_ids),
                         "cos": cos,
                     }
                 )
             )
-        return pd.concat(outs, ignore_index=True)
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     return (
-        signed.groupBy("band", "bucket")
-        .applyInPandas(_verify_bucket, pair_schema)
+        fanned.groupBy("band", "bucket", "ti", "tj")
+        .applyInPandas(_verify_group, pair_schema)
         # a close pair collides in several bands — one row per pair
         # (cos is a pure function of the pair, so distinct is exact)
         .distinct()

@@ -449,9 +449,16 @@ def run_sync(
         # or the converter ever drops a row its still-errored stored
         # doc must stay in the ledger — keying on `due` would silently
         # reset its error budget
+        env_err = envelopes.select("id", (F.size("errors") > 0).alias("__e"))
+        if converter is None:
+            # envelopes is un-checkpointed on this branch (the converter
+            # branch checkpointed it above), so BOTH fold legs would
+            # re-run the fetched×due assembly joins (round-8 ADVICE) —
+            # one lazy narrow (id, bool) checkpoint feeds both
+            env_err = env_err.localCheckpoint(eager=False)
         errored_now = errored_pre.join(
-            envelopes.select("id"), "id", "left_anti"
-        ).unionByName(envelopes.filter(F.size("errors") > 0).select("id"))
+            env_err.select("id"), "id", "left_anti"
+        ).unionByName(env_err.filter(F.col("__e")).select("id"))
         new_ledger = INC.quarantine_fold(
             ledger.select("id", "error_cnt", "skip_cnt"), errored_now
         )

@@ -99,12 +99,28 @@ def is_delta_table(path: str) -> bool:
 
 
 def is_mor_table(path: str) -> bool:
-    """Merge-on-read layout sniff: a ``_mor`` dir beside the base files."""
-    return os.path.isdir(os.path.join(path, _MOR_DIR))
+    """Merge-on-read layout sniff: a committed ``_mor/spec.json`` (the
+    spec write is the layout's commit point — a bare ``_mor`` dir from
+    an interrupted conversion is NOT a MOR table; its base files still
+    read as plain parquet)."""
+    return os.path.isfile(_mor_spec_path(path))
 
 
 def table_exists(path: str) -> bool:
-    return os.path.exists(path)
+    """True when ``path`` holds a READABLE state table — a format marker
+    (Delta log / MOR spec) or at least one parquet data file. A leftover
+    empty or partially-written directory (an interrupted first write)
+    is treated as absent, so first-run detection stays a recognizable
+    "no table yet" instead of an opaque parquet schema-inference error
+    downstream (round-8 ADVICE)."""
+    if not os.path.isdir(path):
+        return False
+    if is_delta_table(path) or is_mor_table(path):
+        return True
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -582,3 +582,31 @@ def test_mor_past_cap_resolve_base_stays_sort_free(spark, tmp_path, monkeypatch)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_table_exists_probes_markers(spark, tmp_path):
+    """Round-8 ADVICE: an empty or partially-written directory (an
+    interrupted first write) must read as 'no table yet' — a
+    recognizable first run — not route into a parquet schema-inference
+    error. A format marker or a data file flips it to True."""
+    path = str(tmp_path / "t")
+    assert not LK.table_exists(path)  # missing entirely
+
+    import os
+
+    os.makedirs(path)
+    assert not LK.table_exists(path)  # empty dir: aborted bootstrap
+    # _SUCCESS alone (crashed mid-write cleanup) is still not a table
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    assert not LK.table_exists(path)
+    # a bare _mor dir without a committed spec is not a MOR table either
+    os.makedirs(os.path.join(path, "_mor"))
+    assert not LK.table_exists(path) and not LK.is_mor_table(path)
+
+    # real writes flip it
+    p2 = str(tmp_path / "t2")
+    _df(spark, [("a", "v1", 1)]).write.parquet(p2)
+    assert LK.table_exists(p2)
+    p3 = str(tmp_path / "t3")
+    LK.merge_upsert(spark, p3, _df(spark, [("a", "v1", 1)]), backend="mor")
+    assert LK.table_exists(p3) and LK.is_mor_table(p3)

@@ -233,3 +233,91 @@ def test_neardup_lsh_subset_and_recall(spark):
         for r in SIM.neardup_pairs_lsh(df, threshold=t).collect()
     }
     assert again == got
+
+
+def test_neardup_lsh_hot_bucket_salt_split(spark):
+    """Round-8 VERDICT #1: a bucket far past the per-task cap (the
+    boilerplate-duplicate skew shape — near-identical vectors share
+    EVERY band bucket) must salt-split into slice-pair tasks with
+    identical output. Forcing max_bucket_rows below the duplicate
+    cluster size exercises the fan-out on every band; the result must
+    equal the uncapped run AND stay a subset of the exact operator with
+    identical cosines."""
+    import numpy as np
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # one boilerplate cluster of 90 near-identical vectors: all 90 land
+    # in the same bucket in every band (bucket size 90 >> cap 16)
+    center = rng.standard_normal(24)
+    for i in range(90):
+        v = center + 0.005 * rng.standard_normal(24)
+        rows.append((i, [float(x) for x in v]))
+    # plus background noise rows
+    for i in range(60):
+        rows.append((1000 + i, [float(x) for x in rng.standard_normal(24)]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    t = 0.9
+    uncapped = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(df, threshold=t).collect()
+    }
+    capped = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            df, threshold=t, max_bucket_rows=16
+        ).collect()
+    }
+    assert capped == uncapped
+    # the cluster's pair space survived the split intact: the exact
+    # operator finds all ~C(90,2) cluster pairs and LSH catches them
+    # (cos ≈ 1 ⇒ per-band collision probability ≈ 1)
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(df, threshold=t).collect()
+    }
+    cluster_pairs = {k for k in exact if k[0] < 90 and k[1] < 90}
+    assert len(cluster_pairs) > 3000  # the hot-bucket mass is real
+    assert cluster_pairs <= set(capped)
+    assert set(capped) <= set(exact)
+    assert all(exact[k] == v for k, v in capped.items())
+
+
+def test_neardup_lsh_empty_and_ragged(spark):
+    """Round-8 ADVICE: empty corpus short-circuits to an empty result
+    (dim probe would otherwise feed hyperplane_planes(0)); ragged
+    vector widths fail with a contract message, not a numpy shape
+    error deep inside a task."""
+    import pytest as _pytest
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = SIM.neardup_pairs_lsh(empty, threshold=0.9)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["a_id", "b_id", "cos"]
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="uniform-width"):
+        SIM.neardup_pairs_lsh(ragged, threshold=0.9)
+
+
+def test_band_buckets_rejects_remainder_planes():
+    """Round-8 ADVICE: _band_buckets must refuse a plane count that
+    does not split into whole bands instead of silently dropping the
+    remainder planes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from eea_crawler_spark.operators.similarity import _band_buckets
+
+    m = np.ones((3, 4))
+    p = np.ones((10, 4))  # 10 planes, bands of 4 → 2 planes dropped
+    with _pytest.raises(ValueError, match="do not split"):
+        _band_buckets(m, p, 4)
