@@ -244,6 +244,84 @@ def _pair_jaccard_arrays(arrs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _rescore_candidates(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact rescore of a candidate shortlist with ZERO inverted-index
+    passes. ``base``: the per-doc array relation (id, g, n>0);
+    ``pairs``: a CHECKPOINTED canonical shortlist (doc_a, doc_b, na,
+    nb). Two plans with identical output, chosen by the measured
+    shingle volume of the candidate docs (one tiny aggregate over the
+    checkpointed shortlist — na/nb already ride on every pair row, so
+    the stats need no second look at the corpus):
+
+     * broadcast (small shortlists): candidate docs' full sorted
+       arrays broadcast onto the pair list, intersection is one
+       codegen array_intersect per pair — zero shuffles;
+     * shuffle (corpus-scale shortlists): the broadcast build is
+       O(candidate docs × shingles/doc) and collects to the driver —
+       at 5M docs (sf100 replica corpus) it exceeded
+       spark.driver.maxResultSize. The pair-anchored form
+       (_pair_jaccard_arrays) shuffles only the candidate docs' array
+       rows — linear in candidate volume, nothing driver-side.
+    """
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("id"), F.col("na").alias("n"))
+        .union(
+            pairs.select(F.col("doc_b").alias("id"), F.col("nb").alias("n"))
+        )
+        .distinct()
+    )
+    tot = cand_docs.agg(F.sum("n").alias("s")).first()
+    if int(tot["s"] or 0) * 8 <= RESCORE_BROADCAST_MAX_BYTES:
+        fullsets = base.select("id", "g").join(
+            F.broadcast(cand_docs.select("id")), ["id"], "left_semi"
+        )
+        inter = F.size(F.array_intersect("g_a", "g_b"))
+        return (
+            pairs.join(
+                F.broadcast(
+                    fullsets.select(
+                        F.col("id").alias("doc_a"), F.col("g").alias("g_a")
+                    )
+                ),
+                ["doc_a"],
+            )
+            .join(
+                F.broadcast(
+                    fullsets.select(
+                        F.col("id").alias("doc_b"), F.col("g").alias("g_b")
+                    )
+                ),
+                ["doc_b"],
+            )
+            # two-step projection: `i` is consumed twice below and
+            # CollapseProject keeps non-cheap aliases used more than
+            # once, so array_intersect evaluates once per pair
+            .select("doc_a", "doc_b", inter.alias("i"), "na", "nb")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i")),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+    # corpus-scale shortlists: same per-pair array_intersect as the
+    # broadcast plan, but the array payloads arrive by shuffle join
+    # instead of broadcast. This replaced a pair-anchored EXPLODED-
+    # shingle join: that form pushed one row per (pair, shared
+    # shingle) — 1.05B rows at sf100 — through a re-aggregation that
+    # spilled 23 GB; the array form shuffles one wide row per pair
+    # side and intersects in codegen, no aggregate at all.
+    return _pair_jaccard_arrays(
+        base.select("id", "g").join(
+            cand_docs.select("id"), ["id"], "left_semi"
+        ),
+        pairs.select("doc_a", "doc_b"),
+    )
+
+
 def shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -288,6 +366,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    against: DataFrame | None = None,
+    against_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -301,7 +381,23 @@ def ngram_jaccard_pairs(
     residual hot-key valve, then rescores candidates over full shingle
     sets. Same output as uncapped at any threshold-relevant pair
     (pinned capped==uncapped in tests/test_extras_oracle.py).
+
+    ``against``: the INCREMENTAL (delta-vs-corpus) form a nightly
+    ingest runs — ``df`` is the delta of new docs, ``against`` the
+    standing corpus (id-disjoint by contract). Output equals the
+    self-join over ``df ∪ against`` RESTRICTED to pairs touching the
+    delta (pinned in tests/test_incremental_dedup.py): only the delta
+    side drives the candidate pair expansion, so the quadratic work is
+    |delta|·df-per-shingle instead of |corpus|², and the corpus pays
+    one linear pass. ``against_arrays`` supplies the corpus's persisted
+    per-doc shingle-array relation (``build_text_dedup_state``) so
+    that linear pass skips re-shingling — the serving layout.
     """
+    if against is not None:
+        return _ngram_jaccard_pairs_delta(
+            df, against, text_col, id_col, n, threshold, max_df,
+            against_arrays,
+        )
     if max_df is None:
         # the self-join + sizes reuse sh 3×; materialize the explode
         # once — STRING shingles here: the uncapped path is the
@@ -475,82 +571,7 @@ def ngram_jaccard_pairs(
                 spark.conf.unset(_adv_key)
             else:
                 spark.conf.set(_adv_key, _adv_old)
-        # exact rescore with ZERO inverted-index passes. Two plans with
-        # identical output, chosen by the measured shingle volume of
-        # the candidate docs (one tiny aggregate over the checkpointed
-        # shortlist — na/nb already ride on every pair row, so the
-        # stats need no second look at the corpus):
-        #  * broadcast (small shortlists): candidate docs' full sorted
-        #    arrays broadcast onto the pair list, intersection is one
-        #    codegen array_intersect per pair — zero shuffles;
-        #  * shuffle (corpus-scale shortlists): the broadcast build is
-        #    O(candidate docs × shingles/doc) and collects to the
-        #    driver — at 5M docs (sf100 replica corpus) it exceeded
-        #    spark.driver.maxResultSize. The pair-anchored
-        #    inverted-index join (same shape as _pair_jaccard's
-        #    restricted leg) shuffles only the candidate docs'
-        #    exploded shingles — linear in candidate volume, nothing
-        #    driver-side.
-        cand_docs = (
-            pairs.select(F.col("doc_a").alias("id"), F.col("na").alias("n"))
-            .union(
-                pairs.select(F.col("doc_b").alias("id"), F.col("nb").alias("n"))
-            )
-            .distinct()
-        )
-        tot = cand_docs.agg(F.sum("n").alias("s")).first()
-        if int(tot["s"] or 0) * 8 <= RESCORE_BROADCAST_MAX_BYTES:
-            fullsets = base.select("id", "g").join(
-                F.broadcast(cand_docs.select("id")), ["id"], "left_semi"
-            )
-            inter = F.size(F.array_intersect("g_a", "g_b"))
-            scored = (
-                pairs.join(
-                    F.broadcast(
-                        fullsets.select(
-                            F.col("id").alias("doc_a"), F.col("g").alias("g_a")
-                        )
-                    ),
-                    ["doc_a"],
-                )
-                .join(
-                    F.broadcast(
-                        fullsets.select(
-                            F.col("id").alias("doc_b"), F.col("g").alias("g_b")
-                        )
-                    ),
-                    ["doc_b"],
-                )
-                # two-step projection: `i` is consumed twice below and
-                # CollapseProject keeps non-cheap aliases used more than
-                # once, so array_intersect evaluates once per pair
-                .select("doc_a", "doc_b", inter.alias("i"), "na", "nb")
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    F.round(
-                        F.col("i").cast("double")
-                        / (F.col("na") + F.col("nb") - F.col("i")),
-                        6,
-                    ).alias("jaccard"),
-                )
-            )
-        else:
-            # corpus-scale shortlists: same per-pair array_intersect as
-            # the broadcast plan, but the array payloads arrive by
-            # shuffle join instead of broadcast (the broadcast build
-            # exceeded driver maxResultSize at 5M docs). This replaced
-            # a pair-anchored EXPLODED-shingle join: that form pushed
-            # one row per (pair, shared shingle) — 1.05B rows at sf100
-            # — through a re-aggregation that spilled 23 GB; the array
-            # form shuffles one wide row per pair side and intersects
-            # in codegen, no aggregate at all.
-            scored = _pair_jaccard_arrays(
-                base.select("id", "g").join(
-                    cand_docs.select("id"), ["id"], "left_semi"
-                ),
-                pairs.select("doc_a", "doc_b"),
-            )
+        scored = _rescore_candidates(base, pairs)
     # single-pass global sort: the result is a near-dup shortlist, and
     # orderBy's range-partition sampling would execute the rescore plan
     # twice just to order it. repartition(1), NOT coalesce(1): coalesce
@@ -559,6 +580,192 @@ def ngram_jaccard_pairs(
     # the sf100 wall — funnelling 93.6M partial-agg rows through a
     # single core). The explicit exchange keeps the upstream at cluster
     # width and moves only the post-filter shortlist.
+    return (
+        scored.filter(F.col("jaccard") >= threshold)
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_pairs_delta(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+    corpus_arrays: DataFrame | None,
+) -> DataFrame:
+    """Delta-vs-corpus n-gram Jaccard: pairs touching the delta only.
+
+    The reference's own sync applies exactly this shape to crawling —
+    only changed docs pay (crawl_plone_restapi.py:145-161); here it is
+    the dedup twin: new docs probe the corpus relations instead of
+    re-running the corpus×corpus self-join. The candidate join's
+    a-side holds ONLY delta prefixes; the b-side is the union, so the
+    pair expansion is linear in delta volume. hot/hp statistics and the
+    rescore run over the UNION — identical numbers to the self-join —
+    which is what makes the output provably equal to
+    ``ngram_jaccard_pairs(delta ∪ corpus)`` restricted to delta-touching
+    pairs (the pytest pin). Delta-delta pairs keep the a<b orientation;
+    delta-corpus pairs are enumerated once (ids are side-disjoint by
+    contract) and canonicalized by swapping the per-side stats."""
+    if max_df is None:
+        # uncapped reference plan, delta-anchored: only shingles of
+        # delta docs expand into pairs
+        sh_new = shingles(new, text_col, id_col, n).localCheckpoint(
+            eager=True
+        )
+        sh_corp = shingles(corpus, text_col, id_col, n).localCheckpoint(
+            eager=True
+        )
+        sh_all = sh_new.withColumn("__d", F.lit(True)).unionByName(
+            sh_corp.withColumn("__d", F.lit(False))
+        )
+        sizes = sh_all.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        a = _wide_by(sh_new, "shingle").select(
+            F.col("id").alias("ia"), "shingle"
+        )
+        b = sh_all.select(F.col("id").alias("ib"), "shingle", "__d")
+        inter = (
+            a.join(b, ["shingle"])
+            # delta-delta once via a<b; delta-corpus once by disjointness
+            .filter(
+                (F.col("ia") != F.col("ib"))
+                & (~F.col("__d") | (F.col("ia") < F.col("ib")))
+            )
+            .select(
+                F.least("ia", "ib").alias("doc_a"),
+                F.greatest("ia", "ib").alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        scored = (
+            inter.join(
+                sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na")),
+                ["doc_a"],
+            )
+            .join(
+                sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb")),
+                ["doc_b"],
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("inter")),
+                    6,
+                ).alias("jaccard"),
+            )
+        )
+    else:
+        # prefix-filtered delta probe: the PPJoin-family machinery of
+        # the self-join (see ngram_jaccard_pairs inline comments for
+        # the prefix/positional/hot-valve proofs — unchanged here),
+        # with the a-side restricted to delta prefixes
+        arr_new = shingle_arrays(new, text_col, id_col, n).localCheckpoint(
+            eager=True
+        )
+        if corpus_arrays is None:
+            corpus_arrays = shingle_arrays(
+                corpus, text_col, id_col, n
+            ).localCheckpoint(eager=True)
+        arr = arr_new.select("id", "g").withColumn(
+            "__d", F.lit(True)
+        ).unionByName(
+            corpus_arrays.select("id", "g").withColumn("__d", F.lit(False))
+        )
+        base = arr.select("id", "g", "__d", F.size("g").alias("n")).filter(
+            F.col("n") > 0
+        )
+        plen = (F.floor(F.lit(1.0 - threshold) * F.col("n")) + 1).cast("int")
+        pre = base.select(
+            "id",
+            "n",
+            "__d",
+            F.posexplode(F.slice("g", F.lit(1), plen)).alias("pos", "shingle"),
+        ).withColumn("pos", F.col("pos") + 1)
+        # hot shingles and per-doc hot-prefix counts over the UNION —
+        # the same statistics the self-join computes, so the positional
+        # bound is numerically identical on every delta-touching pair
+        hot = (
+            pre.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        cold = pre.join(F.broadcast(hot), ["shingle"], "left_anti")
+        hp = (
+            pre.join(F.broadcast(hot), ["shingle"], "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("hp"))
+        )
+        side = _wide_by(cold, "shingle")
+        a = side.filter(F.col("__d")).select(
+            F.col("id").alias("ia"), "shingle",
+            F.col("n").alias("nA"), F.col("pos").alias("pA"),
+        )
+        b = side.select(
+            F.col("id").alias("ib"), "shingle",
+            F.col("n").alias("nB"), F.col("pos").alias("pB"), "__d",
+        )
+        swap = F.col("ia") > F.col("ib")
+        cand = (
+            # the delta side is the small build relation
+            a.hint("shuffle_hash")
+            .join(b, ["shingle"])
+            .filter(
+                (F.col("ia") != F.col("ib"))
+                & (~F.col("__d") | (F.col("ia") < F.col("ib")))
+            )
+            .filter(
+                F.least("nA", "nB").cast("double") / F.greatest("nA", "nB")
+                >= threshold
+            )
+            # canonicalize doc_a < doc_b, swapping per-side stats along
+            .select(
+                F.when(swap, F.col("ib")).otherwise(F.col("ia")).alias("doc_a"),
+                F.when(swap, F.col("ia")).otherwise(F.col("ib")).alias("doc_b"),
+                F.when(swap, F.col("nB")).otherwise(F.col("nA")).alias("na"),
+                F.when(swap, F.col("nA")).otherwise(F.col("nB")).alias("nb"),
+                F.when(swap, F.col("pB")).otherwise(F.col("pA")).alias("pa"),
+                F.when(swap, F.col("pA")).otherwise(F.col("pB")).alias("pb"),
+            )
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(
+                F.count(F.lit(1)).alias("cp"),
+                F.max("pa").alias("ia"),
+                F.max("pb").alias("jb"),
+            )
+            .join(
+                hp.select(F.col("id").alias("doc_a"), F.col("hp").alias("hp_a")),
+                ["doc_a"],
+                "left",
+            )
+            .join(
+                hp.select(F.col("id").alias("doc_b"), F.col("hp").alias("hp_b")),
+                ["doc_b"],
+                "left",
+            )
+        )
+        ub = F.least(
+            F.col("cp")
+            + F.least(
+                F.coalesce("hp_a", F.lit(0)), F.coalesce("hp_b", F.lit(0))
+            )
+            + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")),
+            F.least("na", "nb"),
+        )
+        pairs = (
+            cand.filter(
+                ub.cast("double") / (F.col("na") + F.col("nb") - ub)
+                >= threshold
+            ).select("doc_a", "doc_b", "na", "nb")
+        ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
+        scored = _rescore_candidates(base, pairs)
     return (
         scored.filter(F.col("jaccard") >= threshold)
         .repartition(1)

@@ -429,6 +429,10 @@ def run_sync(
             spark, paths.raw, envelopes, key="id", order_col="indexed_at",
             strategy=merge_strategy, backend=cfg.state_backend,
             n_buckets=cfg.state_buckets, batch_rows=n_fetched,
+            # one envelope per due id (fetch_docs contract + 1:1 joins):
+            # the within-batch dedup window is a provable no-op — at 5M
+            # docs skipping it removes a full corpus shuffle+sort
+            unique_keys=True,
         )
     _mark("raw_merge")
 
@@ -521,6 +525,9 @@ def run_sync(
             else "window",
             backend=cfg.state_backend,
             n_buckets=cfg.state_buckets, batch_rows=n_norm,
+            # one searchui row per changed id (the chain and the site
+            # plugins are 1:1) — same no-op-dedup contract as raw above
+            unique_keys=True,
         )
         if cfg.embed and paths.chunks and "fulltext" in searchui.columns:
             from eea_crawler_spark.operators.embeddings import embed_chunks
@@ -536,7 +543,7 @@ def run_sync(
             SK.upsert_index(
                 spark, paths.chunks, chunks, key="chunk_id",
                 order_col="indexed_at", backend=cfg.state_backend,
-                n_buckets=cfg.state_buckets,
+                n_buckets=cfg.state_buckets, unique_keys=True,
             )
 
     # 6. deletions (J2): apply the candidates the step-2b guard approved
@@ -749,6 +756,8 @@ def run_renormalize(
         SK.upsert_index(
             spark, paths.searchui, searchui, key="id",
             order_col="indexed_at", batch_rows=n,
+            # one row per raw id (the resolved raw table is key-unique)
+            unique_keys=True,
         )
     SK.status_event(
         spark, paths.status, f"renormalize:{site_id or 'all'}", "finished", docs_cnt=n

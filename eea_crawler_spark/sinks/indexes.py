@@ -38,18 +38,21 @@ def upsert_index(
     backend: str = "auto",
     n_buckets: int | None = None,
     batch_rows: int | None = None,
+    unique_keys: bool = False,
 ) -> None:
     """S11/O4: keyed last-wins upsert into the canonical table.
     ``strategy="broadcast"`` = the small-batch zero-state-shuffle merge
     plan; ``backend`` routes the table format (delta / mor / parquet),
-    ``n_buckets`` buckets a newly-created mor table on its key —
+    ``n_buckets`` buckets a newly-created mor table on its key,
+    ``unique_keys`` = caller contract that the batch has one row per
+    key (skips the within-batch dedup shuffle) —
     see sinks.lakehouse.merge_upsert."""
     from eea_crawler_spark.sinks.lakehouse import merge_upsert
 
     merge_upsert(
         spark, table_path, updates, key=key, order_col=order_col,
         strategy=strategy, backend=backend, n_buckets=n_buckets,
-        batch_rows=batch_rows,
+        batch_rows=batch_rows, unique_keys=unique_keys,
     )
 
 

@@ -559,6 +559,7 @@ def _mor_upsert(
     order_col: str,
     n_buckets: int | None = None,
     batch_rows: int | None = None,
+    unique_keys: bool = False,
 ) -> None:
     """O(batch) upsert: within-batch last-wins dedup (unique keys per
     segment make the resolve window deterministic), append, maybe
@@ -574,8 +575,17 @@ def _mor_upsert(
     update plan). A batch at or past the compaction fraction of the
     base would trigger the fold the moment its segment landed — such
     batches skip the append and merge directly into the next base
-    epoch (ONE corpus write instead of two)."""
-    src = _dedup_last_wins(updates, key, order_col)
+    epoch (ONE corpus write instead of two).
+
+    ``unique_keys``: the caller CONTRACTS the batch holds one row per
+    key, so the within-batch dedup window is skipped. On a first write
+    that window is a full shuffle + sort of the (wide) batch — at 5M
+    docs it was the single largest slice of the initial sync's searchui
+    merge wall (BASELINE round-8 decomposition) — and with unique keys
+    it is a provable no-op. The MOR resolve stays deterministic because
+    the per-segment uniqueness invariant the window existed to enforce
+    holds by contract instead."""
+    src = updates if unique_keys else _dedup_last_wins(updates, key, order_col)
     if not table_exists(path):
         _write_base(spark, src, path, key, n_buckets)
         _mor_init(path, key, order_col, n_buckets=n_buckets)
@@ -632,10 +642,21 @@ def merge_upsert(
     strategy: str = "window",
     n_buckets: int | None = None,
     batch_rows: int | None = None,
+    unique_keys: bool = False,
 ) -> None:
     """Keyed last-wins upsert; ties go to the update (idempotent under
     at-least-once replay) — identical semantics on both backends,
     pinned by the backend-parametrized merge tests.
+
+    ``unique_keys``: caller contract that the batch holds AT MOST one
+    row per key, which makes the within-batch last-wins dedup a no-op —
+    it is skipped, saving a full batch shuffle + sort (the dominant
+    cost of a corpus-sized first write; see ``_mor_upsert``). The sync
+    pipeline's batches qualify by construction (one envelope per due
+    id, one searchui row per changed id). A caller that passes this
+    with duplicate keys gets whichever duplicate the merge encounters —
+    the same class of contract as Delta's unique-source-key MERGE
+    requirement.
 
     ``n_buckets``: bucket the state on its key at creation time (mor
     backend only) — every base rewrite stays bucketed+sorted, so the
@@ -660,12 +681,15 @@ def merge_upsert(
         _mor_upsert(
             spark, path, updates, key, order_col,
             n_buckets=n_buckets, batch_rows=batch_rows,
+            unique_keys=unique_keys,
         )
         return
     if picked == "delta":
         from delta.tables import DeltaTable
 
-        src = _dedup_last_wins(updates, key, order_col)
+        src = (
+            updates if unique_keys else _dedup_last_wins(updates, key, order_col)
+        )
         if not table_exists(path):
             src.write.format("delta").save(path)
             return
@@ -713,7 +737,9 @@ def merge_upsert(
                 current, updates, key=key, order_col=order_col
             )
     else:
-        merged = _dedup_last_wins(updates, key, order_col)
+        merged = (
+            updates if unique_keys else _dedup_last_wins(updates, key, order_col)
+        )
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     was_mor = is_mor_table(path) if os.path.exists(path) else False

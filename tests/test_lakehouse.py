@@ -610,3 +610,24 @@ def test_table_exists_probes_markers(spark, tmp_path):
     p3 = str(tmp_path / "t3")
     LK.merge_upsert(spark, p3, _df(spark, [("a", "v1", 1)]), backend="mor")
     assert LK.table_exists(p3) and LK.is_mor_table(p3)
+
+
+@pytest.mark.parametrize("backend", ["parquet", "mor"])
+def test_merge_upsert_unique_keys_fast_path(spark, tmp_path, backend):
+    """unique_keys contract: on key-unique batches the fast path (dedup
+    window skipped) must produce the identical table state as the
+    default path — first write (where it saves a corpus shuffle+sort),
+    a follow-up merge, and on mor a bucketed first write whose base
+    must stay bucketed through the resolve."""
+    base = str(tmp_path / "a")
+    fast = str(tmp_path / "b")
+    b1 = _df(spark, [("a", "v1", 1), ("b", "v1", 1), ("c", "v1", 1)])
+    b2 = _df(spark, [("a", "v2", 2), ("d", "v1", 2)])
+    for path, uk in [(base, False), (fast, True)]:
+        LK.merge_upsert(spark, path, b1, backend=backend, unique_keys=uk,
+                        n_buckets=4 if backend == "mor" else None)
+        LK.merge_upsert(spark, path, b2, backend=backend, unique_keys=uk,
+                        n_buckets=4 if backend == "mor" else None)
+    assert _rows(spark, base) == _rows(spark, fast)
+    if backend == "mor":
+        assert LK._mor_spec(fast)["n_buckets"] == 4
