@@ -903,6 +903,9 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    against: DataFrame | None = None,
+    against_arrays: DataFrame | None = None,
+    against_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -912,7 +915,23 @@ def minhash_lsh_pairs(
     at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9997.
 
     Output: (doc_a, doc_b, est_jaccard, jaccard) for jaccard ≥ threshold.
+
+    ``against``: the incremental delta-vs-corpus form — ``df`` is the
+    delta, ``against`` the standing corpus (id-disjoint by contract).
+    Output equals the self-join over the union restricted to pairs
+    touching the delta (signatures are deterministic functions of the
+    text, so the union's banding is identical; pinned in
+    tests/test_incremental_dedup.py). Only delta band rows drive the
+    candidate join. ``against_arrays`` / ``against_sigs`` supply the
+    corpus's persisted shingle-array / signature relations
+    (``build_text_dedup_state``) so the corpus pays zero per-run
+    shingling or hashing — the serving layout.
     """
+    if against is not None:
+        return _minhash_lsh_pairs_delta(
+            df, against, text_col, id_col, n, num_hashes, bands,
+            threshold, against_arrays, against_sigs,
+        )
     rows_per_band = num_hashes // bands
     # The signature table is the cache unit (one 64-long row per doc,
     # consumed by banding + the est join twice). The shingle relation
@@ -983,6 +1002,154 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_lsh_pairs_delta(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    corpus_arrays: DataFrame | None,
+    corpus_sigs: DataFrame | None,
+) -> DataFrame:
+    """Delta-vs-corpus MinHash banding: delta band rows probe the
+    union's band relation, so candidate expansion is linear in delta
+    volume; est + exact verification run over union signatures/arrays
+    with the identical arithmetic as the self-join (the equality pin's
+    basis). Corpus-side relations can arrive persisted
+    (``build_text_dedup_state``) — then the corpus pays only the band
+    projection of its signature rows per run, no shingling."""
+    rows_per_band = num_hashes // bands
+    arr_new = shingle_arrays(new, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
+    sigs_new = _signatures_from_arrays(arr_new, num_hashes).localCheckpoint(
+        eager=True
+    )
+    if corpus_arrays is None:
+        corpus_arrays = shingle_arrays(
+            corpus, text_col, id_col, n
+        ).localCheckpoint(eager=True)
+    if corpus_sigs is None:
+        corpus_sigs = _signatures_from_arrays(
+            corpus_arrays, num_hashes
+        ).localCheckpoint(eager=True)
+    sigs_all = sigs_new.select("id", "sig").withColumn(
+        "__d", F.lit(True)
+    ).unionByName(
+        corpus_sigs.select("id", "sig").withColumn("__d", F.lit(False))
+    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
+    )
+    banded_new = _wide_by(
+        sigs_new.filter(F.size("sig") > 0).select(
+            "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        ),
+        "band_idx",
+        "band_hash",
+    )
+    banded_all = sigs_all.filter(F.size("sig") > 0).select(
+        "id", "__d", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    cand = (
+        banded_new.alias("x")
+        .join(banded_all.alias("y"), ["band_idx", "band_hash"])
+        # delta-delta once via a<b; delta-corpus once by disjointness
+        .filter(
+            (F.col("x.id") != F.col("y.id"))
+            & (~F.col("y.__d") | (F.col("x.id") < F.col("y.id")))
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("doc_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("doc_b"),
+        )
+        .distinct()
+    ).localCheckpoint(eager=True)  # the near-dup candidate shortlist
+    sigs_flat = sigs_all.select("id", "sig")
+    est = (
+        cand.join(
+            sigs_flat.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            ["doc_a"],
+        )
+        .join(
+            sigs_flat.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            ["doc_b"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / num_hashes,
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("id"))
+        .union(cand.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    arrs_cand = (
+        arr_new.select("id", "g")
+        .unionByName(corpus_arrays.select("id", "g"))
+        .join(cand_ids, ["id"], "left_semi")
+    ).localCheckpoint(eager=True)
+    exact = _pair_jaccard_arrays(arrs_cand, cand)
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def build_text_dedup_state(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> None:
+    """Persist the corpus-side relations the incremental dedup probes
+    read (``against_arrays`` / ``against_sigs``): per-doc sorted hashed
+    shingle arrays under ``<path>/arrays`` and MinHash signatures under
+    ``<path>/sigs``. This is the serving layout for the nightly-ingest
+    shape — "dedup 50k new docs against 5M indexed" pays the corpus's
+    shingling/hashing ONCE here, not per delta run; both relations are
+    deterministic functions of the text, so probing them is
+    output-identical to recomputing (the equality pins run both ways).
+    Keep in sync with upserts the same way the searchui table is —
+    rewrite rows whose text changed (the relations are keyed by id)."""
+    arr = shingle_arrays(docs, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
+    arr.write.mode("overwrite").parquet(f"{path}/arrays")
+    _signatures_from_arrays(arr, num_hashes).write.mode("overwrite").parquet(
+        f"{path}/sigs"
+    )
+
+
+def read_text_dedup_state(spark, path: str):
+    """Load the persisted corpus relations (see build_text_dedup_state):
+    returns ``(arrays, sigs)`` ready to pass as ``against_arrays`` /
+    ``against_sigs``."""
+    return (
+        spark.read.parquet(f"{path}/arrays"),
+        spark.read.parquet(f"{path}/sigs"),
     )
 
 

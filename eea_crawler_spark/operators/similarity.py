@@ -218,13 +218,56 @@ def brute_force_topk(
     return _fused_topk(corpus, queries, k, id_col, vec_col)
 
 
+# Operator-selection gate for the near-dup family (the ONE documented
+# rule — round-8 VERDICT #5): `neardup_pairs` is EXACT and O(n²) score
+# work by contract; past this corpus size (float64 bytes = n·dim·8) it
+# auto-escalates to `neardup_pairs_lsh` — whose output is a SUBSET of
+# the exact pairs with identical cosines, recall < 1 by design (~0.996
+# at cos 0.9 under the derived banding, → 1 as cos → 1). 2 GiB ≈ 350k
+# rows at 768-d / 4M rows at 64-d — past the measured comfort zone of
+# the blocked exact plan (sf10-class, ~1 GiB, 32-50 s on this box; the
+# n² prescreen alone quadruples per 2× rows). Pass escalate_bytes=None
+# to force the exact plan at any size.
+NEARDUP_LSH_ESCALATE_BYTES = 2 << 30
+
+
+def _lsh_params_for(threshold: float) -> tuple[int, int]:
+    """(n_bands, band_planes) for an escalated near-dup run: pick the
+    band width by threshold regime (wider bands prune harder but need
+    more of them at low thresholds), then the band count so a pair AT
+    the threshold is caught w.p. ≥ ~0.98 — 1-(1-p^r)^b with
+    p = 1 - arccos(t)/π, the standard cosine-LSH banding calculus."""
+    r = 8 if threshold >= 0.85 else 6 if threshold >= 0.7 else 4 if threshold >= 0.5 else 3
+    p = 1.0 - np.arccos(min(1.0, threshold)) / np.pi
+    b = int(np.ceil(np.log(0.02) / np.log(1.0 - p**r)))
+    return max(4, min(64, b)), r
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    against: DataFrame | None = None,
+    escalate_bytes: int | None = NEARDUP_LSH_ESCALATE_BYTES,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
+
+    ``against``: the INCREMENTAL delta-vs-corpus form — ``corpus`` is
+    then the delta of new vectors and ``against`` the standing state
+    (id-disjoint by contract). Output equals the full operator over the
+    union restricted to pairs touching the delta, with bit-identical
+    cosines (pinned in tests/test_incremental_dedup.py): delta×delta
+    runs this operator on the delta alone; delta×state runs a broadcast
+    (small delta) or blocked-cross plan that never enumerates
+    state×state. The escalation gate below does not apply — the
+    incremental shape is already linear in the state.
+
+    ``escalate_bytes``: the declared operator-selection gate
+    (``NEARDUP_LSH_ESCALATE_BYTES``). A corpus past it delegates to
+    ``neardup_pairs_lsh`` with threshold-derived banding
+    (``_lsh_params_for``) — output becomes a high-recall SUBSET with
+    identical cosines instead of the exact set; ``None`` forces exact.
 
     Exact and therefore O(n²) score work by construction. Two plans,
     identical output (same float64 matmul over the same full-dim
@@ -249,6 +292,10 @@ def neardup_pairs(
         ``hyperplane_lsh_topk`` / MinHash buckets are the approximate
         candidate generators.
     """
+    if against is not None:
+        return _neardup_pairs_delta(
+            corpus, against, threshold, id_col, vec_col
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
     schema = f"a_id {id_type}, b_id {id_type}, cos double"
     probe = corpus.agg(
@@ -258,6 +305,15 @@ def neardup_pairs(
     n_rows, dim = int(probe["n"]), int(probe["dim"] or 0)
     if n_rows == 0:
         return corpus.sparkSession.createDataFrame([], schema)
+    if escalate_bytes is not None and n_rows * dim * 8 > escalate_bytes:
+        # the documented subset-contract seam (module constant above):
+        # past the exact plan's declared ceiling, candidates come from
+        # banded hyperplane LSH; emitted cosines stay bit-identical
+        n_bands, band_planes = _lsh_params_for(threshold)
+        return neardup_pairs_lsh(
+            corpus, threshold=threshold, n_bands=n_bands,
+            band_planes=band_planes, id_col=id_col, vec_col=vec_col,
+        )
     if n_rows * dim * 8 > NEARDUP_BROADCAST_MAX_BYTES:
         return _neardup_pairs_blocked(
             corpus, threshold, id_col, vec_col, n_rows, dim, schema
@@ -338,6 +394,51 @@ def _neardup_cells_f32(a, b, threshold, margin, extra_mask=None):
     return ai[keep], bj[keep], cos[keep]
 
 
+_PACK_SCHEMA = "__blk int, n long, ids binary, vecs binary"
+
+
+def _make_pack(id_col: str, vec_col: str):
+    """One-row-per-block packer (stage 1 of the blocked plans): the
+    block's ids pickled, its float64 matrix as raw bytes — per-row
+    Arrow framing and the python→numpy conversion are paid once per
+    BLOCK, everything downstream moves whole blocks."""
+
+    def _pack(key, pdf):
+        import pickle
+
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        mat = np.ascontiguousarray(_vec_matrix(pdf[vec_col]))
+        return pd.DataFrame(
+            {
+                "__blk": [int(key[0])],
+                "n": [len(ids)],
+                "ids": [pickle.dumps(ids)],
+                "vecs": [mat.tobytes()],
+            }
+        )
+
+    return _pack
+
+
+def _unpack_packed(row, dim: int):
+    """Inverse of ``_make_pack``: (ids, f64 matrix, norms, f32
+    pre-normalized matrix) — the `_neardup_cells_f32` block tuple."""
+    import pickle
+
+    ids = pickle.loads(row["ids"])
+    mat = np.frombuffer(row["vecs"], dtype=np.float64).reshape(
+        int(row["n"]), dim
+    )
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        n32 = (mat / np.where(nrm == 0, 1.0, nrm)[:, None]).astype(
+            np.float32
+        )
+    return ids, mat, nrm, n32
+
+
 def _neardup_pairs_blocked(
     corpus: DataFrame,
     threshold: float,
@@ -406,24 +507,8 @@ def _neardup_pairs_blocked(
         F.col(vec_col),
     )
 
-    def _pack(key, pdf):
-        import pickle
-
-        import pandas as pd
-
-        ids = pdf[id_col].to_numpy()
-        mat = np.ascontiguousarray(_vec_matrix(pdf[vec_col]))
-        return pd.DataFrame(
-            {
-                "__blk": [int(key[0])],
-                "n": [len(ids)],
-                "ids": [pickle.dumps(ids)],
-                "vecs": [mat.tobytes()],
-            }
-        )
-
     packed = blk.groupBy("__blk").applyInPandas(
-        _pack, "__blk int, n long, ids binary, vecs binary"
+        _make_pack(id_col, vec_col), _PACK_SCHEMA
     )
     # lazy checkpoint: BOTH tile sides consume `packed`, and a union's
     # ReusedExchange dedups only the shuffle — the Python pack stage
@@ -445,18 +530,7 @@ def _neardup_pairs_blocked(
     margin = _f32_prescreen_margin(dim)
 
     def _unpack_block(row):
-        import pickle
-
-        ids = pickle.loads(row["ids"])
-        mat = np.frombuffer(row["vecs"], dtype=np.float64).reshape(
-            int(row["n"]), dim
-        )
-        nrm = np.sqrt((mat * mat).sum(axis=1))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            n32 = (mat / np.where(nrm == 0, 1.0, nrm)[:, None]).astype(
-                np.float32
-            )
-        return ids, mat, nrm, n32
+        return _unpack_packed(row, dim)
 
     def _score_tile(pdf):
         import pandas as pd
@@ -500,6 +574,166 @@ def _neardup_pairs_blocked(
         .applyInPandas(_score_tile, schema)
         .orderBy("a_id", "b_id", "cos")
     )
+
+
+def _neardup_pairs_delta(
+    new: DataFrame,
+    state: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact near-dup pairs TOUCHING the delta: delta×delta via the
+    exact self operator on the delta alone (escalation off — the delta
+    is batch-sized by contract) plus delta×state via a cross plan that
+    never enumerates state×state. Same kernels, bit-identical cosines,
+    canonical (min, max) ids; ids disjoint across sides by contract
+    (equal-id cross hits are dropped defensively)."""
+    dd = neardup_pairs(
+        new, threshold, id_col, vec_col, escalate_bytes=None
+    )
+    id_type = new.schema[id_col].dataType.simpleString()
+    schema = f"a_id {id_type}, b_id {id_type}, cos double"
+    probe = new.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(vec_col)).alias("dim")
+    ).first()
+    n_new, dim = int(probe["n"]), int(probe["dim"] or 0)
+    if n_new == 0:
+        return dd
+    if n_new * dim * 8 <= NEARDUP_BROADCAST_MAX_BYTES:
+        # nightly-ingest fast path: the DELTA matrix broadcasts; ONE
+        # narrow pass over the state scores each Arrow batch against it
+        # as a single matmul — zero state shuffle, the same legitimacy
+        # gate as the small-corpus self plan
+        rows = new.select(id_col, vec_col).collect()
+        d_ids = np.asarray([r[id_col] for r in rows])
+        d_mat = _vec_matrix(list(r[vec_col]) for r in rows)
+        d_nrm = np.sqrt((d_mat * d_mat).sum(axis=1))
+        bvar = new.sparkSession.sparkContext.broadcast((d_ids, d_mat, d_nrm))
+
+        def _cross_batches(batches):
+            import pandas as pd
+
+            b_ids, b_mat, b_nrm = bvar.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a_ids = pdf[id_col].to_numpy()
+                a_mat = _vec_matrix(pdf[vec_col])
+                a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+                ai, bj, cos = _neardup_cells(
+                    a_mat, a_nrm, b_mat, b_nrm, threshold
+                )
+                sa, sb = a_ids[ai], b_ids[bj]
+                keep = sa != sb  # defensive: contract says disjoint
+                sa, sb, cos = sa[keep], sb[keep], cos[keep]
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.minimum(sa, sb),
+                        "b_id": np.maximum(sa, sb),
+                        "cos": cos,
+                    }
+                )
+
+        dc = state.select(id_col, vec_col).mapInPandas(_cross_batches, schema)
+    else:
+        sprobe = state.agg(F.count(F.lit(1)).alias("n")).first()
+        dc = _neardup_cross_blocked(
+            new, state, threshold, id_col, vec_col,
+            n_new, int(sprobe["n"]), dim, schema,
+        )
+    return dd.unionByName(dc).orderBy("a_id", "b_id", "cos")
+
+
+def _neardup_cross_blocked(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_a: int,
+    n_b: int,
+    dim: int,
+    schema: str,
+) -> DataFrame:
+    """Blocked exact A×B cosine join (the delta×state leg past the
+    delta-broadcast gate): both relations pack into one-row-per-block
+    matrices, stripes of g blocks form super-tile tasks covering the
+    FULL A×B grid (no triangle — the relations are disjoint), and each
+    block pair runs the f32-prescreen + exact-f64 kernel of the self
+    plan. Shuffle volume: A ships ⌈nb_blocks/g⌉×, B ships
+    ⌈na_blocks/g⌉× — for a batch-sized delta the B (state) side ships
+    only a handful of copies, never its own pair expansion."""
+    spark = a_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    block_rows = min(
+        NEARDUP_BLOCK_ROWS, max(1, NEARDUP_BLOCK_BYTES // (dim * 8))
+    )
+    na_blocks = max(1, -(-n_a // block_rows))
+    nb_blocks = max(1, -(-n_b // block_rows))
+    block_bytes = block_rows * dim * 8
+    g = int(max(1, NEARDUP_TILE_SIDE_BYTES // max(1, block_bytes)))
+    # shrink g until the tile grid feeds ~8 tasks per core (or is as
+    # fine as the block grid allows)
+    t_target = min(8 * par, na_blocks * nb_blocks)
+    while g > 1 and (-(-na_blocks // g)) * (-(-nb_blocks // g)) < t_target:
+        g -= 1
+    sa, sb = -(-na_blocks // g), -(-nb_blocks // g)
+    tiles_idx = spark.createDataFrame(
+        [(i, j) for i in range(sa) for j in range(sb)], "ti int, tj int"
+    )
+
+    def _blocks(df, n_blocks):
+        return (
+            df.select(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                .cast("int")
+                .alias("__blk"),
+                F.col(id_col),
+                F.col(vec_col),
+            )
+            .groupBy("__blk")
+            .applyInPandas(_make_pack(id_col, vec_col), _PACK_SCHEMA)
+            .withColumn("__stripe", (F.col("__blk") / F.lit(g)).cast("int"))
+        )
+
+    cols = ["__blk", "n", "ids", "vecs"]
+    side_a = _blocks(a_df, na_blocks).join(
+        F.broadcast(tiles_idx), F.col("__stripe") == F.col("ti")
+    ).select("ti", "tj", F.lit(0).alias("__side"), *cols)
+    side_b = _blocks(b_df, nb_blocks).join(
+        F.broadcast(tiles_idx), F.col("__stripe") == F.col("tj")
+    ).select("ti", "tj", F.lit(1).alias("__side"), *cols)
+    tagged = side_a.unionByName(side_b)
+    margin = _f32_prescreen_margin(dim)
+
+    def _score_tile(pdf):
+        import pandas as pd
+
+        a_rows = pdf[pdf["__side"] == 0]
+        b_rows = pdf[pdf["__side"] == 1]
+        outs = []
+        for _, ra in a_rows.iterrows():
+            A = _unpack_packed(ra, dim)
+            for _, rb in b_rows.iterrows():
+                B = _unpack_packed(rb, dim)
+                ai, bj, cos = _neardup_cells_f32(A, B, threshold, margin)
+                sa_, sb_ = A[0][ai], B[0][bj]
+                keep = sa_ != sb_  # defensive: contract says disjoint
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": np.minimum(sa_[keep], sb_[keep]),
+                            "b_id": np.maximum(sa_[keep], sb_[keep]),
+                            "cos": cos[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
+        return pd.concat(outs, ignore_index=True)
+
+    return tagged.groupBy("ti", "tj").applyInPandas(_score_tile, schema)
 
 
 # a-side slice for the in-bucket verify: bounds the per-slice sims

@@ -263,6 +263,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs)
 
 
+# Delta split for the incremental (delta-vs-corpus) declared queries:
+# every 20th doc plays the nightly-ingest batch, the rest the corpus.
+DELTA_MOD = 20
+
+
+def dedup_ngram_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental n-gram dedup (round-8 VERDICT #1): the delta probes
+    the corpus instead of re-running the corpus self-join. Oracle: the
+    full-pair SQL restricted to pairs touching the delta — the operator
+    contract (delta form ≡ restricted self-join) IS the check."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+    return DD.ngram_jaccard_pairs(
+        new, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
+        against=corpus,
+    )
+
+
+def emb_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: delta vectors against the
+    standing state — exact pairs touching the delta only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+    state = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+    return SIM.neardup_pairs(
+        new, threshold=NEARDUP_COS_THRESHOLD, against=state
+    )
+
+
 # ---------- embeddings / similarity ----------
 
 
@@ -537,9 +567,12 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_stub": mm_decode_stub,
     "normalize_docs": normalize_docs,
     "chunk_embed": chunk_embed,
-    # --- past the 50-slot gate: rows-only (no SQL-expressible oracle),
-    # stronger checks in pytest + the containment row above ---
+    # --- past the 50-slot gate: the driver records rows-only here, but
+    # dedup_ngram_delta / emb_neardup_delta still carry full oracle SQL
+    # (below) and dedup_minhash_lsh its pytest pins + containment row ---
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_delta": dedup_ngram_delta,
+    "emb_neardup_delta": emb_neardup_delta,
 }
 
 # Implemented-but-undeclared (pytest-pinned) query builders, importable
@@ -612,3 +645,18 @@ SELECT doc_a, doc_b, jaccard
 FROM ({EXTRA_ORACLE["dedup_ngram_jaccard"]}) t
 WHERE doc_a IS NULL
 ORDER BY doc_a, doc_b, jaccard"""
+
+# Incremental-form oracles: the full-pair SQL restricted to pairs
+# touching the delta (id % DELTA_MOD == 0) — stating the operator
+# contract (delta ≡ restricted self-join) in the oracle itself.
+EXTRA_ORACLE["dedup_ngram_delta"] = f"""
+SELECT doc_a, doc_b, jaccard
+FROM ({EXTRA_ORACLE["dedup_ngram_jaccard"]}) t
+WHERE doc_a % {DELTA_MOD} = 0 OR doc_b % {DELTA_MOD} = 0
+ORDER BY doc_a, doc_b, jaccard"""
+
+EXTRA_ORACLE["emb_neardup_delta"] = f"""
+SELECT a_id, b_id, cos
+FROM ({_neardup_sql()}) t
+WHERE a_id % {DELTA_MOD} = 0 OR b_id % {DELTA_MOD} = 0
+ORDER BY a_id, b_id, cos"""

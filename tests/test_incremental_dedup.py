@@ -1,0 +1,215 @@
+"""Incremental (delta-vs-corpus) dedup: the nightly-ingest pipeline
+shape (round-8 VERDICT #1).
+
+THE contract pinned here, for every operator in the family: running the
+delta form — ``op(new, against=corpus)`` — produces EXACTLY the
+self-join over ``new ∪ corpus`` restricted to pairs touching the delta.
+The corpora are synthesized with near-dup clusters deliberately
+STRADDLING the delta/corpus boundary (delta-delta, delta-corpus and
+corpus-corpus pairs all exist), so a candidate-enumeration bug on any
+side of the boundary flips the compare. The reference shape honored is
+the sync's own J1 diff semantics (crawl_plone_restapi.py:145-161 —
+only changed docs pay).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.operators import dedup as DD
+from eea_crawler_spark.operators import similarity as SIM
+
+THRESH = 0.8
+
+
+def _mk_docs(spark, n_docs=120, seed=3):
+    """Synthetic text corpus with near-dup clusters of 6 consecutive
+    docs (a fresh 80-word base, then five single-word mutations of it —
+    any two members share ≥76 of ≤84 distinct shingles, J ≥ ~0.86).
+    Splitting delta/corpus on doc_id % 5 then puts ids 6k and 6k+5·m in
+    the same cluster for some k, so delta-delta, delta-corpus AND
+    corpus-corpus near-dup pairs all exist (asserted below)."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    base = None
+    for i in range(n_docs):
+        if i % 6 == 0 or base is None:
+            base = [vocab[j] for j in rng.randint(0, 300, 80)]
+            words = base
+        else:
+            words = list(base)
+            words[(i % 6 - 1) * 3] = vocab[int(rng.randint(0, 300))]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df.filter(F.col("doc_id") % 5 == 0), df.filter(
+        F.col("doc_id") % 5 != 0
+    )
+
+
+def _touching(pairs, delta_ids):
+    return {
+        k: v for k, v in pairs.items() if k[0] in delta_ids or k[1] in delta_ids
+    }
+
+
+@pytest.fixture(scope="module")
+def text_split(spark):
+    new, corpus = _mk_docs(spark)
+    delta_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    union = new.unionByName(corpus)
+    return new, corpus, union, delta_ids
+
+
+def _pairset(df, cols=("doc_a", "doc_b", "jaccard")):
+    return {
+        (r[cols[0]], r[cols[1]]): tuple(r[c] for c in cols[2:]) or r[cols[2]]
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("max_df", [None, 20])
+def test_ngram_delta_equals_restricted_self_join(spark, text_split, max_df):
+    new, corpus, union, delta_ids = text_split
+    full = _pairset(
+        DD.ngram_jaccard_pairs(union, threshold=THRESH, max_df=max_df)
+    )
+    want = _touching(full, delta_ids)
+    got = _pairset(
+        DD.ngram_jaccard_pairs(
+            new, threshold=THRESH, max_df=max_df, against=corpus
+        )
+    )
+    assert got == want
+    # the fixture exercises all three pair classes
+    assert any(k[0] in delta_ids and k[1] in delta_ids for k in want)
+    assert any((k[0] in delta_ids) != (k[1] in delta_ids) for k in want)
+    assert any(
+        k[0] not in delta_ids and k[1] not in delta_ids for k in full
+    )
+
+
+def test_ngram_delta_with_persisted_state(spark, text_split, tmp_path):
+    """The serving layout: corpus arrays persisted once, the delta probe
+    reads them instead of re-shingling — output unchanged."""
+    new, corpus, union, delta_ids = text_split
+    DD.build_text_dedup_state(corpus, str(tmp_path / "state"))
+    arrays, sigs = DD.read_text_dedup_state(spark, str(tmp_path / "state"))
+    want = _pairset(
+        DD.ngram_jaccard_pairs(new, threshold=THRESH, max_df=20, against=corpus)
+    )
+    got = _pairset(
+        DD.ngram_jaccard_pairs(
+            new, threshold=THRESH, max_df=20, against=corpus,
+            against_arrays=arrays,
+        )
+    )
+    assert got == want
+
+
+def test_minhash_delta_equals_restricted_self_join(spark, text_split, tmp_path):
+    new, corpus, union, delta_ids = text_split
+    cols = ("doc_a", "doc_b", "est_jaccard", "jaccard")
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(union, threshold=THRESH).collect()
+    }
+    want = _touching(full, delta_ids)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(
+            new, threshold=THRESH, against=corpus
+        ).collect()
+    }
+    assert got == want and want
+    # persisted signatures/arrays: zero corpus-side recompute, same rows
+    DD.build_text_dedup_state(corpus, str(tmp_path / "state"))
+    arrays, sigs = DD.read_text_dedup_state(spark, str(tmp_path / "state"))
+    got2 = {
+        (r["doc_a"], r["doc_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(
+            new, threshold=THRESH, against=corpus,
+            against_arrays=arrays, against_sigs=sigs,
+        ).collect()
+    }
+    assert got2 == want
+
+
+def _mk_vecs(spark, n=160, dim=24, seed=9):
+    """Vector corpus with planted near-dups straddling the boundary."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    base = None
+    for i in range(n):
+        if i % 6 == 0 or base is None:
+            base = rng.standard_normal(dim)
+            v = base
+        else:
+            v = base + 0.02 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    return df.filter(F.col("vec_id") % 5 == 0), df.filter(
+        F.col("vec_id") % 5 != 0
+    )
+
+
+def test_neardup_delta_equals_restricted_self_join(spark, monkeypatch):
+    new, state = _mk_vecs(spark)
+    delta_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    union = new.unionByName(state)
+    t = 0.9
+    full = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(union, threshold=t).collect()
+    }
+    want = _touching(full, delta_ids)
+    got = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(new, threshold=t, against=state).collect()
+    }
+    assert got == want and want
+    assert any((k[0] in delta_ids) != (k[1] in delta_ids) for k in want)
+    # force the blocked-cross plan (delta past the broadcast gate):
+    # bit-identical output, nothing driver-side
+    monkeypatch.setattr(SIM, "NEARDUP_BROADCAST_MAX_BYTES", 0)
+    monkeypatch.setattr(SIM, "NEARDUP_BLOCK_BYTES", 2048)
+    got_blocked = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(new, threshold=t, against=state).collect()
+    }
+    assert got_blocked == want
+
+
+def test_neardup_escalation_gate(spark):
+    """Round-8 VERDICT #5: past NEARDUP_LSH_ESCALATE_BYTES the exact
+    operator delegates to the LSH twin with threshold-derived banding —
+    the output becomes a high-recall SUBSET with identical cosines (the
+    documented operator-selection rule), and escalate_bytes=None forces
+    the exact plan back."""
+    new, state = _mk_vecs(spark, n=120)
+    df = new.unionByName(state)
+    t = 0.9
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(df, threshold=t, escalate_bytes=None).collect()
+    }
+    escalated = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(df, threshold=t, escalate_bytes=1).collect()
+    }
+    # escalated == the LSH twin at the derived params, a subset of exact
+    nb, bp = SIM._lsh_params_for(t)
+    twin = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            df, threshold=t, n_bands=nb, band_planes=bp
+        ).collect()
+    }
+    assert escalated == twin
+    assert set(escalated) <= set(exact)
+    assert all(exact[k] == v for k, v in escalated.items())
+    # high recall on this near-dup-rich corpus
+    assert len(escalated) >= 0.95 * len(exact)
