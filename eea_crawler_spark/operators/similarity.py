@@ -840,7 +840,12 @@ def neardup_pairs_lsh(
         F.max(F.size(vec_col)).alias("dmax"),
     ).first()
     id_type = corpus.schema[id_col].dataType.simpleString()
-    sig_schema = f"{id_col} {id_type}, {vec_col} array<double>, band int, bucket long"
+    # vectors ride the banded shuffle VERBATIM (input element type, not
+    # an array<double> up-cast): at 768-d float32 input the b× vector
+    # shuffle halves; the verify's numpy conversion widens to f64 from
+    # the same values either way, so output stays bit-identical
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    sig_schema = f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long"
     pair_schema = f"a_id {id_type}, b_id {id_type}, cos double"
     if not probe["n"]:
         return corpus.sparkSession.createDataFrame([], pair_schema)

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Non-degenerate near-dup scale fixture + measured walls (round-8
+VERDICT #4, plus #2's 768-d hot-bucket record).
+
+The replicated `.scale` embeddings are DEGENERATE for the near-dup
+class (verbatim replicas). This script generates the honest fixture —
+a planted 1M x 768-d float32 corpus with the three populations a crawl
+corpus actually has:
+
+  * a BOILERPLATE group (near-identical template embeddings, the skew
+    that shares every LSH band bucket — C(n,2) true pairs),
+  * planted near-dup CLUSTERS (size-4, cos ~= 0.999 — ground truth for
+    recall),
+  * isotropic noise (the bulk).
+
+Measured legs:
+  lsh        neardup_pairs_lsh at the threshold-derived banding over
+             the full corpus: wall, planted-cluster recall (exact,
+             computed Spark-side), boilerplate pair coverage.
+  lsh_salt   same with max_bucket_rows forced BELOW the boilerplate
+             bucket size — the salt-split fan-out path (round-8
+             VERDICT #1 fix) on real 768-d data.
+  exact_sub  the exact blocked operator on a 10% subsample (the full
+             1M exact run is ~n^2*dim = 1.5e15 flops — recorded as a
+             projection, not run); lsh on the same subsample for the
+             in-window ratio + subset check.
+
+Usage: python scripts/bench_neardup_scale.py [--rows 1000000]
+         [--dim 768] [--out .scale/neardup768]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BOILER = 2000
+CLUSTERS = 3000
+CSIZE = 4
+THRESHOLD = 0.9
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--out", default=os.path.join(REPO, ".scale", "neardup768"))
+    ap.add_argument("--exact-mod", type=int, default=10)
+    ap.add_argument(
+        "--legs", default="lsh,salt,exact",
+        help="comma list of: lsh, salt, exact",
+    )
+    args = ap.parse_args()
+    legs = set(args.legs.split(","))
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "20g")
+    os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.operators import similarity as SIM
+    from eea_crawler_spark.session import get_spark
+
+    spark = get_spark("neardup-scale", data_dir=None)
+    dim, rows = args.dim, args.rows
+    planted_end = BOILER + CLUSTERS * CSIZE
+
+    if not os.path.exists(args.out):
+        t0 = time.perf_counter()
+
+        def _gen(batches):
+            import pandas as pd
+
+            boiler_base = np.random.RandomState(999).standard_normal(dim)
+            bases: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                vecs = []
+                for i in ids:
+                    rng = np.random.RandomState(int(5_000_000 + i) % (2**31))
+                    if i < BOILER:
+                        v = boiler_base + 0.001 * rng.standard_normal(dim)
+                    elif i < planted_end:
+                        cid = int((i - BOILER) // CSIZE)
+                        if cid not in bases:
+                            bases[cid] = np.random.RandomState(
+                                1_000_000 + cid
+                            ).standard_normal(dim)
+                        v = bases[cid] + 0.02 * rng.standard_normal(dim)
+                    else:
+                        v = rng.standard_normal(dim)
+                    vecs.append(v.astype(np.float32))
+                yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+        (
+            spark.range(rows)
+            .repartition(64)
+            .mapInPandas(_gen, "vec_id long, embedding array<float>")
+            .write.mode("overwrite")
+            .parquet(args.out)
+        )
+        print(
+            f"generated {rows}x{dim} in {time.perf_counter()-t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    emb = spark.read.parquet(args.out)
+    n_bands, band_planes = SIM._lsh_params_for(THRESHOLD)
+    out: dict = {
+        "metric": "neardup_scale",
+        "rows": rows,
+        "dim": dim,
+        "n_bands": n_bands,
+        "band_planes": band_planes,
+        "boiler": BOILER,
+        "planted_clusters": CLUSTERS,
+    }
+
+    # planted ground truth: all within-cluster pairs (cos ~= 0.999)
+    cl = spark.range(BOILER, planted_end).select(
+        F.col("id").alias("a_id"),
+        ((F.col("id") - BOILER) / CSIZE).cast("long").alias("cid"),
+    )
+    planted = (
+        cl.alias("x")
+        .join(cl.alias("y"), (F.col("x.cid") == F.col("y.cid")) & (F.col("x.a_id") < F.col("y.a_id")))
+        .select(F.col("x.a_id").alias("a_id"), F.col("y.a_id").alias("b_id"))
+    )
+
+    def _run(tag, **kw):
+        t0 = time.perf_counter()
+        res = SIM.neardup_pairs_lsh(
+            emb, threshold=THRESHOLD, n_bands=n_bands,
+            band_planes=band_planes, **kw,
+        ).localCheckpoint(eager=True)
+        n = res.count()
+        wall = round(time.perf_counter() - t0, 2)
+        hits = res.join(planted, ["a_id", "b_id"], "left_semi").count()
+        boiler_pairs = res.filter(
+            (F.col("a_id") < BOILER) & (F.col("b_id") < BOILER)
+        ).count()
+        out[f"{tag}_sec"] = wall
+        out[f"{tag}_pairs"] = n
+        out[f"{tag}_recall"] = round(hits / (CLUSTERS * CSIZE * (CSIZE - 1) / 2), 4)
+        out[f"{tag}_boiler_pairs"] = boiler_pairs
+        print(
+            f"{tag}: {wall}s pairs={n} recall={out[f'{tag}_recall']} "
+            f"boiler={boiler_pairs}/{BOILER*(BOILER-1)//2}",
+            file=sys.stderr,
+        )
+
+    if "lsh" in legs:
+        _run("lsh")
+    if "salt" in legs:
+        # salt-split engaged: cap far below the boilerplate bucket size
+        _run("lsh_salt", max_bucket_rows=512)
+
+    if "exact" not in legs:
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    # exact on a 10% subsample (+ lsh on the same subsample for ratio)
+    sub = emb.filter(F.col("vec_id") % args.exact_mod == 0)
+    n_sub = sub.count()
+    t0 = time.perf_counter()
+    n_exact = SIM.neardup_pairs(
+        sub, threshold=THRESHOLD, escalate_bytes=None
+    ).count()
+    out["exact_sub_sec"] = round(time.perf_counter() - t0, 2)
+    out["exact_sub_rows"] = n_sub
+    out["exact_sub_pairs"] = n_exact
+    print(
+        f"exact subsample ({n_sub} rows): {out['exact_sub_sec']}s "
+        f"pairs={n_exact}",
+        file=sys.stderr,
+    )
+    t0 = time.perf_counter()
+    n_lsh_sub = SIM.neardup_pairs_lsh(
+        sub, threshold=THRESHOLD, n_bands=n_bands, band_planes=band_planes
+    ).count()
+    out["lsh_sub_sec"] = round(time.perf_counter() - t0, 2)
+    out["lsh_sub_pairs"] = n_lsh_sub
+    print(f"lsh subsample: {out['lsh_sub_sec']}s pairs={n_lsh_sub}", file=sys.stderr)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,8 @@ def main() -> None:
     )
     ap.add_argument("--ingest-docs", type=int, default=1_000_000)
     ap.add_argument("--ingest-batches", type=int, default=10)
+    ap.add_argument("--quarantine-ids", type=int, default=1_000_000)
+    ap.add_argument("--quarantine-batches", type=int, default=10)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
@@ -139,6 +141,41 @@ def main() -> None:
     out["ingest_sec"] = t
     out["ingest_docs_per_sec"] = int(args.ingest_docs / t)
     out["ingest_docs"] = args.ingest_docs
+
+    # ---- stateful quarantine ledger: 1M tracked ids, 10 activations --
+    # (round-8 VERDICT #7: §2.8's applyInPandasWithState operator gets a
+    # measured state-store record.) Every activation delivers one
+    # failure event for EVERY tracked id, so each micro-batch folds the
+    # transition over the full 1M-entry state store — the worst-case
+    # activation shape (a real sweep's failure set is sparse).
+    q_src = os.path.join(work, "quar_in")
+    os.makedirs(q_src)
+    fail = spark.range(args.quarantine_ids).select(
+        F.concat(F.lit("doc/"), F.col("id")).alias("id")
+    )
+    for b in range(args.quarantine_batches):
+        fail.coalesce(4).write.parquet(os.path.join(q_src, f"b{b:03d}"))
+    qstream = (
+        spark.readStream.schema("id string")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(os.path.join(q_src, "*"))
+    )
+    t0 = time.perf_counter()
+    q = (
+        SP.streaming_quarantine(qstream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt_quar"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = round(time.perf_counter() - t0, 2)
+    n_q = args.quarantine_ids * args.quarantine_batches
+    out["quarantine_sec"] = t
+    out["quarantine_events_per_sec"] = int(n_q / t)
+    out["quarantine_tracked_ids"] = args.quarantine_ids
+    out["quarantine_activations"] = args.quarantine_batches
 
     print(json.dumps({"metric": "streaming_bench", **out}))
     shutil.rmtree(work, ignore_errors=True)
