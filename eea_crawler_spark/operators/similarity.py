@@ -740,15 +740,30 @@ def _neardup_cross_blocked(
 # allocation at chunk×|group| cells, so a pathologically skewed bucket
 # costs more slices instead of an |bucket|²-cell OOM
 LSH_VERIFY_CHUNK = 2048
-# Per-task row cap on a verify group: a bucket larger than this is
+# Per-task cap on a verify group: a bucket larger than this is
 # salt-split into ⌈rows/cap⌉ slices and its pair space covered by
 # slice-pair tasks (the exact plan's super-tile trick), so the worst
 # crawl-corpus skew — near-identical boilerplate embeddings sharing ALL
 # band buckets — degrades to more tasks, never to one task
-# materializing the whole bucket (round-8 VERDICT #1). At the cap a
-# task holds ≤ 2·cap rows of vectors (≤ ~100 MB at 768-d f64) and the
-# chunked scorer's sims slab stays ≤ LSH_VERIFY_CHUNK·cap·8 ≈ 134 MB.
+# materializing the whole bucket (round-8 VERDICT #1). The cap is
+# BYTES-derived per dim (ceiling LSH_MAX_BUCKET_ROWS): the measured
+# Python-side cost of a group is ~40× its raw vector bytes (Arrow→
+# pandas materializes one object cell per row, the scorer widens to
+# f64, and worker reuse retains allocator high-water marks across
+# groups — a 4000-row 768-d group held ~500 MB per worker and 32
+# workers OOM-killed the 1M×768 measurement run), so 16 MB of raw f64
+# per group keeps a full complement of workers at a few hundred MB
+# each. Every bucket ABOVE the derived cap still gets full pair
+# coverage via the slice-pair fan-out; output is cap-invariant
+# (pinned).
 LSH_MAX_BUCKET_ROWS = 8192
+LSH_BUCKET_TARGET_BYTES = 16 << 20
+
+
+def _lsh_bucket_cap(dim: int) -> int:
+    return max(
+        1024, min(LSH_MAX_BUCKET_ROWS, LSH_BUCKET_TARGET_BYTES // (dim * 8))
+    )
 
 
 def _band_buckets(
@@ -782,7 +797,7 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_bucket_rows: int = LSH_MAX_BUCKET_ROWS,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: the SCALE twin of ``neardup_pairs``.
 
@@ -854,6 +869,8 @@ def neardup_pairs_lsh(
             f"{vec_col} must be uniform-width: found lengths "
             f"{probe['dmin']}..{probe['dmax']}"
         )
+    if max_bucket_rows is None:
+        max_bucket_rows = _lsh_bucket_cap(int(probe["dmax"]))
     planes = hyperplane_planes(
         dim=int(probe["dmax"]), n_planes=n_bands * band_planes, seed=seed
     )
@@ -925,6 +942,26 @@ def neardup_pairs_lsh(
     fanned = sliced.select(
         id_col, vec_col, "band", "bucket", "__sl", F.explode(tasks).alias("__t")
     ).select(id_col, vec_col, "band", "bucket", "__sl", "__t.ti", "__t.tj")
+    # Explicit verify-exchange sizing: the session sizes shuffle
+    # partitions from the SCAN bytes, but the signed relation is b× the
+    # corpus (vectors ride every band) — at 1M×768-d×12 bands that is
+    # ~37 GB through a handful of reduce partitions, and the groupBy's
+    # per-task sort spilled the whole volume to disk a second time
+    # (measured: the round-9 1M run died on disk, not memory). Sizing
+    # the exchange at ~64 MB per task keeps every sort in memory; the
+    # group keys stay the partitioning, so no second exchange appears.
+    elem = 4 if "float>" in vec_type else 8
+    spark = corpus.sparkSession
+    fan_parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(
+            4096,
+            int(probe["n"]) * n_bands * (int(probe["dmax"]) * elem + 28)
+            // (64 << 20)
+            + 1,
+        ),
+    )
+    fanned = fanned.repartition(fan_parts, "band", "bucket", "ti", "tj")
 
     def _verify_group(pdf):
         import pandas as pd

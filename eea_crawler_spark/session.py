@@ -165,6 +165,13 @@ def get_spark(
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python workers are reused across tasks, and glibc's default
+        # per-thread arenas retain each task's allocation high-water
+        # mark — measured as multi-GB RSS per worker on Arrow-heavy
+        # grouped-map stages (the 1M×768 LSH verify). Two arenas keep
+        # retention near one task's true peak at no measurable
+        # throughput cost for these numpy-kernel workloads.
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "2")
         # Python DataSource scans (sources/plone_datasource) prune
         # partitions and push the quick-mode date predicate remotely
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -56,6 +56,12 @@ def main() -> None:
         "--legs", default="lsh,salt,exact",
         help="comma list of: lsh, salt, exact",
     )
+    ap.add_argument(
+        "--bands", type=int, default=0,
+        help="override n_bands (0 = threshold-derived); fewer bands "
+        "trade boundary recall for an n_bands-proportional shuffle — "
+        "this box's free disk caps the 1M x 768 run at ~8 bands",
+    )
     args = ap.parse_args()
     legs = set(args.legs.split(","))
 
@@ -111,8 +117,15 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    emb = spark.read.parquet(args.out)
+    # spread the corpus over many map tasks BEFORE the b× band fan-out:
+    # with 64 fat input splits each map task emits ~280 MB into the
+    # banded exchange and the ShuffleExternalSorter's spill+merge
+    # transients peaked at ~2.5× the final shuffle bytes — over this
+    # box's free disk; 256 slim tasks keep the transient at ~1.1×
+    emb = spark.read.parquet(args.out).repartition(256)
     n_bands, band_planes = SIM._lsh_params_for(THRESHOLD)
+    if args.bands:
+        n_bands = args.bands
     out: dict = {
         "metric": "neardup_scale",
         "rows": rows,
@@ -159,8 +172,13 @@ def main() -> None:
     if "lsh" in legs:
         _run("lsh")
     if "salt" in legs:
-        # salt-split engaged: cap far below the boilerplate bucket size
-        _run("lsh_salt", max_bucket_rows=512)
+        # NOTE: at 1M rows and 8 planes every bucket holds ~3900 rows,
+        # so even the DEFAULT 768-d cap (2730) salt-splits every bucket
+        # (ns=2) — the lsh leg above IS the split-engaged record. This
+        # leg forces a much smaller cap; each halving of the cap
+        # DOUBLES the fan-out shuffle (rows ship ns× ≈ bucket/cap), so
+        # 512 needs ~4× the lsh leg's scratch — more than this box has.
+        _run("lsh_salt", max_bucket_rows=1024)
 
     if "exact" not in legs:
         print(json.dumps(out))
