@@ -95,7 +95,9 @@ def _vec_matrix(values) -> "np.ndarray":
 _PRESCREEN_MARGIN = 0.51e-4
 
 
-def _neardup_cells(a_mat, a_nrm, b_mat, b_nrm, threshold, extra_mask=None):
+def _neardup_cells(
+    a_mat, a_nrm, b_mat, b_nrm, threshold, extra_mask=None, bn=None
+):
     """Cells of the a×b sims space at/above threshold, with EXACT scores.
 
     The dense formulation made ~7 elementwise passes over every cell
@@ -111,10 +113,15 @@ def _neardup_cells(a_mat, a_nrm, b_mat, b_nrm, threshold, extra_mask=None):
     prescreen is a superset. Zero-norm rows prescreen to 0 and are
     dropped by the exact filter exactly as the dense NaN path dropped
     them. Returns (ai, bj, cos) exact-filtered at threshold.
+
+    ``bn``: optionally the pre-normalized b-side — chunked callers
+    normalize the (large, chunk-invariant) b matrix once per task
+    instead of once per chunk.
     """
     with np.errstate(divide="ignore", invalid="ignore"):
         an = a_mat / np.where(a_nrm == 0, 1.0, a_nrm)[:, None]
-        bn = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
+        if bn is None:
+            bn = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
         cand = (an @ bn.T) >= (threshold - _PRESCREEN_MARGIN)
         if extra_mask is not None:
             cand &= extra_mask
@@ -328,29 +335,47 @@ def neardup_pairs(
         import pandas as pd
 
         b_ids, b_mat, b_nrm = bvar.value
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b_norm = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a_ids = pdf[id_col].to_numpy()
             a_mat = _vec_matrix(pdf[vec_col])
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            ai, bj, cos = _neardup_cells(
-                a_mat, a_nrm, b_mat, b_nrm, threshold,
-                extra_mask=a_ids[:, None] < b_ids[None, :],
-            )
-            yield pd.DataFrame(
-                {
-                    "a_id": a_ids[ai],
-                    "b_id": b_ids[bj],
-                    "cos": cos,
-                }
-            )
+            # a-side chunked: the sims slab is chunk×|corpus| f64 cells
+            # — unchunked, an Arrow batch against a gate-limit corpus
+            # allocates GBs per worker (measured as the wall of the
+            # first 2M-state × 20k-delta cross run); per-pair
+            # arithmetic is chunk-invariant, so output is bit-identical
+            for s in range(0, len(a_ids), _bcast_chunk(len(b_ids))):
+                e = min(s + _bcast_chunk(len(b_ids)), len(a_ids))
+                ai, bj, cos = _neardup_cells(
+                    a_mat[s:e], a_nrm[s:e], b_mat, b_nrm, threshold,
+                    extra_mask=a_ids[s:e, None] < b_ids[None, :],
+                    bn=b_norm,
+                )
+                yield pd.DataFrame(
+                    {
+                        "a_id": a_ids[s:e][ai],
+                        "b_id": b_ids[bj],
+                        "cos": cos,
+                    }
+                )
 
     return (
         corpus.select(id_col, vec_col)
         .mapInPandas(_pair_batches, schema)
         .orderBy("a_id", "b_id", "cos")
     )
+
+
+def _bcast_chunk(n_bcast: int) -> int:
+    """a-side chunk rows for the broadcast-plan scorers: bounds the
+    chunk×|broadcast side| f64 sims slab at ~256 MB per worker (the
+    gate-limit corpus is 131k rows at 64-d — unchunked that is a
+    multi-GB slab per Arrow batch)."""
+    return max(256, (256 << 20) // (8 * max(1, n_bcast)))
 
 
 def _f32_prescreen_margin(dim: int) -> float:
@@ -615,25 +640,32 @@ def _neardup_pairs_delta(
             import pandas as pd
 
             b_ids, b_mat, b_nrm = bvar.value
+            with np.errstate(divide="ignore", invalid="ignore"):
+                b_norm = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 a_ids = pdf[id_col].to_numpy()
                 a_mat = _vec_matrix(pdf[vec_col])
                 a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-                ai, bj, cos = _neardup_cells(
-                    a_mat, a_nrm, b_mat, b_nrm, threshold
-                )
-                sa, sb = a_ids[ai], b_ids[bj]
-                keep = sa != sb  # defensive: contract says disjoint
-                sa, sb, cos = sa[keep], sb[keep], cos[keep]
-                yield pd.DataFrame(
-                    {
-                        "a_id": np.minimum(sa, sb),
-                        "b_id": np.maximum(sa, sb),
-                        "cos": cos,
-                    }
-                )
+                # chunked a-side: same sims-slab bound (and bit-identity
+                # argument) as the self broadcast plan
+                for s in range(0, len(a_ids), _bcast_chunk(len(b_ids))):
+                    e = min(s + _bcast_chunk(len(b_ids)), len(a_ids))
+                    ai, bj, cos = _neardup_cells(
+                        a_mat[s:e], a_nrm[s:e], b_mat, b_nrm, threshold,
+                        bn=b_norm,
+                    )
+                    sa, sb = a_ids[s:e][ai], b_ids[bj]
+                    keep = sa != sb  # defensive: contract says disjoint
+                    sa, sb, cos = sa[keep], sb[keep], cos[keep]
+                    yield pd.DataFrame(
+                        {
+                            "a_id": np.minimum(sa, sb),
+                            "b_id": np.maximum(sa, sb),
+                            "cos": cos,
+                        }
+                    )
 
         dc = state.select(id_col, vec_col).mapInPandas(_cross_batches, schema)
     else:
@@ -987,6 +1019,8 @@ def neardup_pairs_lsh(
         b_nrm = (
             nrm if diagonal else np.sqrt((b_mat * b_mat).sum(axis=1))
         )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b_norm = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
         outs = []
         # a-side chunked (+ diagonal b-side sliced to [s:]): sims stay
         # ≤ chunk×|group| cells. On the diagonal every POSITION pair
@@ -1005,7 +1039,8 @@ def neardup_pairs_lsh(
                 bs = 0
                 mask = None
             ai, bj, cos = _neardup_cells(
-                mat[s:e], nrm[s:e], b_mat[bs:], b_nrm[bs:], threshold, mask
+                mat[s:e], nrm[s:e], b_mat[bs:], b_nrm[bs:], threshold, mask,
+                bn=b_norm[bs:],
             )
             a_ids, bb_ids = ids[s:e][ai], b_ids[bs:][bj]
             outs.append(

@@ -41,6 +41,10 @@ def main() -> None:
         "--state", default=os.path.join(REPO, ".scale", "dedup_state")
     )
     ap.add_argument("--skip-full", action="store_true")
+    ap.add_argument(
+        "--legs", default="text,emb",
+        help="comma list of: text (state build + ngram + minhash), emb",
+    )
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--max-df", type=int, default=20)
     args = ap.parse_args()
@@ -68,39 +72,61 @@ def main() -> None:
         "docs": n_new + n_corpus,
         "delta": n_new,
     }
+    legs = set(args.legs.split(","))
 
-    if os.path.exists(args.state):
-        shutil.rmtree(args.state)
-    t0 = time.perf_counter()
-    DD.build_text_dedup_state(corpus, args.state)
-    out["state_build_sec"] = round(time.perf_counter() - t0, 2)
-    print(f"state build: {out['state_build_sec']}s", file=sys.stderr)
+    if "text" in legs:
+        if os.path.exists(args.state):
+            shutil.rmtree(args.state)
+        t0 = time.perf_counter()
+        DD.build_text_dedup_state(corpus, args.state)
+        out["state_build_sec"] = round(time.perf_counter() - t0, 2)
+        print(f"state build: {out['state_build_sec']}s", file=sys.stderr)
 
-    arrays, sigs = DD.read_text_dedup_state(spark, args.state)
+        arrays, sigs = DD.read_text_dedup_state(spark, args.state)
 
-    t0 = time.perf_counter()
-    n_pairs = DD.ngram_jaccard_pairs(
-        new, threshold=args.threshold, max_df=args.max_df,
-        against=corpus, against_arrays=arrays,
-    ).count()
-    out["ngram_delta_sec"] = round(time.perf_counter() - t0, 2)
-    out["ngram_delta_pairs"] = n_pairs
-    print(
-        f"ngram delta: {out['ngram_delta_sec']}s ({n_pairs} pairs)",
-        file=sys.stderr,
-    )
+        t0 = time.perf_counter()
+        n_pairs = DD.ngram_jaccard_pairs(
+            new, threshold=args.threshold, max_df=args.max_df,
+            against=corpus, against_arrays=arrays,
+        ).count()
+        out["ngram_delta_sec"] = round(time.perf_counter() - t0, 2)
+        out["ngram_delta_pairs"] = n_pairs
+        print(
+            f"ngram delta: {out['ngram_delta_sec']}s ({n_pairs} pairs)",
+            file=sys.stderr,
+        )
 
-    t0 = time.perf_counter()
-    n_mh = DD.minhash_lsh_pairs(
-        new, threshold=args.threshold, against=corpus,
-        against_arrays=arrays, against_sigs=sigs,
-    ).count()
-    out["minhash_delta_sec"] = round(time.perf_counter() - t0, 2)
-    out["minhash_delta_pairs"] = n_mh
-    print(
-        f"minhash delta: {out['minhash_delta_sec']}s ({n_mh} pairs)",
-        file=sys.stderr,
-    )
+        t0 = time.perf_counter()
+        n_mh = DD.minhash_lsh_pairs(
+            new, threshold=args.threshold, against=corpus,
+            against_arrays=arrays, against_sigs=sigs,
+        ).count()
+        out["minhash_delta_sec"] = round(time.perf_counter() - t0, 2)
+        out["minhash_delta_pairs"] = n_mh
+        print(
+            f"minhash delta: {out['minhash_delta_sec']}s ({n_mh} pairs)",
+            file=sys.stderr,
+        )
+
+    if "emb" in legs:
+        # embedding delta-vs-state: the third operator family. Delta
+        # small enough for the broadcast-cross fast path (one narrow
+        # state pass).
+        emb = load_table(spark, args.sf_dir, "embeddings")
+        e_new = emb.filter(F.col("vec_id") % args.delta_mod == 0)
+        e_state = emb.filter(F.col("vec_id") % args.delta_mod != 0)
+        from eea_crawler_spark.operators import similarity as SIM
+
+        t0 = time.perf_counter()
+        n_emb = SIM.neardup_pairs(
+            e_new, threshold=0.9, against=e_state
+        ).count()
+        out["emb_delta_sec"] = round(time.perf_counter() - t0, 2)
+        out["emb_delta_pairs"] = n_emb
+        print(
+            f"emb delta: {out['emb_delta_sec']}s ({n_emb} pairs)",
+            file=sys.stderr,
+        )
 
     if not args.skip_full:
         t0 = time.perf_counter()
