@@ -158,6 +158,10 @@ def main() -> None:
         action="store_true",
         help="time the LLM-pipeline operators instead of core q1-q32",
     )
+    ap.add_argument(
+        "--engine", default="both", choices=["both", "spark", "duckdb"],
+        help="run one engine only (to fit a sweep into bounded windows)",
+    )
     args = ap.parse_args()
     EXTRAS = [
         "text_fingerprint", "text_tokens", "text_langid", "text_quality",
@@ -201,13 +205,26 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    spark_med, spark_best = time_passes({n: _spark_fn(n) for n in names})
-    for name in names:
-        print(
-            f"spark {name}: med={spark_med[name]} best={spark_best[name]}",
-            file=sys.stderr,
-        )
+    spark_med, spark_best = ({}, {})
+    if args.engine in ("both", "spark"):
+        spark_med, spark_best = time_passes({n: _spark_fn(n) for n in names})
+        for name in names:
+            print(
+                f"spark {name}: med={spark_med[name]} best={spark_best[name]}",
+                file=sys.stderr,
+            )
     spark.stop()
+    if args.engine == "spark":
+        import json as _json
+
+        print(_json.dumps({
+            "metric": "scale_sweep_spark_only",
+            "sf_dir": args.sf_dir,
+            "spark_total_med": round(sum(spark_med.values()), 2),
+            "spark_total_best": round(sum(spark_best.values()), 2),
+            "spark": spark_med,
+        }))
+        return
 
     import duckdb
 
@@ -231,7 +248,7 @@ def main() -> None:
     ratios = {
         n: round(spark_med[n] / duck_med[n], 2)
         for n in names
-        if n in duck_med and duck_med[n] > 0
+        if n in spark_med and n in duck_med and duck_med[n] > 0
     }
     ratios_best = {
         n: round(spark_best[n] / duck_best[n], 2)
