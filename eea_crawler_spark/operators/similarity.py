@@ -227,13 +227,16 @@ def brute_force_topk(
 
 # Operator-selection gate for the near-dup family (the ONE documented
 # rule — round-8 VERDICT #5): `neardup_pairs` is EXACT and O(n²) score
-# work by contract; past this corpus size (float64 bytes = n·dim·8) it
-# auto-escalates to `neardup_pairs_lsh` — whose output is a SUBSET of
-# the exact pairs with identical cosines, recall < 1 by design (~0.996
-# at cos 0.9 under the derived banding, → 1 as cos → 1). 2 GiB ≈ 350k
-# rows at 768-d / 4M rows at 64-d — past the measured comfort zone of
-# the blocked exact plan (sf10-class, ~1 GiB, 32-50 s on this box; the
-# n² prescreen alone quadruples per 2× rows). Pass escalate_bytes=None
+# work by contract; past this corpus size (float64 bytes = n·dim·8),
+# AND only at thresholds ≥ 0.7 where the cosine-LSH family can
+# actually prune, it auto-escalates to `neardup_pairs_lsh` — whose
+# output is a SUBSET of the exact pairs with identical cosines,
+# recall < 1 by design (~0.996 at cos 0.9 under the derived banding,
+# → 1 as cos → 1). Below 0.7 the operator stays exact at any size
+# (see the inline rationale at the gate). 2 GiB ≈ 350k rows at 768-d /
+# 4M rows at 64-d — past the measured comfort zone of the blocked
+# exact plan (sf10-class, ~1 GiB, 32-50 s on this box; the n²
+# prescreen alone quadruples per 2× rows). Pass escalate_bytes=None
 # to force the exact plan at any size.
 NEARDUP_LSH_ESCALATE_BYTES = 2 << 30
 
@@ -312,10 +315,21 @@ def neardup_pairs(
     n_rows, dim = int(probe["n"]), int(probe["dim"] or 0)
     if n_rows == 0:
         return corpus.sparkSession.createDataFrame([], schema)
-    if escalate_bytes is not None and n_rows * dim * 8 > escalate_bytes:
+    if (
+        escalate_bytes is not None
+        and threshold >= 0.7
+        and n_rows * dim * 8 > escalate_bytes
+    ):
         # the documented subset-contract seam (module constant above):
         # past the exact plan's declared ceiling, candidates come from
-        # banded hyperplane LSH; emitted cosines stay bit-identical
+        # banded hyperplane LSH; emitted cosines stay bit-identical.
+        # LOW thresholds stay exact at any size: below ~0.7 the cosine
+        # LSH family cannot prune (p = 1 - θ/π is so large that bands
+        # narrow enough to reach recall collapse to a handful of
+        # buckets — the expected Σ|bucket|² verify EXCEEDS the n²
+        # exact plan), so escalating would be slower AND lossy;
+        # corpus-scale near-dup at such thresholds is inherently
+        # all-pairs work.
         n_bands, band_planes = _lsh_params_for(threshold)
         return neardup_pairs_lsh(
             corpus, threshold=threshold, n_bands=n_bands,

@@ -213,3 +213,16 @@ def test_neardup_escalation_gate(spark):
     assert all(exact[k] == v for k, v in escalated.items())
     # high recall on this near-dup-rich corpus
     assert len(escalated) >= 0.95 * len(exact)
+    # low thresholds never escalate (LSH cannot prune there — the
+    # documented exactness guard): same output with the gate forced
+    low_gate = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(df, threshold=0.4, escalate_bytes=1).collect()
+    }
+    low_exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(
+            df, threshold=0.4, escalate_bytes=None
+        ).collect()
+    }
+    assert low_gate == low_exact
