@@ -1048,19 +1048,25 @@ def _minhash_lsh_pairs_delta(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
     )
-    banded_new = _wide_by(
-        sigs_new.filter(F.size("sig") > 0).select(
-            "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
-        ),
-        "band_idx",
-        "band_hash",
+    banded_new = sigs_new.filter(F.size("sig") > 0).select(
+        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
+    # nightly-batch fast path: a churn-sized delta's band rows broadcast
+    # (|delta|·bands skinny rows), so the CORPUS banded relation streams
+    # through the candidate join with ZERO shuffle — the corpus-side
+    # exchange (|corpus|·bands rows) was most of the first measured 5M
+    # probe wall. sigs_new is checkpointed, so the gate count is free.
+    n_new_sigs = sigs_new.count()
+    if n_new_sigs * bands * 32 <= RESCORE_BROADCAST_MAX_BYTES:
+        banded_new = F.broadcast(banded_new)
+    else:
+        banded_new = _wide_by(banded_new, "band_idx", "band_hash")
     banded_all = sigs_all.filter(F.size("sig") > 0).select(
         "id", "__d", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     cand = (
-        banded_new.alias("x")
-        .join(banded_all.alias("y"), ["band_idx", "band_hash"])
+        banded_all.alias("y")
+        .join(banded_new.alias("x"), ["band_idx", "band_hash"])
         # delta-delta once via a<b; delta-corpus once by disjointness
         .filter(
             (F.col("x.id") != F.col("y.id"))
@@ -1072,7 +1078,18 @@ def _minhash_lsh_pairs_delta(
         )
         .distinct()
     ).localCheckpoint(eager=True)  # the near-dup candidate shortlist
-    sigs_flat = sigs_all.select("id", "sig")
+    # est/verify only ever touch CANDIDATE docs' signatures — prune the
+    # corpus-sized signature relation by the (checkpointed, small)
+    # candidate id set before joining, instead of shuffling 64-long
+    # signature rows for every corpus doc through both join sides
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("id"))
+        .union(cand.select(F.col("doc_b").alias("id")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    sigs_flat = sigs_all.select("id", "sig").join(
+        F.broadcast(cand_ids), ["id"], "left_semi"
+    )
     est = (
         cand.join(
             sigs_flat.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")),
@@ -1097,15 +1114,10 @@ def _minhash_lsh_pairs_delta(
             ).alias("est_jaccard"),
         )
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("id"))
-        .union(cand.select(F.col("doc_b").alias("id")))
-        .distinct()
-    )
     arrs_cand = (
         arr_new.select("id", "g")
         .unionByName(corpus_arrays.select("id", "g"))
-        .join(cand_ids, ["id"], "left_semi")
+        .join(F.broadcast(cand_ids), ["id"], "left_semi")
     ).localCheckpoint(eager=True)
     exact = _pair_jaccard_arrays(arrs_cand, cand)
     return (
