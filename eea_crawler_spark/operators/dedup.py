@@ -1350,3 +1350,199 @@ def merge_duplicate_pdf_text(
         )
         .drop("__pid", "__extra")
     )
+
+
+# ---- duplicate-cluster resolution: connected components ------------------
+
+# Alternating star rounds before the operator gives up: star contraction
+# converges in O(log n) rounds on ANY graph (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14 — the public algorithm
+# this implements), so 50 covers graphs far past 2^50 nodes; hitting it
+# means a bug, not a big input, hence raise instead of silently
+# returning partial clusters.
+CC_MAX_ROUNDS = 50
+# Pair sets at or below this COLLECT to the driver and resolve with a
+# plain union-find — the same legitimacy gate as the rescore broadcast
+# (RESCORE_BROADCAST_MAX_BYTES): dedup pair sets are sparse by nature,
+# and each distributed star round is several blocking jobs whose fixed
+# latency dwarfs a 64k-row collect. The count is read off the already-
+# checkpointed edge relation (no plan re-execution). Past the gate the
+# star contraction runs — it never materializes anything driver-side.
+CC_DRIVER_MAX_PAIRS = 1 << 16
+
+
+def _cc_large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node u links its LARGER neighbors to
+    m(u) = min(N(u) ∪ {u}). Emitted as (u=larger, v=smaller) edges.
+
+    Join formulation — the neighborhood min is a groupBy aggregate
+    joined back onto the edge list, so a hot node (a 10M-row
+    boilerplate near-dup clique collapses onto one hub fast) never
+    materializes its neighbor set in one task the way a collect_list
+    plan would; both sides shuffle on the node id."""
+    sym = edges.unionByName(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("u"))
+        .select("u", "v")
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", "u").alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, ["u"])
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge to (u=larger, v=smaller);
+    each node u links itself and its smaller neighbors to
+    m(u) = min(N⁻(u)). Output keeps the (larger, smaller) orientation."""
+    o = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, ["u"])
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = CC_MAX_ROUNDS,
+    driver_max_pairs: int = CC_DRIVER_MAX_PAIRS,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: one row
+    ``(node, cluster_id)`` per node appearing in ``pairs``, where
+    ``cluster_id`` is the minimum node id of its connected component.
+
+    The missing last step of every pair-producing dedup operator in
+    this module (ngram/minhash/simhash/embedding near-dup): near-dup
+    similarity is not transitive, but dedup POLICY is — a training
+    pipeline drops all-but-one doc per cluster, which is the
+    reference's first-seen rule (crawl_sitemap.py:217-220, MIN over an
+    exact-key group) generalized to the transitive closure of a
+    similarity relation.
+
+    Algorithm: alternating large-star/small-star contraction (Kiveris
+    et al., SoCC'14) — converges in O(log n) rounds on any graph,
+    including the paths/filament shapes where naive min-label
+    propagation needs O(diameter) rounds (pinned by the chain test).
+    Each round is two groupBy-min aggregations and two hash joins on
+    the node id; no step ever holds a neighborhood in one task, so the
+    corpus-scale worst case (a giant boilerplate clique) costs shuffle
+    volume, not task memory. Each round's edge set is
+    localCheckpoint'ed: iterative lineage would otherwise double the
+    plan per round. Convergence = the round was a no-op (set equality,
+    checked with an anti-join — exact, not a checksum); the converged
+    set is exactly {(node, component_min)}.
+
+    Works for any orderable id type (ints here, strings equally).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if edges.count() <= driver_max_pairs:
+        # sparse pair set (the common dedup shape): one collect off the
+        # checkpoint + a plain union-find beats log(n) rounds of
+        # blocking distributed jobs (see CC_DRIVER_MAX_PAIRS)
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = _find(r["u"]), _find(r["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(node, _find(node)) for node in parent]
+        out_schema = edges.select(
+            F.col("u").alias("node"), F.col("v").alias("cluster_id")
+        ).schema
+        return (
+            pairs.sparkSession.createDataFrame(labels, out_schema)
+            .orderBy("node", "cluster_id")
+        )
+    for _ in range(max_rounds):
+        nxt = _cc_small_star(_cc_large_star(edges)).localCheckpoint(
+            eager=True
+        )
+        # set equality: both sides distinct, so equal counts + empty
+        # one-way anti-join ⇔ equal sets (one job: the counts ride the
+        # same pass via a grouped tally)
+        diff = (
+            nxt.withColumn("__s", F.lit(1))
+            .unionByName(edges.withColumn("__s", F.lit(-1)))
+            .groupBy("u", "v")
+            .agg(F.sum("__s").alias("__d"))
+            .filter(F.col("__d") != 0)
+        )
+        converged = diff.isEmpty()
+        old = edges
+        edges = nxt
+        if converged:
+            break
+        del old
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds — star contraction converges in O(log n); this is "
+            "a bug, not an input-size limit"
+        )
+    roots = edges.select(F.col("v").alias("node")).distinct()
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            roots.select("node", F.col("node").alias("cluster_id"))
+        )
+        .orderBy("node", "cluster_id")
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-doc keep/drop verdict from a duplicate-pair relation: every
+    doc gains ``cluster_id`` (its component's min id; itself when it is
+    in no pair) and ``keep`` (true iff it IS the cluster min — the
+    reference's first-seen winner, crawl_sitemap.py:217-220). The
+    training-data pipeline's filter is then ``WHERE keep``.
+
+    One broadcast-eligible join: the cluster relation holds only docs
+    that appear in a pair — at real dup rates a few percent of the
+    corpus — so AQE broadcasts it and the corpus never shuffles."""
+    cc = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "node", "__cc_node"
+    )
+    joined = docs.join(
+        cc, docs[id_col] == F.col("__cc_node"), "left"
+    )
+    return (
+        joined.withColumn(
+            "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+        .drop("__cc_node")
+    )

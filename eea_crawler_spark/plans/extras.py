@@ -263,6 +263,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(docs)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    exact n-gram near-dup pairs (alternating star contraction —
+    O(log n) rounds of groupBy-min + hash join). Oracle: transitive
+    closure via a DuckDB recursive CTE over the SAME pair SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
+    )
+    return DD.connected_components(pairs)
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keep/drop verdict: every doc labeled with its duplicate
+    cluster's min id (itself when unpaired) and ``keep`` = is-the-min —
+    the first-seen policy (crawl_sitemap.py:217-220) over the
+    transitive closure. The training pipeline's filter is WHERE keep."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
+    )
+    return (
+        DD.canonical_docs(docs, pairs)
+        .select("doc_id", "cluster_id", "keep")
+        .orderBy("doc_id", "cluster_id", "keep")
+    )
+
+
 # Delta split for the incremental (delta-vs-corpus) declared queries:
 # every 20th doc plays the nightly-ingest batch, the rest the corpus.
 DELTA_MOD = 20
@@ -573,6 +601,8 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_delta": dedup_ngram_delta,
     "emb_neardup_delta": emb_neardup_delta,
+    "dedup_clusters": dedup_clusters,
+    "dedup_canonical": dedup_canonical,
 }
 
 # Implemented-but-undeclared (pytest-pinned) query builders, importable
@@ -660,3 +690,31 @@ SELECT a_id, b_id, cos
 FROM ({_neardup_sql()}) t
 WHERE a_id % {DELTA_MOD} = 0 OR b_id % {DELTA_MOD} = 0
 ORDER BY a_id, b_id, cos"""
+
+# Cluster-resolution oracles: the transitive closure of the SAME exact
+# pair SQL, as a recursive CTE (reach = every node reachable from
+# ``node``; cluster_id = MIN(reach) — the star contraction's fixpoint
+# stated declaratively). Tractable at oracle scale; the Spark side is
+# the O(log n)-round distributed algorithm.
+_CC_CLOSURE = f"""
+pr AS ({EXTRA_ORACLE["dedup_ngram_jaccard"]}),
+e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+r(node, reach) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+  UNION
+  SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u
+),
+cl AS (SELECT node, MIN(reach) AS cluster_id FROM r GROUP BY node)"""
+
+EXTRA_ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {_CC_CLOSURE}
+SELECT node, cluster_id FROM cl ORDER BY node, cluster_id"""
+
+EXTRA_ORACLE["dedup_canonical"] = f"""
+WITH RECURSIVE {_CC_CLOSURE}
+SELECT d.doc_id,
+       COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+ORDER BY doc_id, cluster_id, keep"""

@@ -1,0 +1,130 @@
+"""Connected-components cluster resolution: correctness vs a reference
+union-find, convergence speed on adversarial shapes, and the canonical
+keep/drop contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.operators.dedup import (
+    canonical_docs,
+    connected_components,
+    ngram_jaccard_pairs,
+)
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference implementation: plain union-find, cluster = min id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {node: find(node) for node in parent}
+
+
+def _run(spark, pairs: list[tuple[int, int]], **kw):
+    # driver_max_pairs=0 forces the DISTRIBUTED star contraction —
+    # these tests pin the algorithm; the driver fast path is pinned
+    # equal in test_cc_driver_path_equals_distributed
+    kw.setdefault("driver_max_pairs", 0)
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    out = connected_components(df, **kw).collect()
+    return {r["node"]: r["cluster_id"] for r in out}
+
+
+def test_cc_matches_union_find_random(spark):
+    rng = random.Random(7)
+    for trial in range(5):
+        n = rng.randrange(20, 400)
+        m = rng.randrange(1, 3 * n)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # self-loops and duplicate/reversed pairs are legal input
+        pairs += [(x, x) for x in range(0, n, 7)]
+        pairs += [(b, a) for a, b in pairs[: m // 3]]
+        expect = _union_find_clusters(
+            [(a, b) for a, b in pairs if a != b]
+        )
+        got = _run(spark, pairs)
+        assert got == expect, f"trial {trial}"
+
+
+def test_cc_long_chain_converges_fast(spark):
+    # A 300-node path: naive min-propagation needs ~300 rounds; star
+    # contraction is O(log n) — max_rounds=12 both proves the speed
+    # and pins the algorithm (a propagation rewrite would blow it).
+    pairs = [(i, i + 1) for i in range(300)]
+    got = _run(spark, pairs, max_rounds=12)
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_cc_hot_hub_and_clique(spark):
+    # A star hub (the boilerplate-cluster shape after LSH) and a clique
+    hub = [(0, i) for i in range(1, 200)]
+    clique = [
+        (a, b) for a in range(500, 540) for b in range(a + 1, 540)
+    ]
+    got = _run(spark, hub + clique)
+    assert {got[i] for i in range(200)} == {0}
+    assert {got[i] for i in range(500, 540)} == {500}
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    rng = random.Random(21)
+    pairs = [(rng.randrange(150), rng.randrange(150)) for _ in range(200)]
+    dist = _run(spark, pairs)  # forced star contraction
+    fast = _run(spark, pairs, driver_max_pairs=10**6)  # driver union-find
+    assert fast == dist and fast
+
+
+def test_cc_empty_and_string_ids(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(sdf).collect()
+    }
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_nonconvergence_guard(spark):
+    pairs = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1, driver_max_pairs=0)
+
+
+def test_canonical_docs_contract(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_df=20)
+    out = canonical_docs(docs, pairs).select(
+        "doc_id", "cluster_id", "keep"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc gets a verdict
+    by_id = {r["doc_id"]: r for r in rows}
+    expect = _union_find_clusters(
+        [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    )
+    for did, r in by_id.items():
+        assert r["cluster_id"] == expect.get(did, did)
+        assert r["keep"] == (r["cluster_id"] == did)
+    # exactly one kept doc per cluster
+    kept = out.filter("keep").groupBy("cluster_id").count()
+    assert kept.filter(F.col("count") != 1).isEmpty()
