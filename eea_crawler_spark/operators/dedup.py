@@ -38,6 +38,30 @@ from eea_crawler_spark.functions.text import clean_html
 # identical output with no driver materialization.
 RESCORE_BROADCAST_MAX_BYTES = 64 << 20
 
+# Exchange sizing for the hinted shuffled-hash candidate joins: an SHJ
+# build cannot spill, so the exchange carrying the build side is
+# floored at one partition per ~32 MB of build-relation bytes (each
+# prefix entry ≈ 40 B as an UnsafeRow, ~2× again inside the hash
+# relation). The row count comes from one cheap aggregate over the
+# already-checkpointed array relation — the session's input-bytes
+# partition sizing cannot see a join's super-linear intermediate.
+_PREFIX_BUILD_BYTES_PER_ROW = 80
+_SHJ_BUILD_TARGET_BYTES = 32 << 20
+
+
+def _prefix_shj_parts(arr: DataFrame, threshold: float) -> int:
+    """Partition floor for a prefix-relation SHJ build side: estimated
+    prefix rows (Σ ⌊(1-t)·|g|⌋+1 over the build relation) × the
+    build's bytes-per-row, divided into ~32 MB tasks."""
+    stats = arr.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(F.sum(F.size("g")), F.lit(0)).alias("s"),
+    ).first()
+    prefix_rows = int((1.0 - threshold) * int(stats["s"])) + int(stats["c"])
+    return -(
+        -prefix_rows * _PREFIX_BUILD_BYTES_PER_ROW // _SHJ_BUILD_TARGET_BYTES
+    )
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's default parallelism —
@@ -56,7 +80,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
-def _wide_by(df: DataFrame, *cols: str) -> DataFrame:
+def _wide_by(df: DataFrame, *cols: str, min_parts: int = 0) -> DataFrame:
     """Hash-repartition on a join key at full cluster width.
 
     The session sizes ``spark.sql.shuffle.partitions`` to the input
@@ -68,10 +92,21 @@ def _wide_by(df: DataFrame, *cols: str) -> DataFrame:
     count the explicit exchange is the same one EnsureRequirements
     would insert for the join anyway (co-partitioned on the join key,
     same partition count → no second exchange).
+
+    ``min_parts`` lets a caller floor the width from a MEASURED build
+    size: a shuffled-hash build cannot spill, so when the hinted build
+    side rides this exchange its per-partition share must fit task
+    memory — at 5M docs the prefix self-join's ~54M-row build over 32
+    partitions asked the pool for 128 MB pages 32 tasks at a time and
+    aborted (observed; the session-level conf sizes partitions from
+    INPUT bytes and cannot see a join's super-linear intermediate).
     """
     spark = df.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n = max(spark.sparkContext.defaultParallelism, conf_parts)
+    n = min(
+        max(spark.sparkContext.defaultParallelism, conf_parts, min_parts),
+        4096,
+    )
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
@@ -201,7 +236,9 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
-def _pair_jaccard_arrays(arrs: DataFrame, pairs: DataFrame) -> DataFrame:
+def _pair_jaccard_arrays(
+    arrs: DataFrame, pairs: DataFrame, min_parts: int = 0
+) -> DataFrame:
     """Exact Jaccard for known candidate pairs from per-doc shingle
     ARRAYS: join each side's array onto the pair row (shuffle-hash —
     the array side is docs-sized, the pair side is candidate-volume)
@@ -209,6 +246,15 @@ def _pair_jaccard_arrays(arrs: DataFrame, pairs: DataFrame) -> DataFrame:
     each join; no exploded relation, no re-aggregation — the exploded
     pair-anchored form pushed one row per (pair, shared shingle)
     through a groupBy that spilled at corpus scale.
+
+    ``min_parts`` floors the join width: the hinted SHJ build (the
+    array side) cannot spill, and at 5M docs the candidate arrays over
+    the session's 32 input-sized partitions aborted the hash build
+    (observed — callers that know the array volume must size the
+    exchange; ``_rescore_candidates`` derives it from the same
+    aggregate that picks this plan). The explicit repartitions replace
+    the exchanges EnsureRequirements would insert, wider — never an
+    extra shuffle.
 
     PRECONDITION (same as _pair_jaccard): ``pairs`` distinct and
     canonical (doc_a < doc_b). Pairs whose doc is absent from ``arrs``
@@ -224,10 +270,16 @@ def _pair_jaccard_arrays(arrs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("g").alias("g_b"),
         F.size("g").alias("nb"),
     )
+    if min_parts:
+        a = a.repartition(min_parts, "doc_a")
+        b = b.repartition(min_parts, "doc_b")
+        pairs = pairs.repartition(min_parts, "doc_a")
     inter = F.size(F.array_intersect("g_a", "g_b"))
+    j1 = pairs.join(a.hint("shuffle_hash"), ["doc_a"])
+    if min_parts:
+        j1 = j1.repartition(min_parts, "doc_b")
     return (
-        pairs.join(a.hint("shuffle_hash"), ["doc_a"])
-        .join(b.hint("shuffle_hash"), ["doc_b"])
+        j1.join(b.hint("shuffle_hash"), ["doc_b"])
         # two-step projection: `i` is consumed twice below and
         # CollapseProject keeps non-cheap aliases used more than once,
         # so array_intersect evaluates once per pair
@@ -314,11 +366,16 @@ def _rescore_candidates(base: DataFrame, pairs: DataFrame) -> DataFrame:
     # shingle) — 1.05B rows at sf100 — through a re-aggregation that
     # spilled 23 GB; the array form shuffles one wide row per pair
     # side and intersects in codegen, no aggregate at all.
+    # exchange floored by the KNOWN array volume (tot is exact): ~20 B
+    # per shingle entry as an UnsafeRow inside the hash relation,
+    # ~32 MB of build per task
+    parts = -(-int(tot["s"] or 0) * 20 // _SHJ_BUILD_TARGET_BYTES)
     return _pair_jaccard_arrays(
         base.select("id", "g").join(
             cand_docs.select("id"), ["id"], "left_semi"
         ),
         pairs.select("doc_a", "doc_b"),
+        min_parts=min(parts, 4096),
     )
 
 
@@ -368,6 +425,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     against: DataFrame | None = None,
     against_arrays: DataFrame | None = None,
+    against_state: dict | None = None,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -392,11 +450,16 @@ def ngram_jaccard_pairs(
     one linear pass. ``against_arrays`` supplies the corpus's persisted
     per-doc shingle-array relation (``build_text_dedup_state``) so
     that linear pass skips re-shingling — the serving layout.
+    ``against_state`` (``read_text_dedup_state_full``) goes further:
+    with the persisted prefix_df/hp0 aggregates the probe never
+    touches corpus text at all (``against`` may then be omitted) and
+    skips the two corpus-wide statistic shuffles — see
+    ``_ngram_jaccard_pairs_delta``.
     """
-    if against is not None:
+    if against is not None or against_state is not None:
         return _ngram_jaccard_pairs_delta(
             df, against, text_col, id_col, n, threshold, max_df,
-            against_arrays,
+            against_arrays, against_state,
         )
     if max_df is None:
         # the self-join + sizes reuse sh 3×; materialize the explode
@@ -472,10 +535,15 @@ def ngram_jaccard_pairs(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("hp"))
         )
-        # prefix self-join at cluster width; the size-ratio prune
-        # (exact: J ≥ t ⇒ min(na,nb)/max(na,nb) ≥ t) runs inside the
-        # join, before the distinct ever sees the blow-up
-        side = _wide_by(cold, "shingle")
+        # prefix self-join, exchange floored by the SHJ build's bytes
+        # (the build side is the whole cold prefix relation — at 5M
+        # docs, 32 input-sized partitions aborted the unspillable hash
+        # build); the size-ratio prune (exact: J ≥ t ⇒
+        # min(na,nb)/max(na,nb) ≥ t) runs inside the join, before the
+        # distinct ever sees the blow-up
+        side = _wide_by(
+            cold, "shingle", min_parts=_prefix_shj_parts(arr, threshold)
+        )
         a = side.select(
             F.col("id").alias("doc_a"), "shingle",
             F.col("n").alias("na"), F.col("pos").alias("pa"),
@@ -589,13 +657,14 @@ def ngram_jaccard_pairs(
 
 def _ngram_jaccard_pairs_delta(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str,
     id_col: str,
     n: int,
     threshold: float,
     max_df: int | None,
     corpus_arrays: DataFrame | None,
+    state: dict | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus n-gram Jaccard: pairs touching the delta only.
 
@@ -610,8 +679,38 @@ def _ngram_jaccard_pairs_delta(
     ``ngram_jaccard_pairs(delta ∪ corpus)`` restricted to delta-touching
     pairs (the pytest pin). Delta-delta pairs keep the a<b orientation;
     delta-corpus pairs are enumerated once (ids are side-disjoint by
-    contract) and canonicalized by swapping the per-side stats."""
+    contract) and canonicalized by swapping the per-side stats.
+
+    ``state`` (from ``read_text_dedup_state_full``) supplies the FULL
+    persisted serving layout: with prefix_df/hp0 present and the
+    spec matching (n, threshold, max_df), the probe reconstructs the
+    union statistics from the persisted aggregates plus delta-only
+    passes — the corpus text is then never read (``corpus`` may be
+    None), and the two corpus-wide statistic shuffles (hot groupBy,
+    hp semi+groupBy) are replaced by shuffle-free scans of the
+    persisted aggregates. Union df decomposes per shingle as
+    corpus_df + delta_df, so the union-hot set is EXACTLY
+    {corpus_df > max_df} ∪ {s ∈ delta prefixes: corpus_df(s) +
+    delta_df(s) > max_df}; union hp decomposes per corpus doc as
+    hp0 + (its prefix entries among newly-tipped hot shingles) — the
+    correction pass is skipped when no shingle tips (the common case:
+    a 1% delta rarely moves a df across max_df). Output is pinned
+    equal to the stateless probe (tests/test_incremental_dedup.py)."""
+    state = state or {}
+    if corpus_arrays is None:
+        corpus_arrays = state.get("arrays")
+    if corpus is None and corpus_arrays is None:
+        raise ValueError(
+            "delta probe needs `against` or a persisted state with "
+            "arrays"
+        )
     if max_df is None:
+        if corpus is None:
+            raise ValueError(
+                "the uncapped (string-shingle) delta probe needs the "
+                "corpus text itself — persisted state serves the "
+                "capped path"
+            )
         # uncapped reference plan, delta-anchored: only shingles of
         # delta docs expand into pairs
         sh_new = shingles(new, text_col, id_col, n).localCheckpoint(
@@ -681,29 +780,131 @@ def _ngram_jaccard_pairs_delta(
         base = arr.select("id", "g", "__d", F.size("g").alias("n")).filter(
             F.col("n") > 0
         )
-        plen = (F.floor(F.lit(1.0 - threshold) * F.col("n")) + 1).cast("int")
+        spec = state.get("spec")
+        serving = (
+            spec is not None
+            and {"prefix_df", "hp0"} <= state.keys()
+        )
+        if serving and (
+            spec["n"] != n
+            or spec["threshold"] != threshold
+            or spec["max_df"] != max_df
+        ):
+            raise ValueError(
+                "persisted dedup state was built for "
+                f"(n={spec['n']}, threshold={spec['threshold']}, "
+                f"max_df={spec['max_df']}), probe asked for "
+                f"(n={n}, threshold={threshold}, max_df={max_df}) — "
+                "rebuild the state or drop against_state"
+            )
+        plen = (
+            F.floor(F.lit(1.0 - threshold) * F.col("n")) + 1
+        ).cast("int")
         pre = base.select(
             "id",
             "n",
             "__d",
-            F.posexplode(F.slice("g", F.lit(1), plen)).alias("pos", "shingle"),
+            F.posexplode(F.slice("g", F.lit(1), plen)).alias(
+                "pos", "shingle"
+            ),
         ).withColumn("pos", F.col("pos") + 1)
-        # hot shingles and per-doc hot-prefix counts over the UNION —
-        # the same statistics the self-join computes, so the positional
-        # bound is numerically identical on every delta-touching pair
-        hot = (
-            pre.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
+        if serving:
+            # SERVING statistics: the same union hot/hp numbers, but
+            # reconstructed from the persisted aggregates + delta-only
+            # passes instead of two corpus-wide shuffles (the
+            # 100M-row hot groupBy and the hp semi+groupBy). The
+            # prefix ENTRIES still derive from the arrays — one
+            # shuffle-free codegen pass, measured cheaper than
+            # scanning a persisted exploded relation (build docstring).
+            pre_new = (
+                _prefix_relation(arr_new.select("id", "g"), threshold)
+                .withColumn("__d", F.lit(True))
+                .localCheckpoint(eager=True)
+            )
+            d_df = pre_new.groupBy("shingle").agg(
+                F.count(F.lit(1)).alias("ddf")
+            )
+            c_df = state["prefix_df"]
+            mixed = c_df.join(F.broadcast(d_df), ["shingle"]).filter(
+                F.col("df") + F.col("ddf") > max_df
+            )
+            # ONE materialized relation carries the union-hot set AND
+            # the tipped flag (tip = the DELTA pushed a corpus-cold
+            # shingle over max_df — the rows hp0 undercounts): three
+            # separate eager materializations here were three blocking
+            # jobs re-scanning prefix_df, measurably the serving
+            # path's fixed-cost tax. Delta-only hot shingles carry
+            # tip=false — they have no corpus prefix entries, so the
+            # hp correction owes them nothing.
+            hot_info = (
+                c_df.filter(F.col("df") > max_df)
+                .select("shingle", F.lit(False).alias("tip"))
+                .unionByName(
+                    mixed.select(
+                        "shingle", (F.col("df") <= max_df).alias("tip")
+                    )
+                )
+                .unionByName(
+                    d_df.filter(F.col("ddf") > max_df)
+                    .select("shingle", F.lit(False).alias("tip"))
+                )
+                .groupBy("shingle")
+                .agg(F.max("tip").alias("tip"))
+                .localCheckpoint(eager=True)
+            )
+            hot = hot_info.select("shingle")
+            tipped = hot_info.filter(F.col("tip")).select("shingle")
+            hp_new = (
+                pre_new.join(F.broadcast(hot), ["shingle"], "left_semi")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("hp"))
+            )
+            if tipped.isEmpty():
+                hp_corp = state["hp0"].select("id", "hp")
+            else:
+                corr = (
+                    pre.filter(~F.col("__d"))
+                    .join(F.broadcast(tipped), ["shingle"], "left_semi")
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("tc"))
+                )
+                hp_corp = (
+                    state["hp0"]
+                    .select("id", "hp")
+                    .join(corr, ["id"], "full")
+                    .select(
+                        "id",
+                        (
+                            F.coalesce("hp", F.lit(0))
+                            + F.coalesce("tc", F.lit(0))
+                        ).alias("hp"),
+                    )
+                )
+            hp = hp_new.unionByName(hp_corp)
+        else:
+            # hot shingles and per-doc hot-prefix counts over the
+            # UNION — the same statistics the self-join computes, so
+            # the positional bound is numerically identical on every
+            # delta-touching pair
+            hot = (
+                pre.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_df)
+                .select("shingle")
+            )
+            hp = (
+                pre.join(F.broadcast(hot), ["shingle"], "left_semi")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("hp"))
+            )
         cold = pre.join(F.broadcast(hot), ["shingle"], "left_anti")
-        hp = (
-            pre.join(F.broadcast(hot), ["shingle"], "left_semi")
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("hp"))
+        # exchange floored by the DELTA prefix volume — the hinted
+        # build side here is the delta only, so the floor engages only
+        # for corpus-sized deltas (same hazard class as the self-join)
+        side = _wide_by(
+            cold, "shingle",
+            min_parts=_prefix_shj_parts(arr_new, threshold),
         )
-        side = _wide_by(cold, "shingle")
         a = side.filter(F.col("__d")).select(
             F.col("id").alias("ia"), "shingle",
             F.col("n").alias("nA"), F.col("pos").alias("pA"),
@@ -1135,6 +1336,8 @@ def build_text_dedup_state(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    threshold: float | None = None,
+    max_df: int | None = None,
 ) -> None:
     """Persist the corpus-side relations the incremental dedup probes
     read (``against_arrays`` / ``against_sigs``): per-doc sorted hashed
@@ -1145,14 +1348,75 @@ def build_text_dedup_state(
     deterministic functions of the text, so probing them is
     output-identical to recomputing (the equality pins run both ways).
     Keep in sync with upserts the same way the searchui table is —
-    rewrite rows whose text changed (the relations are keyed by id)."""
-    arr = shingle_arrays(docs, text_col, id_col, n).localCheckpoint(
-        eager=True
-    )
-    arr.write.mode("overwrite").parquet(f"{path}/arrays")
+    rewrite rows whose text changed (the relations are keyed by id).
+
+    With ``threshold`` (and optionally ``max_df``) set, ALSO persists
+    the prefix-index STATISTICS the capped n-gram delta probe
+    otherwise re-aggregates per run with two corpus-wide shuffles:
+    ``prefix_df`` (per-shingle prefix document frequency — the hot-set
+    source) and ``hp0`` (per-doc count of corpus-hot prefix entries,
+    df > max_df), plus a one-row ``spec`` recording
+    (n, num_hashes, threshold, max_df) so a probe can refuse a
+    mismatched state instead of silently diverging. The probe then
+    reconstructs the UNION statistics the equality contract requires
+    from these aggregates plus delta-only passes
+    (see ``_ngram_jaccard_pairs_delta``). The exploded prefix RELATION
+    is deliberately NOT persisted: it re-derives from the arrays in
+    one shuffle-free codegen pass, and a measured 5M-doc run showed
+    scanning the exploded parquet costs MORE than re-deriving it —
+    only the aggregates (whose derivation shuffles) are worth storing.
+
+    Every relation is written then re-read before its consumers run —
+    never localCheckpoint'ed: an eager checkpoint of a corpus-sized
+    relation pins its blocks in executor storage for the SESSION's
+    lifetime, and a 5M-doc build measurably starved a later query's
+    shuffled-hash build (the round-8 checkpoint-pinning failure class).
+    """
+    spark = docs.sparkSession
+    shingle_arrays(docs, text_col, id_col, n).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/arrays")
+    arr = spark.read.parquet(f"{path}/arrays")
     _signatures_from_arrays(arr, num_hashes).write.mode("overwrite").parquet(
         f"{path}/sigs"
     )
+    if threshold is None:
+        return
+    pre = _prefix_relation(arr, threshold)
+    pre.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/prefix_df")
+    if max_df is not None:
+        hot0 = (
+            spark.read.parquet(f"{path}/prefix_df")
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        pre.join(F.broadcast(hot0), ["shingle"], "left_semi").groupBy(
+            "id"
+        ).agg(F.count(F.lit(1)).alias("hp")).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/hp0")
+    spark.createDataFrame(
+        [(n, num_hashes, float(threshold), max_df)],
+        "n int, num_hashes int, threshold double, max_df int",
+    ).write.mode("overwrite").parquet(f"{path}/spec")
+
+
+def _prefix_relation(arr: DataFrame, threshold: float) -> DataFrame:
+    """The prefix index of an array relation (id, g): one row per
+    prefix entry — (id, n, pos, shingle), pos 1-based. The single
+    source of the prefix shape for the self-join, the delta probe, and
+    the persisted serving state (they must byte-agree)."""
+    base = arr.select("id", "g", F.size("g").alias("n")).filter(
+        F.col("n") > 0
+    )
+    plen = (F.floor(F.lit(1.0 - threshold) * F.col("n")) + 1).cast("int")
+    return base.select(
+        "id",
+        "n",
+        F.posexplode(F.slice("g", F.lit(1), plen)).alias("pos", "shingle"),
+    ).withColumn("pos", F.col("pos") + 1)
 
 
 def read_text_dedup_state(spark, path: str):
@@ -1163,6 +1427,27 @@ def read_text_dedup_state(spark, path: str):
         spark.read.parquet(f"{path}/arrays"),
         spark.read.parquet(f"{path}/sigs"),
     )
+
+
+def read_text_dedup_state_full(spark, path: str) -> dict:
+    """Load ALL persisted corpus relations as a dict — ``arrays`` and
+    ``sigs`` always; ``prefix_df`` / ``hp0`` / ``spec`` when the state
+    was built with a threshold (see build_text_dedup_state; ``prefix``
+    tolerated for states built by older builds). Pass the dict as
+    ``against_state`` to ``ngram_jaccard_pairs`` to run the probe that
+    skips the corpus-wide statistic shuffles."""
+    import os
+
+    state: dict = {
+        "arrays": spark.read.parquet(f"{path}/arrays"),
+        "sigs": spark.read.parquet(f"{path}/sigs"),
+    }
+    for rel in ("prefix", "prefix_df", "hp0"):
+        if os.path.exists(f"{path}/{rel}"):
+            state[rel] = spark.read.parquet(f"{path}/{rel}")
+    if os.path.exists(f"{path}/spec"):
+        state["spec"] = spark.read.parquet(f"{path}/spec").first().asDict()
+    return state
 
 
 def simhash_bands(

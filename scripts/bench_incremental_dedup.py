@@ -78,11 +78,30 @@ def main() -> None:
         if os.path.exists(args.state):
             shutil.rmtree(args.state)
         t0 = time.perf_counter()
-        DD.build_text_dedup_state(corpus, args.state)
+        DD.build_text_dedup_state(
+            corpus, args.state,
+            threshold=args.threshold, max_df=args.max_df,
+        )
         out["state_build_sec"] = round(time.perf_counter() - t0, 2)
         print(f"state build: {out['state_build_sec']}s", file=sys.stderr)
 
         arrays, sigs = DD.read_text_dedup_state(spark, args.state)
+        state = DD.read_text_dedup_state_full(spark, args.state)
+
+        # serving probe: persisted prefix/df/hp0 — the corpus text is
+        # never read; one columnar corpus-prefix scan (candidate join)
+        t0 = time.perf_counter()
+        n_pairs_s = DD.ngram_jaccard_pairs(
+            new, threshold=args.threshold, max_df=args.max_df,
+            against_state=state,
+        ).count()
+        out["ngram_delta_serving_sec"] = round(time.perf_counter() - t0, 2)
+        out["ngram_delta_serving_pairs"] = n_pairs_s
+        print(
+            f"ngram delta (serving state): "
+            f"{out['ngram_delta_serving_sec']}s ({n_pairs_s} pairs)",
+            file=sys.stderr,
+        )
 
         t0 = time.perf_counter()
         n_pairs = DD.ngram_jaccard_pairs(
@@ -95,6 +114,12 @@ def main() -> None:
             f"ngram delta: {out['ngram_delta_sec']}s ({n_pairs} pairs)",
             file=sys.stderr,
         )
+        if n_pairs_s != n_pairs:
+            print(
+                f"WARNING: serving/stateless pair-count mismatch "
+                f"{n_pairs_s} != {n_pairs}",
+                file=sys.stderr,
+            )
 
         t0 = time.perf_counter()
         n_mh = DD.minhash_lsh_pairs(

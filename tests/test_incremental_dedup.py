@@ -226,3 +226,99 @@ def test_neardup_escalation_gate(spark):
         ).collect()
     }
     assert low_gate == low_exact
+
+
+def test_ngram_delta_serving_state(spark, text_split, tmp_path):
+    """The FULL serving layout (prefix/prefix_df/hp0 persisted): probe
+    output identical to the stateless delta probe and the restricted
+    self-join, with the corpus text never passed in at all."""
+    new, corpus, union, delta_ids = text_split
+    path = str(tmp_path / "state")
+    DD.build_text_dedup_state(corpus, path, threshold=THRESH, max_df=20)
+    state = DD.read_text_dedup_state_full(spark, path)
+    assert {"prefix_df", "hp0", "spec"} <= state.keys()
+    full = _pairset(
+        DD.ngram_jaccard_pairs(union, threshold=THRESH, max_df=20)
+    )
+    want = _touching(full, delta_ids)
+    got = _pairset(
+        DD.ngram_jaccard_pairs(
+            new, threshold=THRESH, max_df=20, against_state=state
+        )
+    )
+    assert got == want and want
+    # spec mismatch refuses loudly instead of silently diverging
+    with pytest.raises(ValueError, match="rebuild the state"):
+        DD.ngram_jaccard_pairs(
+            new, threshold=0.9, max_df=20, against_state=state
+        )
+    with pytest.raises(ValueError, match="rebuild the state"):
+        DD.ngram_jaccard_pairs(
+            new, threshold=THRESH, max_df=21, against_state=state
+        )
+
+
+def test_ngram_delta_serving_state_tipped_hot(spark, tmp_path):
+    """The hard statistics case: the DELTA tips a shingle's union df
+    over max_df, so hot-set membership AND corpus docs' hp counts
+    differ from the persisted corpus-only aggregates — the probe's
+    tipped-correction must reconstruct the exact union statistics.
+    Corpus: a near-dup cluster sharing a boilerplate phrase whose
+    corpus df sits exactly AT max_df; delta: near-dups of the cluster
+    carrying the same phrase (tipping it) — with a low max_df the
+    phrase's shingles are the cluster's ONLY shared prefix entries, so
+    an undercounted hp prunes true pairs (the self-join's
+    hot-boilerplate proof, re-run against the serving path)."""
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rng = np.random.RandomState(11)
+    vocab = [f"v{i}" for i in range(400)]
+    shared = " ".join(vocab[j] for j in rng.randint(0, 400, 30))
+    rows = []
+    for i in range(40):
+        if i < 6:  # the near-dup cluster: boilerplate + shared filler,
+            # one mutated word per member (outside the boilerplate);
+            # 4 corpus + 2 delta members, so shared shingles' corpus
+            # prefix df sits AT max_df=4 — hot only with the delta
+            words = (boiler + " " + shared).split()
+            words[10 + i % 3] = vocab[int(rng.randint(0, 400))]
+            rows.append((i, " ".join(words)))
+        else:  # noise docs, no boilerplate, fresh filler
+            rows.append(
+                (i, " ".join(vocab[j] for j in rng.randint(0, 400, 30)))
+            )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    new = df.filter(F.col("doc_id") % 4 == 0)
+    corpus = df.filter(F.col("doc_id") % 4 != 0)
+    delta_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    max_df = 4  # cluster: 4 corpus + 2 delta members — delta tips it
+    path = str(tmp_path / "state")
+    DD.build_text_dedup_state(corpus, path, threshold=0.5, max_df=max_df)
+    state = DD.read_text_dedup_state_full(spark, path)
+
+    def _hot(docs_df):
+        pre = DD._prefix_relation(DD.shingle_arrays(docs_df), 0.5)
+        cnt = pre.groupBy("shingle").count().filter(
+            F.col("count") > max_df
+        )
+        return {r["shingle"] for r in cnt.collect()}
+
+    # the fixture's point: union-hot shingles the corpus-only stats
+    # miss MUST exist, or this test silently stops covering the
+    # tipped-correction path
+    assert _hot(df) - _hot(corpus)
+    full = _pairset(
+        DD.ngram_jaccard_pairs(df, threshold=0.5, max_df=max_df)
+    )
+    want = _touching(full, delta_ids)
+    got = _pairset(
+        DD.ngram_jaccard_pairs(
+            new, threshold=0.5, max_df=max_df, against_state=state
+        )
+    )
+    assert got == want and want
+    stateless = _pairset(
+        DD.ngram_jaccard_pairs(
+            new, threshold=0.5, max_df=max_df, against=corpus
+        )
+    )
+    assert stateless == want
