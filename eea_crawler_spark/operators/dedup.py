@@ -1096,6 +1096,27 @@ def _signatures_from_arrays(arrs: DataFrame, num_hashes: int) -> DataFrame:
     return arrs.mapInPandas(_sig_batches, f"id {id_type}, sig array<bigint>")
 
 
+def _band_relation(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded LSH keys from a signature relation: one (id, band_idx,
+    band_hash) row per band per doc — xxhash64 of each signature band
+    slice, seeded by the band index. THE banding rule, shared by the
+    self-join, the delta probe, and the persisted serving relation
+    (``build_text_dedup_state``) so the three cannot drift."""
+    rows_per_band = num_hashes // bands
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band), b
+        ),
+    )
+    keep = [c for c in sigs.columns if c != "sig"]  # id (+ side flags)
+    return sigs.filter(F.size("sig") > 0).select(
+        *keep, F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1107,6 +1128,7 @@ def minhash_lsh_pairs(
     against: DataFrame | None = None,
     against_arrays: DataFrame | None = None,
     against_sigs: DataFrame | None = None,
+    against_state: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -1126,14 +1148,17 @@ def minhash_lsh_pairs(
     candidate join. ``against_arrays`` / ``against_sigs`` supply the
     corpus's persisted shingle-array / signature relations
     (``build_text_dedup_state``) so the corpus pays zero per-run
-    shingling or hashing — the serving layout.
+    shingling or hashing; ``against_state``
+    (``read_text_dedup_state_full``) adds the persisted BAND relation —
+    the corpus then pays zero per-run band hashing too, its only
+    per-run costs the banded-parquet stream through the candidate join
+    and the candidate-pruned signature reads.
     """
-    if against is not None:
+    if against is not None or against_state is not None:
         return _minhash_lsh_pairs_delta(
             df, against, text_col, id_col, n, num_hashes, bands,
-            threshold, against_arrays, against_sigs,
+            threshold, against_arrays, against_sigs, against_state,
         )
-    rows_per_band = num_hashes // bands
     # The signature table is the cache unit (one 64-long row per doc,
     # consumed by banding + the est join twice). The shingle relation
     # is never exploded at all — signatures come from the per-doc
@@ -1143,16 +1168,8 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_arrays(
         shingle_arrays(df, text_col, id_col, n), num_hashes
     ).localCheckpoint(eager=True)
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
-    )
     banded = _wide_by(
-        sigs.filter(F.size("sig") > 0).select(
-            "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
-        ),
-        "band_idx",
-        "band_hash",
+        _band_relation(sigs, num_hashes, bands), "band_idx", "band_hash"
     )
     cand = (
         banded.alias("x")
@@ -1208,7 +1225,7 @@ def minhash_lsh_pairs(
 
 def _minhash_lsh_pairs_delta(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text_col: str,
     id_col: str,
     n: int,
@@ -1217,6 +1234,7 @@ def _minhash_lsh_pairs_delta(
     threshold: float,
     corpus_arrays: DataFrame | None,
     corpus_sigs: DataFrame | None,
+    state: dict | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus MinHash banding: delta band rows probe the
     union's band relation, so candidate expansion is linear in delta
@@ -1224,8 +1242,37 @@ def _minhash_lsh_pairs_delta(
     with the identical arithmetic as the self-join (the equality pin's
     basis). Corpus-side relations can arrive persisted
     (``build_text_dedup_state``) — then the corpus pays only the band
-    projection of its signature rows per run, no shingling."""
-    rows_per_band = num_hashes // bands
+    projection of its signature rows per run, no shingling; with the
+    full ``state`` (persisted ``bands`` relation + matching spec) not
+    even that — banding is a deterministic function of the signatures,
+    so reading the persisted band rows is output-identical to
+    recomputing them (pinned)."""
+    state = state or {}
+    corpus_bands = None
+    spec = state.get("spec")
+    if spec is not None and "bands" in state:
+        if (
+            spec["n"] != n
+            or spec["num_hashes"] != num_hashes
+            or spec.get("bands") != bands
+        ):
+            raise ValueError(
+                "persisted dedup state was built for "
+                f"(n={spec['n']}, num_hashes={spec['num_hashes']}, "
+                f"bands={spec.get('bands')}), probe asked for "
+                f"(n={n}, num_hashes={num_hashes}, bands={bands}) — "
+                "rebuild the state or drop against_state"
+            )
+        corpus_bands = state["bands"]
+    if corpus_arrays is None:
+        corpus_arrays = state.get("arrays")
+    if corpus_sigs is None:
+        corpus_sigs = state.get("sigs")
+    if corpus is None and (corpus_arrays is None or corpus_sigs is None):
+        raise ValueError(
+            "delta probe needs `against` or a persisted state with "
+            "arrays and sigs"
+        )
     arr_new = shingle_arrays(new, text_col, id_col, n).localCheckpoint(
         eager=True
     )
@@ -1245,13 +1292,7 @@ def _minhash_lsh_pairs_delta(
     ).unionByName(
         corpus_sigs.select("id", "sig").withColumn("__d", F.lit(False))
     )
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
-    )
-    banded_new = sigs_new.filter(F.size("sig") > 0).select(
-        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    banded_new = _band_relation(sigs_new, num_hashes, bands)
     # nightly-batch fast path: a churn-sized delta's band rows broadcast
     # (|delta|·bands skinny rows), so the CORPUS banded relation streams
     # through the candidate join with ZERO shuffle — the corpus-side
@@ -1262,9 +1303,16 @@ def _minhash_lsh_pairs_delta(
         banded_new = F.broadcast(banded_new)
     else:
         banded_new = _wide_by(banded_new, "band_idx", "band_hash")
-    banded_all = sigs_all.filter(F.size("sig") > 0).select(
-        "id", "__d", F.posexplode(band_arr).alias("band_idx", "band_hash")
-    )
+    if corpus_bands is not None:
+        # persisted corpus band rows stream verbatim; only the delta
+        # pays the band projection
+        banded_all = (
+            _band_relation(sigs_new, num_hashes, bands)
+            .withColumn("__d", F.lit(True))
+            .unionByName(corpus_bands.withColumn("__d", F.lit(False)))
+        )
+    else:
+        banded_all = _band_relation(sigs_all, num_hashes, bands)
     cand = (
         banded_all.alias("y")
         .join(banded_new.alias("x"), ["band_idx", "band_hash"])
@@ -1338,6 +1386,7 @@ def build_text_dedup_state(
     num_hashes: int = 64,
     threshold: float | None = None,
     max_df: int | None = None,
+    bands: int = 16,
 ) -> None:
     """Persist the corpus-side relations the incremental dedup probes
     read (``against_arrays`` / ``against_sigs``): per-doc sorted hashed
@@ -1382,6 +1431,12 @@ def build_text_dedup_state(
     )
     if threshold is None:
         return
+    # MinHash band relation: a deterministic function of the persisted
+    # signatures, stored so the delta probe's corpus side pays zero
+    # per-run band hashing (bands recorded in the spec)
+    _band_relation(
+        spark.read.parquet(f"{path}/sigs"), num_hashes, bands
+    ).write.mode("overwrite").parquet(f"{path}/bands")
     pre = _prefix_relation(arr, threshold)
     pre.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
@@ -1398,8 +1453,8 @@ def build_text_dedup_state(
             "overwrite"
         ).parquet(f"{path}/hp0")
     spark.createDataFrame(
-        [(n, num_hashes, float(threshold), max_df)],
-        "n int, num_hashes int, threshold double, max_df int",
+        [(n, num_hashes, float(threshold), max_df, bands)],
+        "n int, num_hashes int, threshold double, max_df int, bands int",
     ).write.mode("overwrite").parquet(f"{path}/spec")
 
 
@@ -1442,7 +1497,7 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
         "arrays": spark.read.parquet(f"{path}/arrays"),
         "sigs": spark.read.parquet(f"{path}/sigs"),
     }
-    for rel in ("prefix", "prefix_df", "hp0"):
+    for rel in ("prefix", "prefix_df", "hp0", "bands"):
         if os.path.exists(f"{path}/{rel}"):
             state[rel] = spark.read.parquet(f"{path}/{rel}")
     if os.path.exists(f"{path}/spec"):

@@ -122,6 +122,18 @@ def main() -> None:
             )
 
         t0 = time.perf_counter()
+        n_mh_s = DD.minhash_lsh_pairs(
+            new, threshold=args.threshold, against_state=state
+        ).count()
+        out["minhash_delta_serving_sec"] = round(time.perf_counter() - t0, 2)
+        out["minhash_delta_serving_pairs"] = n_mh_s
+        print(
+            f"minhash delta (serving state): "
+            f"{out['minhash_delta_serving_sec']}s ({n_mh_s} pairs)",
+            file=sys.stderr,
+        )
+
+        t0 = time.perf_counter()
         n_mh = DD.minhash_lsh_pairs(
             new, threshold=args.threshold, against=corpus,
             against_arrays=arrays, against_sigs=sigs,
@@ -132,6 +144,12 @@ def main() -> None:
             f"minhash delta: {out['minhash_delta_sec']}s ({n_mh} pairs)",
             file=sys.stderr,
         )
+        if n_mh_s != n_mh:
+            print(
+                f"WARNING: minhash serving/stateless mismatch "
+                f"{n_mh_s} != {n_mh}",
+                file=sys.stderr,
+            )
 
     if "emb" in legs:
         # embedding delta-vs-state: the third operator family. Delta

@@ -322,3 +322,35 @@ def test_ngram_delta_serving_state_tipped_hot(spark, tmp_path):
         )
     )
     assert stateless == want
+
+
+def test_minhash_delta_serving_state(spark, text_split, tmp_path):
+    """Full serving layout for MinHash: the persisted band relation
+    (plus arrays/sigs) drives the probe — output identical to the
+    stateless delta form; a bands/num_hashes spec mismatch refuses."""
+    new, corpus, union, delta_ids = text_split
+    path = str(tmp_path / "state")
+    DD.build_text_dedup_state(corpus, path, threshold=THRESH, max_df=20)
+    state = DD.read_text_dedup_state_full(spark, path)
+    assert "bands" in state and state["spec"]["bands"] == 16
+    want = {
+        (r["doc_a"], r["doc_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(
+            new, threshold=THRESH, against=corpus
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["est_jaccard"], r["jaccard"])
+        for r in DD.minhash_lsh_pairs(
+            new, threshold=THRESH, against_state=state
+        ).collect()
+    }
+    assert got == want and want
+    with pytest.raises(ValueError, match="rebuild the state"):
+        DD.minhash_lsh_pairs(
+            new, threshold=THRESH, against_state=state, bands=8
+        )
+    with pytest.raises(ValueError, match="rebuild the state"):
+        DD.minhash_lsh_pairs(
+            new, threshold=THRESH, against_state=state, num_hashes=32
+        )
