@@ -884,11 +884,19 @@ def neardup_pairs_lsh(
     unchanged (subset/recall pins hold across any cap). The bucket-size
     pre-pass re-executes the signature matmul once more — ~n·dim·P
     flops, noise next to the verify shuffle; checkpointing the b×
-    corpus-sized signed relation instead was the worse trade. For very
-    wide vectors the b× vector shuffle can be avoided by shuffling
-    (id, band, bucket) only and re-fetching vectors for surviving
-    candidate pairs — the minhash verify pattern; not needed at the
-    dims this engine stores. Persisting the signature relation
+    corpus-sized signed relation instead was the worse trade. An
+    (id, band, bucket)-only shuffle with per-pair vector re-fetch (the
+    minhash verify pattern) was considered and REJECTED for the general
+    case: it materializes Σ|bucket|²/2 candidate-pair rows through a
+    shuffle before scoring — which explodes on exactly the corpora this
+    operator exists for (one 2000-row boilerplate bucket × 6 bands is
+    already 12M pair rows vs 36 MB of fanned vectors; ~n²/2^planes per
+    band on random data) — where the in-bucket verify scores pairs
+    without ever materializing them. It pays only when nearly every
+    bucket is a singleton. If the b×-vector /tmp footprint ever binds
+    on a single box, loop bands sequentially (b small shuffles, 1/b
+    peak scratch) rather than switching to pair materialization.
+    Persisting the signature relation
     partitioned by (band, bucket) turns re-runs into partition-pruned
     scans, the same serving layout note as the ANN paths.
     """

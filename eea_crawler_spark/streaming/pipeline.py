@@ -156,6 +156,35 @@ QUARANTINE_OUT_SCHEMA = (
 )
 
 
+def _quarantine_transition(
+    n_new: int,
+    in_ledger: bool,
+    error_cnt: int,
+    skip_cnt: int,
+    allowed_errors: int,
+    skip_runs: int,
+) -> tuple[int, int, bool, bool]:
+    """The reference's per-run error-budget transition
+    (d1_sync.py:110-133), applied ``n_new`` times — THE shared fold of
+    the batch quarantine, the applyInPandasWithState operator, and the
+    transformWithStateInPandas twin (one function so they cannot
+    drift). Returns (error_cnt, skip_cnt, skipped, in_ledger)."""
+    skipped = False
+    for _ in range(n_new):
+        if not in_ledger:  # new entry (d1_sync.py:121-124)
+            error_cnt, skip_cnt, skipped, in_ledger = 1, 0, False, True
+        elif error_cnt >= allowed_errors:  # at budget (:126)
+            if skip_cnt >= skip_runs:  # expiry → evict, retry (:127-128)
+                error_cnt, skip_cnt, skipped, in_ledger = 0, 0, False, False
+            else:
+                skip_cnt += 1
+                skipped = True
+        else:
+            error_cnt += 1
+            skipped = False
+    return error_cnt, skip_cnt, skipped, in_ledger
+
+
 def streaming_quarantine(
     failures: DataFrame,
     allowed_errors: int = 2,
@@ -190,19 +219,9 @@ def streaming_quarantine(
         else:
             error_cnt, skip_cnt = 0, 0
             in_ledger = False
-        skipped = False
-        for _ in range(n_new):
-            if not in_ledger:  # new entry (d1_sync.py:121-124)
-                error_cnt, skip_cnt, skipped, in_ledger = 1, 0, False, True
-            elif error_cnt >= allowed_errors:  # at budget (:126)
-                if skip_cnt >= skip_runs:  # expiry → evict, retry (:127-128)
-                    error_cnt, skip_cnt, skipped, in_ledger = 0, 0, False, False
-                else:
-                    skip_cnt += 1
-                    skipped = True
-            else:
-                error_cnt += 1
-                skipped = False
+        error_cnt, skip_cnt, skipped, in_ledger = _quarantine_transition(
+            n_new, in_ledger, error_cnt, skip_cnt, allowed_errors, skip_runs
+        )
         if in_ledger:
             state.update((error_cnt, skip_cnt))
         elif state.exists:  # evicted on expiry: bounded state
@@ -222,4 +241,87 @@ def streaming_quarantine(
         stateStructType=QUARANTINE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_quarantine_tws(
+    failures: DataFrame,
+    allowed_errors: int = 2,
+    skip_runs: int = 100,
+    id_col: str = "id",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``streaming_quarantine``
+    (Spark 4's arbitrary-state API) — identical transition
+    (``_quarantine_transition``, the single shared fold), identical
+    output schema, state as a named ValueState in the RocksDB store.
+
+    Why it exists: the round-9 dense-quarantine measurement put the
+    applyInPandasWithState wall at the per-key Python round trip
+    (~35 µs/key); this twin measures whether the newer API's state
+    protocol moves that wall (bench_streaming.py --quarantine-op tws
+    records the comparison — see BASELINE.md for the adjudication).
+    transformWithState REQUIRES the RocksDB state store provider; this
+    function sets that session conf (streaming state store only — batch
+    plans never read it; the HDFS-backed default stores for OTHER
+    running streams are unaffected, each query pins its provider at
+    start).
+
+    ENVIRONMENT SEAM: the tWS state protocol speaks protobuf between
+    the Python workers and the JVM state server; this container has no
+    ``google.protobuf`` and no network route to install it (logged in
+    BASELINE.md, same class as the delta-spark legs), so the query
+    fails at driver-worker init here. The operator and its parity test
+    (env-gated) are complete; ``streaming_quarantine`` carries the
+    contract in this environment."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    failures.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class _Quarantine(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ledger = handle.getValueState(
+                "ledger", QUARANTINE_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_new = sum(len(p) for p in rows)
+            if self._ledger.exists():
+                error_cnt, skip_cnt = self._ledger.get()
+                in_ledger = True
+            else:
+                error_cnt, skip_cnt, in_ledger = 0, 0, False
+            error_cnt, skip_cnt, skipped, in_ledger = (
+                _quarantine_transition(
+                    n_new, in_ledger, error_cnt, skip_cnt,
+                    allowed_errors, skip_runs,
+                )
+            )
+            if in_ledger:
+                self._ledger.update((error_cnt, skip_cnt))
+            elif self._ledger.exists():  # evicted on expiry
+                self._ledger.clear()
+            yield pd.DataFrame(
+                {
+                    "id": [key[0]],
+                    "error_cnt": [error_cnt],
+                    "skip_cnt": [skip_cnt],
+                    "skipped": [skipped],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return failures.groupBy(F.col(id_col)).transformWithStateInPandas(
+        statefulProcessor=_Quarantine(),
+        outputStructType=QUARANTINE_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

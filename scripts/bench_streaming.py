@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--ingest-batches", type=int, default=10)
     ap.add_argument("--quarantine-ids", type=int, default=1_000_000)
     ap.add_argument("--quarantine-batches", type=int, default=10)
+    ap.add_argument(
+        "--quarantine-op", default="apws", choices=["apws", "tws"],
+        help="apws = applyInPandasWithState (default); tws = the "
+        "transformWithStateInPandas twin (needs google.protobuf — "
+        "environment-blocked in this container, see BASELINE.md)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
@@ -160,9 +166,14 @@ def main() -> None:
         .option("maxFilesPerTrigger", 4)
         .parquet(os.path.join(q_src, "*"))
     )
+    q_op = (
+        SP.streaming_quarantine_tws
+        if args.quarantine_op == "tws"
+        else SP.streaming_quarantine
+    )
     t0 = time.perf_counter()
     q = (
-        SP.streaming_quarantine(qstream)
+        q_op(qstream)
         .writeStream.format("noop")
         .option("checkpointLocation", os.path.join(work, "ckpt_quar"))
         .outputMode("update")
@@ -176,6 +187,7 @@ def main() -> None:
     out["quarantine_events_per_sec"] = int(n_q / t)
     out["quarantine_tracked_ids"] = args.quarantine_ids
     out["quarantine_activations"] = args.quarantine_batches
+    out["quarantine_op"] = args.quarantine_op
 
     print(json.dumps({"metric": "streaming_bench", **out}))
     shutil.rmtree(work, ignore_errors=True)

@@ -236,3 +236,64 @@ def test_incremental_upsert_stream_on_mor(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert plain == got
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state protocol needs google.protobuf "
+    "(absent in this container, no network route — BASELINE.md); the "
+    "operator is env-gated like the delta-spark legs",
+)
+def test_streaming_quarantine_tws_parity(spark, tmp_path):
+    """transformWithStateInPandas twin: same transition, same output as
+    streaming_quarantine across multi-activation state restore."""
+    in_dir = tmp_path / "failures_tws"
+    in_dir.mkdir()
+    schema = "id string"
+
+    def drain(op, ckpt):
+        got = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[r["id"]] = r.asDict()
+
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        ledger = op(stream, allowed_errors=2, skip_runs=3)
+        q = (
+            ledger.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    ck_a = str(tmp_path / "ckpt_a")
+    ck_b = str(tmp_path / "ckpt_b")
+    # activation 1: d1 twice, d2 once; activation 2: d1 once (over
+    # budget), d3 new — both operators replay the same files
+    spark.createDataFrame(
+        [("d1",), ("d1",), ("d2",)], schema
+    ).write.mode("append").parquet(str(in_dir))
+    a1 = drain(SP.streaming_quarantine, ck_a)
+    b1 = drain(SP.streaming_quarantine_tws, ck_b)
+    assert b1 == a1 and a1["d1"]["error_cnt"] == 2
+
+    spark.createDataFrame([("d1",), ("d3",)], schema).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    a2 = drain(SP.streaming_quarantine, ck_a)
+    b2 = drain(SP.streaming_quarantine_tws, ck_b)
+    assert b2 == a2
+    assert a2["d1"]["skipped"] and a2["d3"]["error_cnt"] == 1
