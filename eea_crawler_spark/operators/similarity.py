@@ -835,6 +835,46 @@ def _band_buckets(
     ).sum(axis=2)
 
 
+def _make_sign_batches(
+    id_col: str,
+    vec_col: str,
+    p_mat: "np.ndarray",
+    n_bands: int,
+    band_planes: int,
+):
+    """mapInPandas generator for the banded signature pass: one
+    (id, vec, band, bucket) output frame per band per Arrow batch,
+    zero-norm rows dropped. One factory shared by the self-join LSH,
+    the delta probe, and the persisted embedding state so the
+    bucketing arithmetic cannot drift."""
+
+    def _sign_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = _vec_matrix(pdf[vec_col])
+            keep = (v_mat * v_mat).sum(axis=1) > 0  # zero-norm prefilter
+            if not keep.all():
+                pdf = pdf[keep].reset_index(drop=True)
+                v_mat = v_mat[keep]
+            if len(pdf) == 0:
+                continue
+            buckets = _band_buckets(v_mat, p_mat, band_planes)
+            for b in range(n_bands):
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "band": b,
+                        "bucket": buckets[:, b],
+                    }
+                )
+
+    return _sign_batches
+
+
 def neardup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -844,6 +884,7 @@ def neardup_pairs_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket_rows: int | None = None,
+    against_state: dict | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: the SCALE twin of ``neardup_pairs``.
 
@@ -896,10 +937,17 @@ def neardup_pairs_lsh(
     bucket is a singleton. If the b×-vector /tmp footprint ever binds
     on a single box, loop bands sequentially (b small shuffles, 1/b
     peak scratch) rather than switching to pair materialization.
-    Persisting the signature relation
-    partitioned by (band, bucket) turns re-runs into partition-pruned
-    scans, the same serving layout note as the ANN paths.
+    ``against_state`` (``read_embedding_state``) runs the INCREMENTAL
+    delta-vs-corpus form instead: ``corpus`` plays the delta and probes
+    the persisted partitioned signed relation — see
+    ``_neardup_lsh_delta`` (output = the union self-join restricted to
+    delta-touching pairs, pinned).
     """
+    if against_state is not None:
+        return _neardup_lsh_delta(
+            corpus, against_state, threshold, n_bands, band_planes,
+            id_col, vec_col, seed, max_bucket_rows,
+        )
     # one corpus probe: empty short-circuit + uniform-width contract
     # (ragged vectors would fail deep in _vec_matrix with an opaque
     # numpy error; round-8 ADVICE)
@@ -929,33 +977,9 @@ def neardup_pairs_lsh(
         dim=int(probe["dmax"]), n_planes=n_bands * band_planes, seed=seed
     )
     p_mat = np.asarray(planes, dtype=np.float64)
-
-    def _sign_batches(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v_mat = _vec_matrix(pdf[vec_col])
-            keep = (v_mat * v_mat).sum(axis=1) > 0  # zero-norm prefilter
-            if not keep.all():
-                pdf = pdf[keep].reset_index(drop=True)
-                v_mat = v_mat[keep]
-            if len(pdf) == 0:
-                continue
-            buckets = _band_buckets(v_mat, p_mat, band_planes)
-            for b in range(n_bands):
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        vec_col: pdf[vec_col],
-                        "band": b,
-                        "bucket": buckets[:, b],
-                    }
-                )
-
     signed = corpus.select(id_col, vec_col).mapInPandas(
-        _sign_batches, sig_schema
+        _make_sign_batches(id_col, vec_col, p_mat, n_bands, band_planes),
+        sig_schema,
     )
 
     # Hot buckets (> cap rows) split into ⌈rows/cap⌉ salt slices; the
@@ -1081,6 +1105,337 @@ def neardup_pairs_lsh(
         .applyInPandas(_verify_group, pair_schema)
         # a close pair collides in several bands — one row per pair
         # (cos is a pure function of the pair, so distinct is exact)
+        .distinct()
+        .orderBy("a_id", "b_id", "cos")
+    )
+
+
+def build_embedding_state(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 16,
+    band_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist the corpus-side LSH relation the incremental embedding
+    near-dup probe reads: the banded signed relation (id, vec, band,
+    bucket — ``_make_sign_batches``, the same pass the self-join runs)
+    written PARTITIONED BY (band, bucket), plus a one-row ``spec``
+    (dim, n_bands, band_planes, seed). This is the nightly-ingest
+    serving layout for embeddings — "near-dup 50k new vectors against
+    5M indexed" pays the corpus's signature pass ONCE here; probes
+    read only the partitions whose buckets the delta touches (at the
+    default 8-plane bands that is n_bands·2^8 directories — small-file
+    safe; higher plane counts trade pruning granularity against
+    directory explosion, so partitioning is capped at 2^12 buckets per
+    band and falls back to band-only partitioning past it). Keep in
+    sync with upserts the same way the text dedup state is — the
+    relation is keyed by id and banding is a deterministic function of
+    the vector (reading it back is output-identical to recomputing,
+    pinned)."""
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    if probe["dmin"] != probe["dmax"]:
+        raise ValueError(
+            f"{vec_col} must be uniform-width: found lengths "
+            f"{probe['dmin']}..{probe['dmax']}"
+        )
+    dim = int(probe["dmax"] or 0)
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    sig_schema = (
+        f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long"
+    )
+    p_mat = np.asarray(
+        hyperplane_planes(dim, n_planes=n_bands * band_planes, seed=seed),
+        dtype=np.float64,
+    )
+    signed = corpus.select(id_col, vec_col).mapInPandas(
+        _make_sign_batches(id_col, vec_col, p_mat, n_bands, band_planes),
+        sig_schema,
+    )
+    if 2 ** band_planes <= 4096:
+        (
+            signed.repartition("band", "bucket")
+            .write.mode("overwrite")
+            .partitionBy("band", "bucket")
+            .parquet(f"{path}/signed")
+        )
+    else:
+        (
+            signed.repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(f"{path}/signed")
+        )
+    corpus.sparkSession.createDataFrame(
+        [(dim, n_bands, band_planes, seed, int(probe["n"]))],
+        "dim int, n_bands int, band_planes int, seed int, n long",
+    ).write.mode("overwrite").parquet(f"{path}/spec")
+
+
+def read_embedding_state(spark, path: str) -> dict:
+    """Load the persisted embedding LSH state (build_embedding_state):
+    ``{"signed": DataFrame, "spec": dict}`` ready to pass as
+    ``against_state`` to ``neardup_pairs_lsh``. Partition-column types
+    are re-pinned (directory values infer as int) so the probe's union
+    with freshly-signed delta rows lines up."""
+    signed = spark.read.parquet(f"{path}/signed")
+    return {
+        "signed": signed.withColumn(
+            "band", F.col("band").cast("int")
+        ).withColumn("bucket", F.col("bucket").cast("long")),
+        "spec": spark.read.parquet(f"{path}/spec").first().asDict(),
+    }
+
+
+def _neardup_lsh_delta(
+    new: DataFrame,
+    state: dict,
+    threshold: float,
+    n_bands: int,
+    band_planes: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_bucket_rows: int | None,
+) -> DataFrame:
+    """Incremental banded near-dup: pairs TOUCHING the delta only.
+
+    Output equals ``neardup_pairs_lsh(delta ∪ corpus)`` restricted to
+    pairs with a delta member (pinned): banding is a deterministic
+    per-row function, so the union's buckets are the union of each
+    side's buckets, and only buckets the DELTA occupies can produce a
+    delta-touching pair — the probe reads exactly those partitions of
+    the persisted signed relation (bucket-level semi-join; partition-
+    pruned layout) and verifies delta×(bucket members) with the same
+    chunked f64 + HALF_UP kernel. The corpus never pays a signature
+    pass and corpus×corpus cells are never scored, so probe cost is
+    O(Σ_buckets |delta_b|·|bucket|), not Σ|bucket|².
+
+    Skew: the same bytes-derived bucket cap / salt-slice fan-out as
+    the self-join; in a slice-pair task the scored legs are
+    D(Si)×Sj and D(Sj)×state(Si) (every delta-touching pair exactly
+    once), diagonal tasks mask delta-delta to a_id < b_id.
+
+    OPERATOR SELECTION (measured, BASELINE round 9): bucket pruning
+    only engages while |delta| ≲ 2^band_planes — past that the delta
+    occupies every bucket and the fan ships the whole state b× (the
+    self-join's shuffle volume; it filled a single box's disk at
+    1M×768×6 bands, a per-node-disk non-issue on a cluster). For a
+    delta whose f64 matrix fits the broadcast gate
+    (NEARDUP_BROADCAST_MAX_BYTES), prefer the EXACT probe
+    ``neardup_pairs(new, against=state)`` — one shuffle-free state
+    pass, exact output, faster at this scale. This probe is the
+    cluster-scale plan: huge state × large delta, where delta×state
+    exact flops are prohibitive and the banded shuffle is the price
+    already paid by the self-join it replaces.
+    """
+    spec = state["spec"]
+    if (
+        spec["n_bands"] != n_bands
+        or spec["band_planes"] != band_planes
+        or spec["seed"] != seed
+    ):
+        raise ValueError(
+            "persisted embedding state was built for "
+            f"(n_bands={spec['n_bands']}, "
+            f"band_planes={spec['band_planes']}, seed={spec['seed']}), "
+            f"probe asked for (n_bands={n_bands}, "
+            f"band_planes={band_planes}, seed={seed}) — rebuild the "
+            "state or drop against_state"
+        )
+    probe = new.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    id_type = new.schema[id_col].dataType.simpleString()
+    pair_schema = f"a_id {id_type}, b_id {id_type}, cos double"
+    if not probe["n"]:
+        return new.sparkSession.createDataFrame([], pair_schema)
+    if probe["dmin"] != probe["dmax"]:
+        raise ValueError(
+            f"{vec_col} must be uniform-width: found lengths "
+            f"{probe['dmin']}..{probe['dmax']}"
+        )
+    dim = int(probe["dmax"])
+    if dim != spec["dim"]:
+        raise ValueError(
+            f"state holds {spec['dim']}-d vectors, delta has {dim}-d"
+        )
+    if max_bucket_rows is None:
+        max_bucket_rows = _lsh_bucket_cap(dim)
+    vec_type = new.schema[vec_col].dataType.simpleString()
+    sig_schema = (
+        f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long"
+    )
+    p_mat = np.asarray(
+        hyperplane_planes(dim, n_planes=n_bands * band_planes, seed=seed),
+        dtype=np.float64,
+    )
+    signed_new = (
+        new.select(id_col, vec_col)
+        .mapInPandas(
+            _make_sign_batches(
+                id_col, vec_col, p_mat, n_bands, band_planes
+            ),
+            sig_schema,
+        )
+        .localCheckpoint(eager=True)  # delta-sized: buckets + fan reuse
+    )
+    delta_buckets = signed_new.select("band", "bucket").distinct()
+    touched = state["signed"].join(
+        F.broadcast(delta_buckets), ["band", "bucket"], "left_semi"
+    )
+    union = signed_new.withColumn("__d", F.lit(True)).unionByName(
+        touched.select(id_col, vec_col, "band", "bucket").withColumn(
+            "__d", F.lit(False)
+        )
+    )
+    # the self-join's cap/salt/fan machinery, over delta-touched
+    # buckets only (union row counts — the verify legs below bound the
+    # SCORED cells to delta×members, but task memory is the group)
+    hot = (
+        union.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > max_bucket_rows)
+        .select(
+            "band",
+            "bucket",
+            F.ceil(F.col("__bn") / F.lit(max_bucket_rows))
+            .cast("int")
+            .alias("__ns"),
+        )
+    )
+    sliced = (
+        union.join(F.broadcast(hot), ["band", "bucket"], "left")
+        .withColumn("__ns", F.coalesce("__ns", F.lit(1)))
+        .withColumn(
+            "__sl",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col("__ns")
+            ).cast("int"),
+        )
+    )
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.col("__ns") - 1),
+        lambda i: F.struct(
+            F.least(i, F.col("__sl")).cast("int").alias("ti"),
+            F.greatest(i, F.col("__sl")).cast("int").alias("tj"),
+        ),
+    )
+    fanned = sliced.select(
+        id_col, vec_col, "__d", "band", "bucket", "__sl",
+        F.explode(tasks).alias("__t"),
+    ).select(
+        id_col, vec_col, "__d", "band", "bucket", "__sl",
+        "__t.ti", "__t.tj",
+    )
+    elem = 4 if "float>" in vec_type else 8
+    spark = new.sparkSession
+    # sized like the self-join's verify exchange (~64 MB/task), from
+    # the TOUCHED volume: the state side is pruned to delta-occupied
+    # buckets, whose expected per-band coverage is 1 − e^(−|delta|/2^p)
+    # — which for any delta larger than a few times the bucket count is
+    # ~1, i.e. the fan ships the WHOLE state b× exactly like the
+    # self-join (measured: a 1M×768 probe at 8-plane bands filled this
+    # box's disk twice — see BASELINE round-9 adjudication; per-node
+    # disk on a cluster, and the exact broadcast-cross probe is the
+    # right plan for broadcast-sized deltas). spec["n"] records the
+    # state rows at build time.
+    import math
+
+    coverage = 1.0 - math.exp(-int(probe["n"]) / float(2 ** band_planes))
+    touched_rows = int(probe["n"]) + int(
+        coverage * float(spec.get("n") or 0)
+    )
+    fan_parts = max(
+        spark.sparkContext.defaultParallelism,
+        min(
+            4096,
+            touched_rows * n_bands * (dim * elem + 28) * 2
+            // (64 << 20)
+            + 1,
+        ),
+    )
+    fanned = fanned.repartition(fan_parts, "band", "bucket", "ti", "tj")
+
+    def _verify_delta_group(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cos": []})
+        if len(pdf) < 2 or not pdf["__d"].any():
+            return empty
+        diagonal = pdf["ti"].iloc[0] == pdf["tj"].iloc[0]
+        outs = []
+
+        def score(a_rows, b_rows, mask_fn=None):
+            if not len(a_rows) or not len(b_rows):
+                return
+            a_ids = a_rows[id_col].to_numpy()
+            a_mat = _vec_matrix(a_rows[vec_col])
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            b_ids = b_rows[id_col].to_numpy()
+            b_mat = _vec_matrix(b_rows[vec_col])
+            b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+            b_state = ~b_rows["__d"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                b_norm = b_mat / np.where(b_nrm == 0, 1.0, b_nrm)[:, None]
+            for s in range(0, len(a_ids), LSH_VERIFY_CHUNK):
+                e = min(s + LSH_VERIFY_CHUNK, len(a_ids))
+                mask = (
+                    mask_fn(a_ids[s:e], b_ids, b_state)
+                    if mask_fn is not None
+                    else None
+                )
+                ai, bj, cos = _neardup_cells(
+                    a_mat[s:e], a_nrm[s:e], b_mat, b_nrm, threshold,
+                    mask, bn=b_norm,
+                )
+                sa, sb = a_ids[s:e][ai], b_ids[bj]
+                keep = sa != sb  # defensive: sides are id-disjoint by contract
+                sa, sb, cos = sa[keep], sb[keep], cos[keep]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": np.minimum(sa, sb),
+                            "b_id": np.maximum(sa, sb),
+                            "cos": cos,
+                        }
+                    )
+                )
+
+        if diagonal:
+            # a = delta rows, b = whole group; delta-delta pairs are
+            # canonicalized by the id-order mask (each unordered pair
+            # scored once), delta-state pairs occur once by b-side role
+            score(
+                pdf[pdf["__d"]],
+                pdf,
+                lambda a_ids, b_ids, b_state: (
+                    b_state[None, :] | (a_ids[:, None] < b_ids[None, :])
+                ),
+            )
+        else:
+            si = pdf[pdf["__sl"] == pdf["ti"].iloc[0]]
+            sj = pdf[pdf["__sl"] == pdf["tj"].iloc[0]]
+            # every cross-slice delta-touching pair exactly once:
+            # D(Si)×Sj covers (delta_i, anything_j); the second leg
+            # restricts b to STATE rows so (delta_i, delta_j) is not
+            # double-counted
+            score(si[si["__d"]], sj)
+            score(sj[sj["__d"]], si[~si["__d"]])
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        fanned.groupBy("band", "bucket", "ti", "tj")
+        .applyInPandas(_verify_delta_group, pair_schema)
         .distinct()
         .orderBy("a_id", "b_id", "cos")
     )

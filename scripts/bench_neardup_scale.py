@@ -54,7 +54,12 @@ def main() -> None:
     ap.add_argument("--exact-mod", type=int, default=10)
     ap.add_argument(
         "--legs", default="lsh,salt,exact",
-        help="comma list of: lsh, salt, exact",
+        help="comma list of: lsh, salt, exact, delta",
+    )
+    ap.add_argument(
+        "--delta-mod", type=int, default=20,
+        help="delta leg: every Nth vector plays the nightly batch "
+        "(default 20 -> 5%% of the corpus)",
     )
     ap.add_argument(
         "--bands", type=int, default=0,
@@ -179,6 +184,48 @@ def main() -> None:
         # DOUBLES the fan-out shuffle (rows ship ns× ≈ bucket/cap), so
         # 512 needs ~4× the lsh leg's scratch — more than this box has.
         _run("lsh_salt", max_bucket_rows=1024)
+
+    if "delta" in legs:
+        # the nightly-ingest shape: delta probes the persisted
+        # partitioned signed relation (build paid once); compare with
+        # the full-corpus lsh leg above / the recorded 491 s
+        new = emb.filter(F.col("vec_id") % args.delta_mod == 7)
+        corp = emb.filter(F.col("vec_id") % args.delta_mod != 7)
+        n_new = new.count()
+        state_path = args.out + "_state"
+        t0 = time.perf_counter()
+        SIM.build_embedding_state(
+            corp, state_path, n_bands=n_bands, band_planes=band_planes
+        )
+        out["delta_state_build_sec"] = round(time.perf_counter() - t0, 2)
+        print(
+            f"embedding state build ({rows - n_new} rows): "
+            f"{out['delta_state_build_sec']}s",
+            file=sys.stderr,
+        )
+        st = SIM.read_embedding_state(spark, state_path)
+        t0 = time.perf_counter()
+        res = SIM.neardup_pairs_lsh(
+            new, threshold=THRESHOLD, n_bands=n_bands,
+            band_planes=band_planes, against_state=st,
+        ).localCheckpoint(eager=True)
+        n_pairs = res.count()
+        out["delta_probe_sec"] = round(time.perf_counter() - t0, 2)
+        out["delta_rows"] = n_new
+        out["delta_pairs"] = n_pairs
+        p_touch = planted.filter(
+            (F.col("a_id") % args.delta_mod == 7)
+            | (F.col("b_id") % args.delta_mod == 7)
+        ).localCheckpoint(eager=True)
+        n_truth = p_touch.count()
+        hits = res.join(p_touch, ["a_id", "b_id"], "left_semi").count()
+        out["delta_planted_recall"] = round(hits / max(1, n_truth), 4)
+        print(
+            f"delta probe ({n_new} rows): {out['delta_probe_sec']}s "
+            f"pairs={n_pairs} planted-touching recall "
+            f"{hits}/{n_truth}",
+            file=sys.stderr,
+        )
 
     if "exact" not in legs:
         print(json.dumps(out))

@@ -354,3 +354,73 @@ def test_minhash_delta_serving_state(spark, text_split, tmp_path):
         DD.minhash_lsh_pairs(
             new, threshold=THRESH, against_state=state, num_hashes=32
         )
+
+
+def test_neardup_lsh_delta_equals_restricted_union(spark, tmp_path):
+    """Incremental banded near-dup (the embedding family's SCALE
+    incremental form): probe output == neardup_pairs_lsh over the
+    union restricted to delta-touching pairs, with the persisted
+    partitioned state; every emitted cosine also matches the exact
+    operator (subset contract); bucket-cap invariance and spec
+    refusal."""
+    new, corpus = _mk_vecs(spark, n=200, dim=16, seed=5)
+    delta_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    union = new.unionByName(corpus)
+    t, nb, bp = 0.9, 6, 4
+    full = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            union, threshold=t, n_bands=nb, band_planes=bp
+        ).collect()
+    }
+    want = _touching(full, delta_ids)
+    path = str(tmp_path / "emb_state")
+    SIM.build_embedding_state(corpus, path, n_bands=nb, band_planes=bp)
+    state = SIM.read_embedding_state(spark, path)
+    got = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            new, threshold=t, n_bands=nb, band_planes=bp,
+            against_state=state,
+        ).collect()
+    }
+    assert got == want and want
+    # all three pair classes present (delta-delta, delta-corpus in the
+    # output; corpus-corpus only in the full set)
+    assert any(k[0] in delta_ids and k[1] in delta_ids for k in want)
+    assert any((k[0] in delta_ids) != (k[1] in delta_ids) for k in want)
+    assert any(
+        k[0] not in delta_ids and k[1] not in delta_ids for k in full
+    )
+    # subset-of-exact with IDENTICAL cosines (the twin contract)
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(
+            new, threshold=t, against=corpus, escalate_bytes=None
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    # cap-invariance: a tiny cap forces every bucket through the
+    # slice-pair fan-out — output unchanged
+    got_capped = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            new, threshold=t, n_bands=nb, band_planes=bp,
+            against_state=state, max_bucket_rows=2,
+        ).collect()
+    }
+    assert got_capped == got
+    with pytest.raises(ValueError, match="rebuild the state"):
+        SIM.neardup_pairs_lsh(
+            new, threshold=t, n_bands=nb, band_planes=8,
+            against_state=state,
+        )
+    # empty delta short-circuits
+    assert (
+        SIM.neardup_pairs_lsh(
+            new.filter(F.lit(False)), threshold=t, n_bands=nb,
+            band_planes=bp, against_state=state,
+        ).count()
+        == 0
+    )
