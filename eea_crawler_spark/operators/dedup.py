@@ -1863,26 +1863,39 @@ def canonical_docs(
     id_col: str = "doc_id",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Per-doc keep/drop verdict from a duplicate-pair relation: every
     doc gains ``cluster_id`` (its component's min id; itself when it is
-    in no pair) and ``keep`` (true iff it IS the cluster min — the
-    reference's first-seen winner, crawl_sitemap.py:217-220). The
-    training-data pipeline's filter is then ``WHERE keep``.
+    in no pair) and ``keep``. Default winner = the cluster min — the
+    reference's first-seen rule (crawl_sitemap.py:217-220), no window
+    needed (keep ⇔ id == cluster_id). ``keep_by`` names a ranking
+    column instead (a quality score, a length, a recency stamp): the
+    winner is the cluster's HIGHEST ``keep_by`` row, min id on ties —
+    the keep-the-best-copy policy a training pipeline actually wants
+    once quality scores exist. The training-data filter is then
+    ``WHERE keep``.
 
     One broadcast-eligible join: the cluster relation holds only docs
     that appear in a pair — at real dup rates a few percent of the
-    corpus — so AQE broadcasts it and the corpus never shuffles."""
+    corpus — so AQE broadcasts it and the corpus never shuffles. With
+    ``keep_by`` a row_number window runs per cluster; singleton docs
+    (cluster_id = own id) are their own winner either way, so the
+    window only does real work on the duplicated few percent."""
     cc = connected_components(pairs, a_col, b_col).withColumnRenamed(
         "node", "__cc_node"
     )
     joined = docs.join(
         cc, docs[id_col] == F.col("__cc_node"), "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    if keep_by is None:
+        return joined.withColumn(
+            "keep", F.col(id_col) == F.col("cluster_id")
+        ).drop("__cc_node")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col(keep_by).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
-        joined.withColumn(
-            "cluster_id", F.coalesce("cluster_id", F.col(id_col))
-        )
-        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+        joined.withColumn("keep", F.row_number().over(w) == 1)
         .drop("__cc_node")
     )

@@ -128,3 +128,33 @@ def test_canonical_docs_contract(spark, sf_dir):
     # exactly one kept doc per cluster
     kept = out.filter("keep").groupBy("cluster_id").count()
     assert kept.filter(F.col("count") != 1).isEmpty()
+
+
+def test_canonical_docs_keep_by_quality(spark):
+    """keep_by picks the cluster's highest-ranked row (min id on
+    ties); unpaired docs always keep themselves."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in canonical_docs(
+            docs, pairs, keep_by="quality"
+        ).collect()
+    }
+    # cluster {1,2,3}: quality tie 2 vs 3 -> min id 2 wins
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)  # self-loop only: singleton
+    assert out[9] == (9, True)  # unpaired
+    # default policy unchanged: first-seen (min id) wins
+    out_min = {
+        r["doc_id"]: r["keep"]
+        for r in canonical_docs(docs, pairs).collect()
+    }
+    assert out_min == {1: True, 2: False, 3: False, 4: True, 9: True}
