@@ -1879,9 +1879,11 @@ def canonical_docs(
     One broadcast-eligible join: the cluster relation holds only docs
     that appear in a pair — at real dup rates a few percent of the
     corpus — so AQE broadcasts it and the corpus never shuffles. With
-    ``keep_by`` a row_number window runs per cluster; singleton docs
-    (cluster_id = own id) are their own winner either way, so the
-    window only does real work on the duplicated few percent."""
+    ``keep_by`` the per-cluster row_number window runs over the PAIRED
+    docs only (the rows the cluster join matched); unpaired docs are
+    their own winner by construction and never enter the window's
+    shuffle — a corpus-wide window keyed by a near-unique cluster_id
+    would otherwise shuffle the whole corpus to rank singletons."""
     cc = connected_components(pairs, a_col, b_col).withColumnRenamed(
         "node", "__cc_node"
     )
@@ -1895,7 +1897,10 @@ def canonical_docs(
     w = W.partitionBy("cluster_id").orderBy(
         F.col(keep_by).desc_nulls_last(), F.col(id_col).asc()
     )
-    return (
-        joined.withColumn("keep", F.row_number().over(w) == 1)
-        .drop("__cc_node")
+    paired = joined.filter(F.col("__cc_node").isNotNull()).withColumn(
+        "keep", F.row_number().over(w) == 1
     )
+    alone = joined.filter(F.col("__cc_node").isNull()).withColumn(
+        "keep", F.lit(True)
+    )
+    return paired.unionByName(alone).drop("__cc_node")
