@@ -127,10 +127,63 @@ def keyed_dedup_first_wins(
     )
 
 
-def prefix_dedup(df: DataFrame, text_col: str = "text", n: int = 20) -> DataFrame:
-    """Exact dedup keyed on the cleaned text prefix (SURVEY Q22 shape)."""
+def prefix_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 20,
+    against: DataFrame | None = None,
+    against_keys: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keyed on the cleaned text prefix (SURVEY Q22 shape).
+
+    ``against`` / ``against_keys``: the incremental delta-vs-corpus
+    form — ``df`` is the nightly batch, the corpus arrives as raw docs
+    or as the persisted (id, key) relation (``build_text_dedup_state``,
+    key_len recorded in the spec). Output equals
+    ``prefix_dedup(df ∪ corpus)`` RESTRICTED to rows touching the
+    delta — dropped_id ∈ delta OR keep_id ∈ delta (a new doc with a
+    smaller id than a standing winner takes the key over, exactly as
+    the union run would; pinned in tests/test_incremental_dedup.py).
+    Only key groups the delta occupies are ever grouped: the union is
+    semi-joined on the delta's (small, broadcast) key set first, so
+    the corpus pays one scan, no corpus-wide window."""
     key = F.substring(clean_html(F.col(text_col)), 1, n)
-    return keyed_dedup_first_wins(df, key).orderBy("dropped_id", "keep_id", "key")
+    if against is None and against_keys is None:
+        return keyed_dedup_first_wins(df, key).orderBy(
+            "dropped_id", "keep_id", "key"
+        )
+    k_new = (
+        df.select(F.col(id_col).alias("id"), key.alias("key"))
+        .localCheckpoint(eager=True)
+    )
+    if against_keys is None:
+        against_keys = against.select(
+            F.col(id_col).alias("id"), key.alias("key")
+        )
+    union = k_new.withColumn("__d", F.lit(True)).unionByName(
+        against_keys.select("id", "key").withColumn("__d", F.lit(False))
+    )
+    touched = union.join(
+        F.broadcast(k_new.select("key").distinct()), ["key"], "left_semi"
+    )
+    # winner per touched key = min id; the struct-min carries the
+    # winner's side flag along (id is unique, so the struct order is
+    # the id order)
+    winners = touched.groupBy("key").agg(
+        F.min(F.struct("id", "__d")).alias("w")
+    )
+    return (
+        touched.join(winners, ["key"])
+        .filter(F.col("id") != F.col("w.id"))
+        .filter(F.col("__d") | F.col("w.__d"))
+        .select(
+            F.col("id").alias("dropped_id"),
+            F.col("w.id").alias("keep_id"),
+            "key",
+        )
+        .orderBy("dropped_id", "keep_id", "key")
+    )
 
 
 def shingles(
@@ -1387,6 +1440,7 @@ def build_text_dedup_state(
     threshold: float | None = None,
     max_df: int | None = None,
     bands: int = 16,
+    key_len: int = 20,
 ) -> None:
     """Persist the corpus-side relations the incremental dedup probes
     read (``against_arrays`` / ``against_sigs``): per-doc sorted hashed
@@ -1429,6 +1483,17 @@ def build_text_dedup_state(
     _signatures_from_arrays(arr, num_hashes).write.mode("overwrite").parquet(
         f"{path}/sigs"
     )
+    # exact-dedup keys and SimHash band relation: the other two family
+    # members' serving relations (prefix_dedup(against_keys=...) /
+    # simhash_pairs(against_bands=...)); both deterministic functions
+    # of the text, independent of threshold/max_df
+    docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(clean_html(F.col(text_col)), 1, key_len).alias("key"),
+    ).write.mode("overwrite").parquet(f"{path}/keys")
+    simhash_bands(docs, text_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/simhash"
+    )
     if threshold is None:
         return
     # MinHash band relation: a deterministic function of the persisted
@@ -1453,8 +1518,9 @@ def build_text_dedup_state(
             "overwrite"
         ).parquet(f"{path}/hp0")
     spark.createDataFrame(
-        [(n, num_hashes, float(threshold), max_df, bands)],
-        "n int, num_hashes int, threshold double, max_df int, bands int",
+        [(n, num_hashes, float(threshold), max_df, bands, key_len)],
+        "n int, num_hashes int, threshold double, max_df int, "
+        "bands int, key_len int",
     ).write.mode("overwrite").parquet(f"{path}/spec")
 
 
@@ -1497,7 +1563,7 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
         "arrays": spark.read.parquet(f"{path}/arrays"),
         "sigs": spark.read.parquet(f"{path}/sigs"),
     }
-    for rel in ("prefix", "prefix_df", "hp0", "bands"):
+    for rel in ("prefix", "prefix_df", "hp0", "bands", "keys", "simhash"):
         if os.path.exists(f"{path}/{rel}"):
             state[rel] = spark.read.parquet(f"{path}/{rel}")
     if os.path.exists(f"{path}/spec"):
@@ -1543,12 +1609,26 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    against: DataFrame | None = None,
+    against_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Doc pairs with SimHash Hamming distance ≤ max_hamming.
 
     Candidates = pairs agreeing on ≥1 of the 4 bands (catches all pairs
     with distance ≤ 3 exactly; a heuristic recall filter above that).
+
+    ``against`` / ``against_bands``: the incremental delta-vs-corpus
+    form — only DELTA band rows drive the candidate join (the corpus
+    band relation streams), output == the union self-join restricted
+    to delta-touching pairs (banding is a deterministic per-doc
+    function; pinned). ``against_bands`` supplies the persisted corpus
+    band relation (``build_text_dedup_state``) so the corpus pays zero
+    per-run hashing.
     """
+    if against is not None or against_bands is not None:
+        return _simhash_pairs_delta(
+            df, against, text_col, id_col, max_hamming, against_bands
+        )
     sh = simhash_bands(df, text_col, id_col)
     banded = sh.select(
         "id",
@@ -1565,6 +1645,81 @@ def simhash_pairs(
     b = sh.select(F.col("id").alias("doc_b"), *[F.col(f"sh{i}").alias(f"b{i}") for i in range(4)])
     hamming = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(a, ["doc_a"])
+        .join(b, ["doc_b"])
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_pairs_delta(
+    new: DataFrame,
+    corpus: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    max_hamming: int,
+    corpus_bands: DataFrame | None,
+) -> DataFrame:
+    """Delta-vs-corpus SimHash: delta band rows probe the union's band
+    relation (candidate expansion linear in delta volume); the Hamming
+    verify joins both sides' band columns from the union, identical
+    arithmetic to the self-join — output equals the self-join over the
+    union restricted to delta-touching pairs (the pytest pin)."""
+    sh_new = simhash_bands(new, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    if corpus_bands is None:
+        if corpus is None:
+            raise ValueError(
+                "delta probe needs `against` or a persisted state "
+                "with simhash bands"
+            )
+        corpus_bands = simhash_bands(corpus, text_col, id_col)
+    sh_all = sh_new.withColumn("__d", F.lit(True)).unionByName(
+        corpus_bands.select("id", "sh0", "sh1", "sh2", "sh3").withColumn(
+            "__d", F.lit(False)
+        )
+    )
+    band_arr = F.posexplode(F.array("sh0", "sh1", "sh2", "sh3")).alias(
+        "band_idx", "band_val"
+    )
+    banded_new = sh_new.select("id", band_arr)
+    # churn-sized deltas broadcast their band rows (the corpus band
+    # relation then streams with zero shuffle — the minhash delta's
+    # measured gate); sh_new is checkpointed so the count is free
+    if sh_new.count() * 4 * 24 <= RESCORE_BROADCAST_MAX_BYTES:
+        banded_new = F.broadcast(banded_new)
+    else:
+        banded_new = _wide_by(banded_new, "band_idx", "band_val")
+    banded_all = sh_all.select("id", "__d", band_arr)
+    cand = (
+        banded_all.alias("y")
+        .join(banded_new.alias("x"), ["band_idx", "band_val"])
+        # delta-delta once via a<b; delta-corpus once by disjointness
+        .filter(
+            (F.col("x.id") != F.col("y.id"))
+            & (~F.col("y.__d") | (F.col("x.id") < F.col("y.id")))
+        )
+        .select(
+            F.least(F.col("x.id"), F.col("y.id")).alias("doc_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh_all.select(
+        F.col("id").alias("doc_a"),
+        *[F.col(f"sh{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = sh_all.select(
+        F.col("id").alias("doc_b"),
+        *[F.col(f"sh{i}").alias(f"b{i}") for i in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
+        for i in range(4)
     )
     return (
         cand.join(a, ["doc_a"])

@@ -424,3 +424,82 @@ def test_neardup_lsh_delta_equals_restricted_union(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_simhash_delta_equals_restricted_self_join(spark, text_split, tmp_path):
+    """SimHash incremental form: delta band rows drive the candidate
+    join; output == union self-join restricted to delta-touching
+    pairs, from raw corpus AND from the persisted band relation."""
+    new, corpus, union, delta_ids = text_split
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_pairs(union).collect()
+    }
+    want = _touching(full, delta_ids)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_pairs(new, against=corpus).collect()
+    }
+    assert got == want and want
+    path = str(tmp_path / "state")
+    DD.build_text_dedup_state(corpus, path)
+    state = DD.read_text_dedup_state_full(spark, path)
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_pairs(
+            new, against_bands=state["simhash"]
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_prefix_dedup_delta_equals_restricted_union(spark, tmp_path):
+    """Exact-dedup incremental form, including the winner-takeover
+    case (a delta doc with a smaller id than the standing key winner
+    dethrones it — exactly what the union run would do)."""
+    mk = lambda i, t: (i, t)  # noqa: E731
+    shared_a = "alpha beta gamma delta epsilon zeta eta theta"
+    shared_b = "one two three four five six seven eight nine ten"
+    rows = [
+        mk(0, shared_a + " tail x"),   # delta (0 % 4 == 0): NEW winner
+        mk(5, shared_a + " tail y"),   # corpus: was the key's winner
+        mk(9, shared_a + " tail z"),   # corpus: stays dropped, new keep
+        mk(2, shared_b + " u"),        # corpus
+        mk(3, shared_b + " v"),        # corpus — corpus-corpus dup pair
+        mk(8, shared_b + " w"),        # delta: dropped by corpus winner
+        mk(7, "completely different text here"),  # corpus unique
+        mk(12, "another unique delta document"),  # delta unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = df.filter(F.col("doc_id") % 4 == 0)
+    corpus = df.filter(F.col("doc_id") % 4 != 0)
+    delta_ids = {0, 8, 12}
+    full = {
+        (r["dropped_id"], r["keep_id"]): r["key"]
+        for r in DD.prefix_dedup(df).collect()
+    }
+    want = {
+        k: v
+        for k, v in full.items()
+        if k[0] in delta_ids or k[1] in delta_ids
+    }
+    got = {
+        (r["dropped_id"], r["keep_id"]): r["key"]
+        for r in DD.prefix_dedup(new, against=corpus).collect()
+    }
+    assert got == want and want
+    # the takeover really happened: 5 and 9 are now dropped under 0
+    assert (5, 0) in got and (9, 0) in got and (8, 2) in got
+    # corpus-corpus rows on untouched keys are NOT emitted
+    assert (3, 2) in full and (3, 2) not in got
+    # persisted keys relation: identical output
+    path = str(tmp_path / "state")
+    DD.build_text_dedup_state(corpus, path)
+    state = DD.read_text_dedup_state_full(spark, path)
+    got2 = {
+        (r["dropped_id"], r["keep_id"]): r["key"]
+        for r in DD.prefix_dedup(
+            new, against_keys=state["keys"]
+        ).collect()
+    }
+    assert got2 == want
