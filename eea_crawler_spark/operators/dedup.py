@@ -1664,10 +1664,17 @@ def _simhash_pairs_delta(
     corpus_bands: DataFrame | None,
 ) -> DataFrame:
     """Delta-vs-corpus SimHash: delta band rows probe the union's band
-    relation (candidate expansion linear in delta volume); the Hamming
-    verify joins both sides' band columns from the union, identical
-    arithmetic to the self-join — output equals the self-join over the
-    union restricted to delta-touching pairs (the pytest pin)."""
+    relation (candidate expansion linear in delta volume) and every
+    band row CARRIES its doc's four band values, so the Hamming
+    distance evaluates INLINE in the candidate join — with a
+    broadcast-sized delta the whole probe is one streamed pass over
+    the corpus band relation, no candidate re-join against the
+    corpus-sized relation at all (the re-join form measured 95 s at
+    5M×50k; candidates at 16-bit bands are collision-bound, ~15M for
+    a 1% delta, and shuffling them twice against 5M-row sides was the
+    wall). Hamming is symmetric and a pure pair function, so the
+    post-filter distinct is exact. Output equals the self-join over
+    the union restricted to delta-touching pairs (the pytest pin)."""
     sh_new = simhash_bands(new, text_col, id_col).localCheckpoint(
         eager=True
     )
@@ -1686,16 +1693,23 @@ def _simhash_pairs_delta(
     band_arr = F.posexplode(F.array("sh0", "sh1", "sh2", "sh3")).alias(
         "band_idx", "band_val"
     )
-    banded_new = sh_new.select("id", band_arr)
+    shs = ["sh0", "sh1", "sh2", "sh3"]
+    banded_new = sh_new.select("id", *shs, band_arr)
     # churn-sized deltas broadcast their band rows (the corpus band
     # relation then streams with zero shuffle — the minhash delta's
     # measured gate); sh_new is checkpointed so the count is free
-    if sh_new.count() * 4 * 24 <= RESCORE_BROADCAST_MAX_BYTES:
+    if sh_new.count() * 4 * 56 <= RESCORE_BROADCAST_MAX_BYTES:
         banded_new = F.broadcast(banded_new)
     else:
         banded_new = _wide_by(banded_new, "band_idx", "band_val")
-    banded_all = sh_all.select("id", "__d", band_arr)
-    cand = (
+    banded_all = sh_all.select("id", "__d", *shs, band_arr)
+    hamming = sum(
+        F.bit_count(
+            F.col(f"x.sh{i}").bitwiseXOR(F.col(f"y.sh{i}"))
+        )
+        for i in range(4)
+    )
+    return (
         banded_all.alias("y")
         .join(banded_new.alias("x"), ["band_idx", "band_val"])
         # delta-delta once via a<b; delta-corpus once by disjointness
@@ -1706,26 +1720,10 @@ def _simhash_pairs_delta(
         .select(
             F.least(F.col("x.id"), F.col("y.id")).alias("doc_a"),
             F.greatest(F.col("x.id"), F.col("y.id")).alias("doc_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    a = sh_all.select(
-        F.col("id").alias("doc_a"),
-        *[F.col(f"sh{i}").alias(f"a{i}") for i in range(4)],
-    )
-    b = sh_all.select(
-        F.col("id").alias("doc_b"),
-        *[F.col(f"sh{i}").alias(f"b{i}") for i in range(4)],
-    )
-    hamming = sum(
-        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")))
-        for i in range(4)
-    )
-    return (
-        cand.join(a, ["doc_a"])
-        .join(b, ["doc_b"])
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b", "hamming")
     )
 
