@@ -103,11 +103,34 @@ def _wide_by(df: DataFrame, *cols: str, min_parts: int = 0) -> DataFrame:
     """
     spark = df.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n = min(
-        max(spark.sparkContext.defaultParallelism, conf_parts, min_parts),
-        4096,
+    # the 4096 cap bounds the MEASURED build-size floor only (a wild
+    # byte estimate must not explode the stage); the session conf and
+    # cluster width are never narrowed — otherwise a >4096-partition
+    # session would silently lose the "same exchange EnsureRequirements
+    # would insert" property
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        conf_parts,
+        min(min_parts, 4096),
     )
     return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage pinned by ``df.localCheckpoint``.
+
+    ``DataFrame.unpersist`` only covers cache-manager entries; a local
+    checkpoint pins the physical RDD's blocks for the session lifetime
+    (the hazard the build_text_dedup_state docstring documents). The
+    checkpointed Dataset's analyzed plan is a ``LogicalRDD`` wrapping
+    exactly the pinned RDD, so ``rdd().unpersist`` releases it. Only
+    call on relations no longer referenced — the truncated lineage
+    cannot be recomputed. Best-effort: internals drift across Spark
+    versions, and leaking (the old behavior) beats failing."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def keyed_dedup_first_wins(
@@ -133,14 +156,19 @@ def prefix_dedup(
     n: int = 20,
     against: DataFrame | None = None,
     against_keys: DataFrame | None = None,
+    against_state: dict | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact dedup keyed on the cleaned text prefix (SURVEY Q22 shape).
 
-    ``against`` / ``against_keys``: the incremental delta-vs-corpus
-    form — ``df`` is the nightly batch, the corpus arrives as raw docs
-    or as the persisted (id, key) relation (``build_text_dedup_state``,
-    key_len recorded in the spec). Output equals
+    ``against`` / ``against_keys`` / ``against_state``: the incremental
+    delta-vs-corpus form — ``df`` is the nightly batch, the corpus
+    arrives as raw docs, as the persisted (id, key) relation, or as the
+    full state dict (``read_text_dedup_state_full``). The state form is
+    the safe one: corpus keys were cut at the build's ``key_len`` and a
+    probe at a different ``n`` would silently mix key lengths and
+    return wrong pairs, so the state dict's spec is validated the same
+    way the ngram/minhash probes validate theirs. Output equals
     ``prefix_dedup(df ∪ corpus)`` RESTRICTED to rows touching the
     delta — dropped_id ∈ delta OR keep_id ∈ delta (a new doc with a
     smaller id than a standing winner takes the key over, exactly as
@@ -148,6 +176,21 @@ def prefix_dedup(
     Only key groups the delta occupies are ever grouped: the union is
     semi-joined on the delta's (small, broadcast) key set first, so
     the corpus pays one scan, no corpus-wide window."""
+    if against_state is not None:
+        if "keys" not in against_state:
+            raise ValueError(
+                "against_state has no persisted 'keys' relation — "
+                "rebuild the state with build_text_dedup_state or pass "
+                "the corpus as against="
+            )
+        spec = against_state.get("spec")
+        if spec is not None and spec.get("key_len") != n:
+            raise ValueError(
+                f"state was built with key_len={spec.get('key_len')}, "
+                f"probe asked for n={n} — mixing key lengths returns "
+                "wrong pairs; rebuild the state or drop against_state"
+            )
+        against_keys = against_state["keys"]
     key = F.substring(clean_html(F.col(text_col)), 1, n)
     if against is None and against_keys is None:
         return keyed_dedup_first_wins(df, key).orderBy(
@@ -1494,6 +1537,19 @@ def build_text_dedup_state(
     simhash_bands(docs, text_col, id_col).write.mode("overwrite").parquet(
         f"{path}/simhash"
     )
+    # the spec is written UNCONDITIONALLY: key_len guards the exact-
+    # prefix probe even for states built without a threshold (a
+    # threshold-free state used to omit it, leaving prefix_dedup
+    # unable to detect a key-length mismatch — round-9 ADVICE)
+    spark.createDataFrame(
+        [(
+            n, num_hashes,
+            None if threshold is None else float(threshold),
+            max_df, bands, key_len,
+        )],
+        "n int, num_hashes int, threshold double, max_df int, "
+        "bands int, key_len int",
+    ).write.mode("overwrite").parquet(f"{path}/spec")
     if threshold is None:
         return
     # MinHash band relation: a deterministic function of the persisted
@@ -1517,13 +1573,6 @@ def build_text_dedup_state(
         ).agg(F.count(F.lit(1)).alias("hp")).write.mode(
             "overwrite"
         ).parquet(f"{path}/hp0")
-    spark.createDataFrame(
-        [(n, num_hashes, float(threshold), max_df, bands, key_len)],
-        "n int, num_hashes int, threshold double, max_df int, "
-        "bands int, key_len int",
-    ).write.mode("overwrite").parquet(f"{path}/spec")
-
-
 def _prefix_relation(arr: DataFrame, threshold: float) -> DataFrame:
     """The prefix index of an array relation (id, g): one row per
     prefix entry — (id, n, pos, shingle), pos 1-based. The single
@@ -1556,19 +1605,39 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
     was built with a threshold (see build_text_dedup_state; ``prefix``
     tolerated for states built by older builds). Pass the dict as
     ``against_state`` to ``ngram_jaccard_pairs`` to run the probe that
-    skips the corpus-wide statistic shuffles."""
-    import os
+    skips the corpus-wide statistic shuffles.
 
+    Optional relations are probed by attempting the read (catching the
+    path-missing AnalysisException), not ``os.path.exists`` — the state
+    may live on HDFS/S3 where a local stat would silently report every
+    relation absent and the probes would fall back to the slow
+    stateless path."""
     state: dict = {
         "arrays": spark.read.parquet(f"{path}/arrays"),
         "sigs": spark.read.parquet(f"{path}/sigs"),
     }
     for rel in ("prefix", "prefix_df", "hp0", "bands", "keys", "simhash"):
-        if os.path.exists(f"{path}/{rel}"):
-            state[rel] = spark.read.parquet(f"{path}/{rel}")
-    if os.path.exists(f"{path}/spec"):
-        state["spec"] = spark.read.parquet(f"{path}/spec").first().asDict()
+        df = _try_read_parquet(spark, f"{path}/{rel}")
+        if df is not None:
+            state[rel] = df
+    spec_df = _try_read_parquet(spark, f"{path}/spec")
+    if spec_df is not None:
+        state["spec"] = spec_df.first().asDict()
     return state
+
+
+def _try_read_parquet(spark, path: str) -> DataFrame | None:
+    """Read a parquet relation, or None when the path does not exist —
+    on whatever filesystem the path's scheme resolves to (the read goes
+    through Hadoop's FileSystem, so HDFS/S3 behave like local)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
 
 
 def simhash_bands(
@@ -1980,6 +2049,7 @@ def connected_components(
         out_schema = edges.select(
             F.col("u").alias("node"), F.col("v").alias("cluster_id")
         ).schema
+        _release_local_checkpoint(edges)
         return (
             pairs.sparkSession.createDataFrame(labels, out_schema)
             .orderBy("node", "cluster_id")
@@ -2001,9 +2071,12 @@ def connected_components(
         converged = diff.isEmpty()
         old = edges
         edges = nxt
+        # release the superseded round's pinned checkpoint blocks —
+        # `del` alone leaves them in the block manager for the session
+        # lifetime, and repeated corpus-scale CC runs accumulate
+        _release_local_checkpoint(old)
         if converged:
             break
-        del old
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} "

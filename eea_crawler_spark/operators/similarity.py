@@ -878,13 +878,14 @@ def _make_sign_batches(
 def neardup_pairs_lsh(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_bands: int = 16,
-    band_planes: int = 8,
+    n_bands: int | None = None,
+    band_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket_rows: int | None = None,
     against_state: dict | None = None,
+    allow_full_fan: bool = False,
 ) -> DataFrame:
     """Approximate near-dup pairs: the SCALE twin of ``neardup_pairs``.
 
@@ -944,10 +945,21 @@ def neardup_pairs_lsh(
     delta-touching pairs, pinned).
     """
     if against_state is not None:
+        # banding params default FROM THE SPEC — the auto-sized builder
+        # picks them, so requiring the caller to re-specify would force
+        # every probe site to read the spec first; explicitly-passed
+        # values are still validated against it (mismatch raises)
+        spec = against_state["spec"]
         return _neardup_lsh_delta(
-            corpus, against_state, threshold, n_bands, band_planes,
-            id_col, vec_col, seed, max_bucket_rows,
+            corpus, against_state, threshold,
+            spec["n_bands"] if n_bands is None else n_bands,
+            spec["band_planes"] if band_planes is None else band_planes,
+            id_col, vec_col, seed, max_bucket_rows, allow_full_fan,
         )
+    if n_bands is None:
+        n_bands = 16
+    if band_planes is None:
+        band_planes = 8
     # one corpus probe: empty short-circuit + uniform-width contract
     # (ragged vectors would fail deep in _vec_matrix with an opaque
     # numpy error; round-8 ADVICE)
@@ -1110,13 +1122,43 @@ def neardup_pairs_lsh(
     )
 
 
+def _auto_band_params(
+    state_rows: int,
+    expected_delta_rows: int | None,
+    threshold: float,
+) -> tuple[int, int]:
+    """(n_bands, band_planes) for a serving state sized so the PROBE's
+    bucket pruning actually engages on the declared nightly delta.
+
+    Pruning engages while |delta| ≲ 2^band_planes (per-band expected
+    bucket coverage 1 − e^(−|delta|/2^p)); the round-9 campaign showed
+    the old fixed 8-plane default builds a state whose probe fan ships
+    the full state b× for any realistic delta (two observed
+    disk-fulls). So: planes from the delta (2^p ≥ 4·|delta| → coverage
+    ≤ 1−e^(−1/4) ≈ 0.22), defaulting the delta to 1% of the corpus
+    (the nightly-batch shape this state exists for); then the band
+    COUNT from the standard banding calculus so a pair AT the
+    threshold is still caught w.p. ≥ ~0.98 — wider bands prune harder
+    but need more of them (recall depends on both, so the two must be
+    derived together)."""
+    if expected_delta_rows is None:
+        expected_delta_rows = max(256, state_rows // 100)
+    p = int(np.ceil(np.log2(max(4 * expected_delta_rows, 2))))
+    p = max(8, min(20, p))
+    match = 1.0 - np.arccos(min(1.0, threshold)) / np.pi
+    b = int(np.ceil(np.log(0.02) / np.log(1.0 - match**p)))
+    return max(4, min(96, b)), p
+
+
 def build_embedding_state(
     corpus: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 16,
-    band_planes: int = 8,
+    n_bands: int | None = None,
+    band_planes: int | str = "auto",
+    expected_delta_rows: int | None = None,
+    threshold: float = 0.9,
     seed: int = 42,
 ) -> None:
     """Persist the corpus-side LSH relation the incremental embedding
@@ -1126,15 +1168,28 @@ def build_embedding_state(
     (dim, n_bands, band_planes, seed). This is the nightly-ingest
     serving layout for embeddings — "near-dup 50k new vectors against
     5M indexed" pays the corpus's signature pass ONCE here; probes
-    read only the partitions whose buckets the delta touches (at the
-    default 8-plane bands that is n_bands·2^8 directories — small-file
-    safe; higher plane counts trade pruning granularity against
-    directory explosion, so partitioning is capped at 2^12 buckets per
-    band and falls back to band-only partitioning past it). Keep in
-    sync with upserts the same way the text dedup state is — the
-    relation is keyed by id and banding is a deterministic function of
-    the vector (reading it back is output-identical to recomputing,
-    pinned)."""
+    read only the partitions whose buckets the delta touches.
+
+    ``band_planes`` defaults to ``"auto"`` (round-9 verdict): the old
+    fixed 8-plane default built states whose probe path was unusable
+    for typical nightly deltas — any delta past a few ×2⁸ rows
+    occupies every bucket and the fan ships the full state b× (two
+    observed disk-fulls). Auto derives (band_planes, n_bands) together
+    from the corpus size, the declared ``expected_delta_rows``
+    (default: 1% of the corpus) and the ``threshold`` the probes will
+    run at, via ``_auto_band_params`` — probe-usable by construction
+    while holding ≥ ~0.98 recall at the threshold. Pass both
+    ``n_bands`` and an integer ``band_planes`` to pin them manually
+    (the probe then validates its params against the spec as before).
+
+    Higher plane counts trade pruning granularity against directory
+    explosion, so (band, bucket) partitioning is capped at 2^12
+    buckets per band and falls back to band-only partitioning past it
+    (bucket pruning then rides parquet row-group filters instead of
+    directories). Keep in sync with upserts the same way the text
+    dedup state is — the relation is keyed by id and banding is a
+    deterministic function of the vector (reading it back is
+    output-identical to recomputing, pinned)."""
     probe = corpus.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.size(vec_col)).alias("dmin"),
@@ -1146,6 +1201,12 @@ def build_embedding_state(
             f"{probe['dmin']}..{probe['dmax']}"
         )
     dim = int(probe["dmax"] or 0)
+    if band_planes == "auto":
+        n_bands, band_planes = _auto_band_params(
+            int(probe["n"]), expected_delta_rows, threshold
+        )
+    elif n_bands is None:
+        n_bands = 16
     vec_type = corpus.schema[vec_col].dataType.simpleString()
     id_type = corpus.schema[id_col].dataType.simpleString()
     sig_schema = (
@@ -1204,6 +1265,7 @@ def _neardup_lsh_delta(
     vec_col: str,
     seed: int,
     max_bucket_rows: int | None,
+    allow_full_fan: bool = False,
 ) -> DataFrame:
     """Incremental banded near-dup: pairs TOUCHING the delta only.
 
@@ -1268,6 +1330,40 @@ def _neardup_lsh_delta(
     if dim != spec["dim"]:
         raise ValueError(
             f"state holds {spec['dim']}-d vectors, delta has {dim}-d"
+        )
+    # refusal valve (round-9 verdict): when the delta occupies
+    # essentially every bucket (expected per-band coverage
+    # 1 − e^(−|delta|/2^p) ≈ 1) the "pruned" probe ships the whole
+    # state b× — the self-join's shuffle volume, the shape that filled
+    # a box's disk twice in the round-9 campaign. That is never what a
+    # caller reaching for the incremental probe meant: a broadcast-
+    # sized delta should take the exact probe, a genuinely huge one a
+    # state rebuilt with more planes (band_planes="auto" sizes them
+    # from the expected delta). ``allow_full_fan=True`` overrides for
+    # the adjudicated cluster-scale case where the full fan is the
+    # accepted price (per-node disk, delta×members flops still ≪ the
+    # union self-join's Σ|bucket|²).
+    import math as _math
+
+    coverage = 1.0 - _math.exp(
+        -int(probe["n"]) / float(2 ** band_planes)
+    )
+    if coverage >= 0.95 and not allow_full_fan:
+        delta_bytes = int(probe["n"]) * dim * 8
+        hint = (
+            "the delta's f64 matrix fits the broadcast gate — use the "
+            "EXACT probe neardup_pairs(new, against=state_vectors)"
+            if delta_bytes <= NEARDUP_BROADCAST_MAX_BYTES
+            else "rebuild the state with band_planes='auto' and "
+            f"expected_delta_rows={int(probe['n'])}"
+        )
+        raise ValueError(
+            f"probe of {probe['n']} rows against a 2^{band_planes}-"
+            f"bucket state occupies ~{coverage:.0%} of every band's "
+            "buckets — bucket pruning cannot engage and the fan would "
+            "ship the whole state per band (the self-join's shuffle "
+            f"volume). {hint}; or pass allow_full_fan=True to accept "
+            "the full fan"
         )
     if max_bucket_rows is None:
         max_bucket_rows = _lsh_bucket_cap(dim)

@@ -158,3 +158,48 @@ def test_canonical_docs_keep_by_quality(spark):
         for r in canonical_docs(docs, pairs).collect()
     }
     assert out_min == {1: True, 2: False, 3: False, 4: True, 9: True}
+
+
+def test_cc_releases_superseded_checkpoints(spark):
+    """Star-contraction rounds and the driver fast path must not leave
+    their per-round localCheckpoint blocks pinned in the block manager
+    (session-lifetime leak on repeated corpus-scale runs). The final
+    converged relation may stay pinned — the returned DataFrame reads
+    from it — so the pin budget is ≤ 1 per distributed run, 0 for the
+    driver path."""
+
+    def _pinned() -> int:
+        return len(
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
+
+    base = _pinned()
+    # long chain: many star rounds => many superseded checkpoints
+    chain = [(i, i + 1) for i in range(200)]
+    _run(spark, chain)  # distributed path
+    assert _pinned() <= base + 1
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    connected_components(df).collect()  # driver union-find path
+    assert _pinned() <= base + 1
+
+
+def test_wide_by_respects_large_session_conf(spark):
+    """The 4096 cap bounds only the measured min_parts floor — a
+    session conf above 4096 must keep its width (the exchange must
+    stay the one EnsureRequirements would insert)."""
+    from eea_crawler_spark.operators.dedup import _wide_by
+
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5000")
+        assert _wide_by(df, "k").rdd.getNumPartitions() == 5000
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        dp = spark.sparkContext.defaultParallelism
+        # measured floor still capped at 4096
+        assert (
+            _wide_by(df, "k", min_parts=10**6).rdd.getNumPartitions()
+            == max(dp, 4096)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

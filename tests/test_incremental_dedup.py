@@ -503,3 +503,82 @@ def test_prefix_dedup_delta_equals_restricted_union(spark, tmp_path):
         ).collect()
     }
     assert got2 == want
+    # state-dict form: identical output, and the spec guards the key
+    # length — a probe at a different n would silently mix key lengths
+    got3 = {
+        (r["dropped_id"], r["keep_id"]): r["key"]
+        for r in DD.prefix_dedup(new, against_state=state).collect()
+    }
+    assert got3 == want
+    with pytest.raises(ValueError, match="rebuild the state"):
+        DD.prefix_dedup(new, n=10, against_state=state)
+    with pytest.raises(ValueError, match="rebuild the state"):
+        DD.prefix_dedup(new, against_state={"spec": state["spec"]})
+
+
+def test_embedding_state_auto_band_params(spark, tmp_path):
+    """band_planes='auto' (round-9 verdict): the default state must be
+    probe-usable for the declared delta — planes sized so expected
+    bucket coverage stays well under 1, band count re-derived so
+    recall at the threshold holds ≥ ~0.98; the probe picks its params
+    up from the spec without the caller re-specifying them."""
+    # auto math: planes from 4×expected_delta, bands from the banding
+    # calculus at the threshold
+    nb, bp = SIM._auto_band_params(
+        10**6, expected_delta_rows=50_000, threshold=0.9
+    )
+    assert 2**bp >= 4 * 50_000  # pruning engages at the declared delta
+    assert bp <= 20
+    p = 1.0 - np.arccos(0.9) / np.pi
+    assert 1.0 - (1.0 - p**bp) ** nb >= 0.98  # recall at threshold
+    # undeclared delta defaults to 1% of the corpus
+    nb2, bp2 = SIM._auto_band_params(10**6, None, 0.9)
+    assert 2**bp2 >= 4 * 10**4
+    # end-to-end: auto-built state, probe with NO banding params
+    new, corpus = _mk_vecs(spark, n=200, dim=16, seed=5)
+    path = str(tmp_path / "emb_state_auto")
+    SIM.build_embedding_state(
+        corpus, path, expected_delta_rows=40, threshold=0.9
+    )
+    state = SIM.read_embedding_state(spark, path)
+    spec = state["spec"]
+    assert 2 ** spec["band_planes"] >= 4 * 40
+    got = SIM.neardup_pairs_lsh(
+        new, threshold=0.9, against_state=state
+    ).collect()
+    # planted near-dups straddle the delta boundary: output is
+    # non-empty and a subset of the exact probe with equal cosines
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(
+            new, threshold=0.9, against=corpus, escalate_bytes=None
+        ).collect()
+    }
+    delta_delta = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs(
+            new, threshold=0.9, escalate_bytes=None
+        ).collect()
+    }
+    exact.update(delta_delta)
+    assert got
+    assert all((r["a_id"], r["b_id"]) in exact for r in got)
+    assert all(exact[(r["a_id"], r["b_id"])] == r["cos"] for r in got)
+
+
+def test_neardup_lsh_probe_refuses_full_fan(spark, tmp_path):
+    """A probe whose delta occupies ~every bucket (expected coverage
+    ≥ 95%) must refuse with the selection-rule message instead of
+    silently shipping the whole state per band — the round-9
+    disk-full shape; allow_full_fan=True overrides."""
+    new, corpus = _mk_vecs(spark, n=200, dim=16, seed=5)
+    path = str(tmp_path / "emb_state_tiny")
+    # 2^3 = 8 buckets per band << the 40-row delta -> coverage ~1
+    SIM.build_embedding_state(corpus, path, n_bands=4, band_planes=3)
+    state = SIM.read_embedding_state(spark, path)
+    with pytest.raises(ValueError, match="bucket pruning cannot"):
+        SIM.neardup_pairs_lsh(new, threshold=0.9, against_state=state)
+    out = SIM.neardup_pairs_lsh(
+        new, threshold=0.9, against_state=state, allow_full_fan=True
+    )
+    assert out.count() > 0
