@@ -2093,6 +2093,102 @@ def connected_components(
     )
 
 
+def update_connected_components(
+    labels: DataFrame,
+    delta_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """O(delta) maintenance of a persisted cluster-label relation: given
+    ``labels`` = the standing ``connected_components`` output
+    ``(node, cluster_id)`` and a batch of NEW duplicate pairs (a nightly
+    incremental-dedup probe's output), return ONLY the label rows that
+    change — new nodes plus every member of a cluster whose root moved.
+    MERGE the result into the persisted relation (keyed upsert on
+    ``node``) and the invariant holds:
+
+        apply(labels, update(labels, delta))
+          == connected_components(base_pairs ∪ delta_pairs)      (pinned)
+
+    This is the round-9 verdict's "one remaining O(corpus) step":
+    ``connected_components`` recomputed from the complete pair relation
+    every run even though the probes that feed it are O(delta). Here
+    the full pair relation is never touched:
+
+      1. contract: each delta edge's endpoints map through their
+         standing label (unlabeled nodes map to themselves). Because a
+         standing ``cluster_id`` is the component MINIMUM, contracting
+         a component to its root preserves both connectivity and the
+         min — the contracted graph has O(delta) edges over
+         {touched roots} ∪ {new nodes}.
+      2. resolve: ``connected_components`` over the contracted edges —
+         delta-sized, so it almost always takes the driver union-find
+         fast path (≤ CC_DRIVER_MAX_PAIRS); a root's new label is the
+         min across every merged component, i.e. exactly the full
+         recompute's label.
+      3. propagate: members of clusters whose root changed pick up the
+         new root via ONE hash join of the label relation against the
+         (broadcast, delta-bounded) root remap. Cost is one label-scan
+         + output bounded by the affected components' total size — the
+         only corpus-sized touch, and it is a scan, not a shuffle.
+
+    Delta edges between two members of the SAME standing cluster
+    contract to self-loops and drop out — a no-op batch returns an
+    empty frame. ``labels`` may be empty (bootstrap): every node is
+    fresh and the result is ``connected_components(delta_pairs)``.
+    """
+    e = (
+        delta_pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # delta-bounded; reused 3×
+    )
+    # standing labels of touched endpoints only: one label scan,
+    # broadcast semi-join (the delta's node set is small by contract)
+    lab_touch = labels.join(F.broadcast(nodes), ["node"], "left_semi")
+    lu = lab_touch.select(
+        F.col("node").alias("u"), F.col("cluster_id").alias("cu")
+    )
+    lv = lab_touch.select(
+        F.col("node").alias("v"), F.col("cluster_id").alias("cv")
+    )
+    contracted = (
+        e.join(F.broadcast(lu), ["u"], "left")
+        .join(F.broadcast(lv), ["v"], "left")
+        .select(
+            F.coalesce("cu", F.col("u")).alias("u"),
+            F.coalesce("cv", F.col("v")).alias("v"),
+        )
+    )
+    remap = connected_components(contracted, "u", "v").select(
+        F.col("node").alias("old"), F.col("cluster_id").alias("new")
+    )
+    changed = remap.filter(F.col("old") != F.col("new"))
+    # members of moved clusters: label relation keyed by cluster_id
+    # against the broadcast remap — the one corpus-sized touch
+    moved = labels.join(
+        F.broadcast(changed.withColumnRenamed("old", "cluster_id")),
+        ["cluster_id"],
+    ).select("node", F.col("new").alias("cluster_id"))
+    # brand-new nodes: every unlabeled endpoint survives contraction
+    # (it can only collapse into a self-loop by carrying a label), so
+    # remap covers it; anti-join keeps exactly the fresh ones
+    fresh = (
+        remap.join(
+            labels.select(F.col("node").alias("old")), ["old"], "left_anti"
+        )
+        .select(F.col("old").alias("node"), F.col("new").alias("cluster_id"))
+    )
+    out = moved.unionByName(fresh).orderBy("node", "cluster_id")
+    _release_local_checkpoint(nodes)
+    return out
+
+
 def canonical_docs(
     docs: DataFrame,
     pairs: DataFrame,

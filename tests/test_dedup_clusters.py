@@ -203,3 +203,71 @@ def test_wide_by_respects_large_session_conf(spark):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _apply_updates(labels: dict[int, int], updates: dict[int, int]):
+    merged = dict(labels)
+    merged.update(updates)
+    return merged
+
+
+def _incr(spark, base_pairs, delta_pairs, **kw):
+    from eea_crawler_spark.operators.dedup import (
+        update_connected_components,
+    )
+
+    base_labels = _run(spark, base_pairs) if base_pairs else {}
+    lab_df = spark.createDataFrame(
+        list(base_labels.items()) or [], "node long, cluster_id long"
+    )
+    delta_df = spark.createDataFrame(
+        delta_pairs, "doc_a long, doc_b long"
+    )
+    updates = {
+        r["node"]: r["cluster_id"]
+        for r in update_connected_components(lab_df, delta_df).collect()
+    }
+    return base_labels, updates
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_incremental_matches_full_recompute_random(spark, seed):
+    """apply(labels, update(labels, delta)) == CC(base ∪ delta) on
+    random graphs — the O(delta) nightly maintenance contract."""
+    rng = random.Random(seed)
+    n = 60
+    all_pairs = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+    ]
+    base, delta = all_pairs[:40], all_pairs[40:]
+    base_labels, updates = _incr(spark, base, delta)
+    got = _apply_updates(base_labels, updates)
+    want = _union_find_clusters([p for p in all_pairs if p[0] != p[1]])
+    assert got == want
+    # updated rows are the bounded set: fresh nodes + members of moved
+    # clusters only — nothing else was rewritten
+    for node, cid in updates.items():
+        assert node not in base_labels or base_labels[node] != cid
+
+
+def test_cc_incremental_shapes(spark):
+    """Adversarial shapes: cluster-merge via a bridge edge, chain
+    extension, intra-cluster no-op, bootstrap from empty labels."""
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    # bridge merges {1,2,3} with {10,11}; extend chain; new pair
+    delta = [(3, 10), (21, 22), (30, 31)]
+    base_labels, updates = _incr(spark, base, delta)
+    got = _apply_updates(base_labels, updates)
+    want = _union_find_clusters(base + delta)
+    assert got == want
+    # the merged cluster re-rooted every member of the higher root
+    assert updates[10] == 1 and updates[11] == 1
+    # untouched cluster {20,21} base rows NOT in updates (21→22 chain
+    # extension only adds node 22)
+    assert updates.get(22) == 20 and 21 not in updates and 20 not in updates
+    # intra-cluster edge = pure no-op
+    _, noop = _incr(spark, base, [(1, 3)])
+    assert noop == {}
+    # bootstrap: empty labels == plain connected_components
+    _, boot = _incr(spark, [], delta)
+    assert boot == _union_find_clusters(delta)
