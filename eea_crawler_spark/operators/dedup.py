@@ -1573,6 +1573,258 @@ def build_text_dedup_state(
         ).agg(F.count(F.lit(1)).alias("hp")).write.mode(
             "overwrite"
         ).parquet(f"{path}/hp0")
+
+
+def _replace_dir(spark, tmp: str, dst: str) -> None:
+    """Swap a freshly-written relation over the old one through the
+    Hadoop FileSystem API (local/HDFS/S3A alike): delete dst, rename
+    tmp → dst. The write-to-tmp-then-swap dance exists because a
+    merged aggregate reads the relation it replaces — an in-place
+    overwrite would truncate its own input mid-scan."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dpath = jvm.org.apache.hadoop.fs.Path(dst)
+    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dpath.getFileSystem(conf)
+    if fs.exists(dpath):
+        fs.delete(dpath, True)
+    fs.rename(tpath, dpath)
+
+
+def append_text_dedup_state(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Extend a persisted text dedup state with a batch of NEW docs —
+    the nightly O(delta) state-maintenance leg that makes the
+    incremental probes self-sustaining (without it, tomorrow's probe
+    would miss pairs against today's batch).
+
+    Contract (pinned): afterwards every relation equals what
+    ``build_text_dedup_state(old_corpus ∪ new_docs)`` would have
+    written — row-wise relations (arrays, sigs, keys, simhash, bands)
+    gain exactly the delta's rows via parquet appends; the two
+    aggregates are merged and swapped:
+
+      * ``prefix_df`` (per-shingle document frequency): old counts
+        full-joined with the delta's counts — one aggregate-relation
+        scan, no text reprocessing.
+      * ``hp0`` (per-id count of HOT prefix entries): hot can only
+        GROW under appends, so union-hot = old-hot ∪ tipped, where
+        tipped = shingles the delta pushed over ``max_df``. Old ids
+        owe exactly their old entries in tipped shingles — computed by
+        one corpus-arrays scan restricted (broadcast semi-join) to the
+        tipped set, and ONLY when tipping occurred; delta ids count
+        their entries against the merged hot set directly. This is the
+        probe's serving-statistics reconstruction made durable.
+
+    Strictly-new ids only (validated against ``keys``): a MODIFIED
+    doc's standing rows would otherwise coexist with its new rows and
+    every probe would see both texts. Modified docs are the documented
+    rebuild-cadence seam — like any log-structured index, run
+    ``build_text_dedup_state`` periodically (or when the modified
+    fraction passes a few percent); the nightly leg stays O(delta).
+
+    Write discipline: merged aggregates are written to ``__new`` tmp
+    dirs FIRST (executing every read of the old relations), row-wise
+    appends happen second, tmp dirs swap in last — so a crash leaves
+    either the old state or a superset of row-wise relations with
+    consistent aggregates one swap away, never a half-merged
+    aggregate.
+
+    Returns ``{"appended": delta_rows, "tipped": n_tipped_shingles}``.
+    """
+    state = read_text_dedup_state_full(spark, path)
+    spec = state.get("spec")
+    if spec is None or "keys" not in state:
+        raise ValueError(
+            "state has no spec/keys — rebuild it with "
+            "build_text_dedup_state (pre-round-10 states predate the "
+            "append contract)"
+        )
+    n, num_hashes = spec["n"], spec["num_hashes"]
+    threshold, max_df = spec["threshold"], spec["max_df"]
+    bands, key_len = spec["bands"], spec["key_len"]
+    delta_keys = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(clean_html(F.col(text_col)), 1, key_len).alias("key"),
+    ).localCheckpoint(eager=True)
+    n_delta = delta_keys.count()
+    if n_delta == 0:
+        return {"appended": 0, "tipped": 0}
+    clash = state["keys"].join(
+        F.broadcast(delta_keys.select("id")), ["id"], "left_semi"
+    )
+    if not clash.isEmpty():
+        raise ValueError(
+            "append_text_dedup_state takes strictly-NEW ids; the batch "
+            "contains ids already in the state. Modified docs leave "
+            "stale rows a probe would still see — rebuild the state "
+            "(the periodic compaction cadence) or restrict the batch "
+            "to inserts"
+        )
+    arr_new = shingle_arrays(new_docs, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
+    sig_new = _signatures_from_arrays(arr_new, num_hashes).localCheckpoint(
+        eager=True
+    )
+    n_tipped = 0
+    if threshold is not None:
+        # 1. merged aggregates to tmp (reads of the OLD relations all
+        # execute here, before any append can widen them)
+        pre_new = _prefix_relation(arr_new, threshold).localCheckpoint(
+            eager=True
+        )
+        d_df = pre_new.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("ddf")
+        ).localCheckpoint(eager=True)
+        old_df = state["prefix_df"]
+        (
+            old_df.join(d_df, ["shingle"], "full")
+            .select(
+                "shingle",
+                (
+                    F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0))
+                ).alias("df"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/prefix_df__new")
+        )
+        if max_df is not None and "hp0" in state:
+            tipped = (
+                old_df.join(F.broadcast(d_df), ["shingle"])
+                .filter(
+                    (F.col("df") <= max_df)
+                    & (F.col("df") + F.col("ddf") > max_df)
+                )
+                .select("shingle")
+                .localCheckpoint(eager=True)
+            )
+            n_tipped = tipped.count()
+            merged_hot = (
+                spark.read.parquet(f"{path}/prefix_df__new")
+                .filter(F.col("df") > max_df)
+                .select("shingle")
+            )
+            hp_new = (
+                pre_new.join(F.broadcast(merged_hot), ["shingle"], "left_semi")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("hp"))
+            )
+            if n_tipped:
+                corr = (
+                    _prefix_relation(state["arrays"], threshold)
+                    .join(F.broadcast(tipped), ["shingle"], "left_semi")
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("tc"))
+                )
+                hp_old = (
+                    state["hp0"].select("id", "hp")
+                    .join(corr, ["id"], "full")
+                    .select(
+                        "id",
+                        (
+                            F.coalesce("hp", F.lit(0))
+                            + F.coalesce("tc", F.lit(0))
+                        ).alias("hp"),
+                    )
+                )
+            else:
+                hp_old = state["hp0"].select("id", "hp")
+            hp_old.unionByName(hp_new).write.mode("overwrite").parquet(
+                f"{path}/hp0__new"
+            )
+            _release_local_checkpoint(tipped)
+        _release_local_checkpoint(pre_new)
+    # 2. row-wise appends (all from materialized delta checkpoints)
+    arr_new.write.mode("append").parquet(f"{path}/arrays")
+    sig_new.write.mode("append").parquet(f"{path}/sigs")
+    delta_keys.write.mode("append").parquet(f"{path}/keys")
+    simhash_bands(new_docs, text_col, id_col).write.mode("append").parquet(
+        f"{path}/simhash"
+    )
+    if threshold is not None:
+        if "bands" in state:
+            _band_relation(sig_new, num_hashes, bands).write.mode(
+                "append"
+            ).parquet(f"{path}/bands")
+        # 3. swap the merged aggregates in
+        _replace_dir(spark, f"{path}/prefix_df__new", f"{path}/prefix_df")
+        if max_df is not None and "hp0" in state:
+            _replace_dir(spark, f"{path}/hp0__new", f"{path}/hp0")
+        _release_local_checkpoint(d_df)
+    for ck in (delta_keys, arr_new, sig_new):
+        _release_local_checkpoint(ck)
+    return {"appended": n_delta, "tipped": n_tipped}
+
+
+def append_embedding_state(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Extend a persisted embedding LSH state (build_embedding_state)
+    with NEW vectors: sign the delta with the spec's planes and append
+    into the partitioned layout; the spec's row count (which sizes
+    probe exchanges) is bumped. Banding is a deterministic per-row
+    function, so append ≡ rebuild over the union (pinned). Same
+    strictly-new-ids cadence as the text state."""
+    from eea_crawler_spark.operators import similarity as _SIM
+
+    spec = spark.read.parquet(f"{path}/spec").first().asDict()
+    probe = new_vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    if not probe["n"]:
+        return 0
+    if probe["dmin"] != probe["dmax"] or int(probe["dmax"]) != spec["dim"]:
+        raise ValueError(
+            f"state holds {spec['dim']}-d vectors, delta has "
+            f"{probe['dmin']}..{probe['dmax']}-d"
+        )
+    vec_type = new_vecs.schema[vec_col].dataType.simpleString()
+    id_type = new_vecs.schema[id_col].dataType.simpleString()
+    p_mat = np.asarray(
+        _SIM.hyperplane_planes(
+            spec["dim"],
+            n_planes=spec["n_bands"] * spec["band_planes"],
+            seed=spec["seed"],
+        ),
+        dtype=np.float64,
+    )
+    signed = new_vecs.select(id_col, vec_col).mapInPandas(
+        _SIM._make_sign_batches(
+            id_col, vec_col, p_mat, spec["n_bands"], spec["band_planes"]
+        ),
+        f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long",
+    )
+    part_cols = (
+        ["band", "bucket"]
+        if 2 ** spec["band_planes"] <= 4096
+        else ["band"]
+    )
+    signed.write.mode("append").partitionBy(*part_cols).parquet(
+        f"{path}/signed"
+    )
+    spark.createDataFrame(
+        [(
+            spec["dim"], spec["n_bands"], spec["band_planes"],
+            spec["seed"], int(spec["n"]) + int(probe["n"]),
+        )],
+        "dim int, n_bands int, band_planes int, seed int, n long",
+    ).write.mode("overwrite").parquet(f"{path}/spec__new")
+    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
+    return int(probe["n"])
+
+
 def _prefix_relation(arr: DataFrame, threshold: float) -> DataFrame:
     """The prefix index of an array relation (id, g): one row per
     prefix entry — (id, n, pos, shingle), pos 1-based. The single

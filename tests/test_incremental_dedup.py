@@ -582,3 +582,105 @@ def test_neardup_lsh_probe_refuses_full_fan(spark, tmp_path):
         new, threshold=0.9, against_state=state, allow_full_fan=True
     )
     assert out.count() > 0
+
+
+def test_append_text_dedup_state_equals_rebuild(spark, tmp_path):
+    """Nightly state maintenance: append(new batch) must leave every
+    persisted relation equal to a full rebuild over the union —
+    including the hot-tipping correction to hp0 (a delta pushing a
+    corpus-cold shingle over max_df owes old ids their entries in it).
+    A later probe against the appended state must equal the probe
+    against the rebuilt state."""
+    new, corpus = _mk_docs(spark, n_docs=120)
+    # a second batch to probe with afterwards
+    later, _ = _mk_docs(spark, n_docs=40, seed=77)
+    later = later.withColumn("doc_id", F.col("doc_id") + 1000)
+    kw = dict(threshold=THRESH, max_df=20)
+    p_app = str(tmp_path / "appended")
+    p_reb = str(tmp_path / "rebuilt")
+    DD.build_text_dedup_state(corpus, p_app, **kw)
+    got = DD.append_text_dedup_state(spark, p_app, new)
+    assert got["appended"] == new.count()
+    DD.build_text_dedup_state(corpus.unionByName(new), p_reb, **kw)
+    sa = DD.read_text_dedup_state_full(spark, p_app)
+    sr = DD.read_text_dedup_state_full(spark, p_reb)
+    assert set(sa.keys()) == set(sr.keys())
+
+    def rows(df, *cols):
+        return sorted(
+            tuple(r[c] for c in cols) for r in df.collect()
+        )
+
+    assert rows(sa["keys"], "id", "key") == rows(sr["keys"], "id", "key")
+    assert rows(sa["arrays"], "id", "g") == rows(sr["arrays"], "id", "g")
+    assert rows(sa["sigs"], "id", "sig") == rows(sr["sigs"], "id", "sig")
+    assert rows(sa["prefix_df"], "shingle", "df") == rows(
+        sr["prefix_df"], "shingle", "df"
+    )
+    assert rows(sa["hp0"], "id", "hp") == rows(sr["hp0"], "id", "hp")
+    sh_cols = [c for c in sa["simhash"].columns]
+    assert rows(sa["simhash"], *sh_cols) == rows(sr["simhash"], *sh_cols)
+    b_cols = [c for c in sa["bands"].columns]
+    assert rows(sa["bands"], *b_cols) == rows(sr["bands"], *b_cols)
+    assert sa["spec"] == sr["spec"]
+    # a later probe sees identical pairs through either state
+    pa = _pairset(
+        DD.ngram_jaccard_pairs(
+            later, threshold=THRESH, max_df=20, against_state=sa
+        )
+    )
+    pr = _pairset(
+        DD.ngram_jaccard_pairs(
+            later, threshold=THRESH, max_df=20, against_state=sr
+        )
+    )
+    assert pa == pr
+    # strictly-new-ids contract: re-appending the same batch raises
+    with pytest.raises(ValueError, match="strictly-NEW"):
+        DD.append_text_dedup_state(spark, p_app, new)
+    # empty batch is a no-op
+    assert DD.append_text_dedup_state(
+        spark, p_app, new.filter(F.lit(False))
+    ) == {"appended": 0, "tipped": 0}
+
+
+def test_append_embedding_state_equals_rebuild(spark, tmp_path):
+    """Embedding state append: signed relation and spec equal a full
+    rebuild over the union; probes see the appended rows."""
+    new, corpus = _mk_vecs(spark, n=200, dim=16, seed=5)
+    later = new.withColumn("vec_id", F.col("vec_id") + 5000)
+    p_app = str(tmp_path / "emb_app")
+    p_reb = str(tmp_path / "emb_reb")
+    SIM.build_embedding_state(
+        corpus, p_app, expected_delta_rows=40, threshold=0.9
+    )
+    assert DD.append_embedding_state(spark, p_app, new) == new.count()
+    SIM.build_embedding_state(
+        corpus.unionByName(new), p_reb, expected_delta_rows=40,
+        threshold=0.9,
+    )
+    sa = SIM.read_embedding_state(spark, p_app)
+    sr = SIM.read_embedding_state(spark, p_reb)
+    assert sa["spec"] == sr["spec"]
+    ra = sorted(
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in sa["signed"].collect()
+    )
+    rr = sorted(
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in sr["signed"].collect()
+    )
+    assert ra == rr
+    pa = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            later, threshold=0.9, against_state=sa
+        ).collect()
+    }
+    pr = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            later, threshold=0.9, against_state=sr
+        ).collect()
+    }
+    assert pa == pr and pa
