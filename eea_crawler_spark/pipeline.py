@@ -145,6 +145,12 @@ class SyncConfig:
     # re-shuffles on a quick sync, only the listing co-partitions into
     # the bucket count. Size like shuffle partitions (~64 MB/bucket).
     state_buckets: int | None = None
+    # Nightly dedup maintenance leg (run_dedup_maintenance below) over
+    # this run's changed docs: delta-vs-corpus pair probe → incremental
+    # cluster fold → canonical keep/drop flag MERGE → serving-state
+    # append, every step O(delta). First run with no serving state
+    # bootstraps from the post-merge searchui corpus. None = off.
+    dedup: "DedupConfig | None" = None
 
 
 @dataclass
@@ -559,6 +565,48 @@ def run_sync(
             )
 
     _mark("searchui_merge_deletes")
+
+    # 7. dedup maintenance (opt-in): the incremental dedup family
+    # composed as the post-merge leg — probe this run's changed docs
+    # against the persisted text state, fold the pairs into the
+    # cluster labels, refresh canonical flags, append the batch to the
+    # state. Bootstraps from the whole searchui corpus when no serving
+    # state exists yet (the one-time O(corpus) backfill).
+    dd: dict[str, int] = {}
+    if cfg.dedup is not None and (n_norm or n_del):
+        from eea_crawler_spark.operators import dedup as _DD
+
+        ddcfg = cfg.dedup
+        rank_src = None
+        if ddcfg.keep_by is not None and LK.table_exists(paths.searchui):
+            rank_src = LK.read_table(spark, paths.searchui).select(
+                "id", ddcfg.keep_by
+            )
+        if _DD._try_read_parquet(spark, f"{ddcfg.state_path}/arrays") is None:
+            corpus = LK.read_table(spark, paths.searchui).select(
+                "id", ddcfg.text_col
+            )
+            dd = bootstrap_dedup_maintenance(
+                spark, ddcfg, corpus, id_col="id", rank_source=rank_src
+            )
+        else:
+            if n_norm and ddcfg.text_col in searchui.columns:
+                delta_dd = searchui.select("id", ddcfg.text_col)
+            else:
+                delta_dd = spark.createDataFrame(
+                    [], f"id string, {ddcfg.text_col} string"
+                )
+            dd = run_dedup_maintenance(
+                spark, ddcfg, delta_dd, id_col="id",
+                rank_source=rank_src,
+                deleted_ids=(
+                    doomed.select("id")
+                    if allowed and doomed is not None and n_del
+                    else None
+                ),
+            )
+        _mark("dedup_maintenance")
+
     SK.status_event(
         spark,
         paths.status,
@@ -573,6 +621,7 @@ def run_sync(
         "normalized": n_norm,
         "deleted": n_del,
         "delete_allowed": int(allowed),
+        **{f"dedup_{k}": v for k, v in dd.items()},
     }
 
 
@@ -763,3 +812,357 @@ def run_renormalize(
         spark, paths.status, f"renormalize:{site_id or 'all'}", "finished", docs_cnt=n
     )
     return {"renormalized": n}
+
+
+# ---------------------------------------------------------------------------
+# Nightly dedup maintenance: the incremental dedup family composed into
+# one pipeline leg (round-10; the reference's duplicate handling surface
+# crawl_plone_restapi.py:298-318 upgraded to corpus scale). Every step
+# is O(delta): probe the persisted text state with this run's changed
+# docs, fold the delta pairs into the persisted cluster labels
+# (update_connected_components), refresh canonical keep/drop flags for
+# the affected clusters only, and append the batch to the serving state
+# so tomorrow's probe sees it.
+
+
+@dataclass
+class DedupConfig:
+    """Configuration + storage layout for the dedup maintenance leg.
+
+    ``flags_path`` is a SIDECAR table (id, cluster_id, keep,
+    updated_at), not extra columns on searchui: nightly flag updates
+    then touch O(affected) rows of a 3-column relation instead of
+    rewriting wide searchui rows, and readers pick the flags up with
+    one id-keyed join (``with_dedup_flags``) that AQE plans like any
+    dimension join. The training-data filter is ``WHERE keep``.
+    """
+
+    state_path: str                 # build_text_dedup_state directory
+    clusters_path: str              # persisted (node, cluster_id) labels
+    flags_path: str                 # persisted canonical keep/drop flags
+    method: str = "ngram"           # ngram | minhash | simhash | prefix
+    text_col: str = "fulltext"
+    ngram_n: int = 3
+    threshold: float = 0.8
+    # hot-shingle document-frequency valve: required by the ngram
+    # serving probe (the uncapped path would need the corpus text every
+    # night) and the right scale posture anyway — shingles above it are
+    # boilerplate that only inflate candidate volume
+    max_df: int | None = 10_000
+    max_hamming: int = 8            # simhash radius
+    # ranking column for the keep-the-best-copy policy (a quality
+    # score / length / recency column available via rank_source);
+    # None = the reference's first-seen rule (min id wins)
+    keep_by: str | None = None
+    state_backend: str = "auto"     # clusters/flags table format
+    append_state: bool = True       # keep the text state self-sustaining
+
+
+def _dedup_probe(delta, state, dcfg: DedupConfig, id_col: str) -> DataFrame:
+    """Method dispatch for the delta-vs-corpus pair probe; output is
+    normalized to (doc_a, doc_b) whatever the member emits."""
+    from eea_crawler_spark.operators import dedup as DD
+
+    t = dcfg.text_col
+    if dcfg.method == "ngram":
+        return DD.ngram_jaccard_pairs(
+            delta, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold,
+            max_df=dcfg.max_df, against_state=state,
+        ).select("doc_a", "doc_b")
+    if dcfg.method == "minhash":
+        return DD.minhash_lsh_pairs(
+            delta, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold,
+            against_state=state,
+        ).select("doc_a", "doc_b")
+    if dcfg.method == "simhash":
+        return DD.simhash_pairs(
+            delta, t, id_col, max_hamming=dcfg.max_hamming,
+            against_bands=state["simhash"],
+        ).select("doc_a", "doc_b")
+    if dcfg.method == "prefix":
+        return DD.prefix_dedup(
+            delta, t, n=state["spec"]["key_len"], against_state=state,
+            id_col=id_col,
+        ).select(
+            F.col("dropped_id").alias("doc_a"),
+            F.col("keep_id").alias("doc_b"),
+        )
+    raise ValueError(f"unknown dedup method {dcfg.method!r}")
+
+
+def _winner_flags(members: DataFrame, dcfg: DedupConfig,
+                  rank_source: DataFrame | None, id_col: str) -> DataFrame:
+    """keep/drop verdicts for an AFFECTED-cluster member set (bounded,
+    never the corpus): one window over cluster_id. Winner = highest
+    ``keep_by`` (min node on ties/nulls) or plain min node. Implemented
+    as a ranking rather than ``node == cluster_id`` so a cluster whose
+    root was deleted still promotes a keeper."""
+    from pyspark.sql.window import Window as W
+
+    order = [F.col("node").asc()]
+    if dcfg.keep_by is not None:
+        if rank_source is None:
+            raise ValueError(
+                "keep_by is set but no rank_source relation was given"
+            )
+        members = members.join(
+            rank_source.select(
+                F.col(id_col).alias("node"),
+                F.col(dcfg.keep_by).alias("__rank"),
+            ),
+            ["node"], "left",
+        )
+        order.insert(0, F.col("__rank").desc_nulls_last())
+    w = W.partitionBy("cluster_id").orderBy(*order)
+    return members.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(
+        F.col("node").alias("id"), "cluster_id", "keep",
+    )
+
+
+def run_dedup_maintenance(
+    spark: SparkSession,
+    dcfg: DedupConfig,
+    delta_docs: DataFrame,
+    id_col: str = "id",
+    rank_source: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+) -> dict[str, int]:
+    """The nightly dedup leg, every step O(delta) against persisted
+    state (round-9 verdict #1/#2 — the family composed end-to-end):
+
+      1. probe: delta docs vs the persisted text state
+         (``against_state`` forms — the corpus pays one pruned pass,
+         never a self-join).
+      2. cluster fold: ``update_connected_components`` merges the delta
+         pairs into the persisted label relation; only moved clusters'
+         members rewrite (keyed MERGE on ``node``).
+      3. canonical flags: winners recomputed for AFFECTED clusters
+         only + singleton flags for untouched delta docs; MERGE into
+         the flags sidecar (see DedupConfig).
+      4. state append: genuinely-new docs extend the serving state
+         (``append_text_dedup_state``); modified docs are counted as
+         ``stale`` — their standing state rows are the documented
+         rebuild-cadence seam (rebuild when the stale fraction grows,
+         like any log-structured index compaction).
+
+    ``deleted_ids``: docs removed this run — their label/flag rows are
+    deleted and their clusters' winners recomputed so a cluster never
+    ends up with zero kept copies. (Their text-state rows are part of
+    the same stale budget as modified docs.)
+
+    Idempotent: re-running with the same delta yields the same pairs,
+    the cluster fold is a no-op (intra-cluster edges contract to
+    self-loops), and the flag MERGE rewrites identical verdicts.
+    """
+    from eea_crawler_spark.operators import dedup as DD
+
+    state = DD.read_text_dedup_state_full(spark, dcfg.state_path)
+    id_type = delta_docs.schema[id_col].dataType.simpleString()
+    delta = delta_docs.select(id_col, dcfg.text_col).localCheckpoint(
+        eager=True
+    )
+    # 1. probe (BEFORE any state append — the delta must not see itself)
+    pairs = _dedup_probe(delta, state, dcfg, id_col).localCheckpoint(
+        eager=True
+    )
+    n_pairs = pairs.count()
+    # 2. O(delta) label fold
+    if LK.table_exists(dcfg.clusters_path):
+        labels = LK.read_table(spark, dcfg.clusters_path).select(
+            "node", "cluster_id"
+        )
+    else:
+        labels = spark.createDataFrame(
+            [], f"node {id_type}, cluster_id {id_type}"
+        )
+    if n_pairs:
+        updates = DD.update_connected_components(
+            labels, pairs
+        ).localCheckpoint(eager=True)
+    else:
+        updates = spark.createDataFrame(
+            [], f"node {id_type}, cluster_id {id_type}"
+        )
+    n_updates = updates.count()
+    # everything still needed from the PRE-merge label relation is
+    # materialized now (all delta-bounded): the keyed upsert below may
+    # rewrite the table's files under any still-lazy plan over it
+    labeled_delta = (
+        delta.select(F.col(id_col).alias("id"))
+        .join(
+            labels.select(F.col("node").alias("id")), ["id"], "left_semi"
+        )
+        .localCheckpoint(eager=True)
+    )
+    del_clusters = None
+    if deleted_ids is not None:
+        doomed = deleted_ids.select(F.col(id_col).alias("node"))
+        del_clusters = (
+            labels.join(F.broadcast(doomed), ["node"], "left_semi")
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    stamp = F.current_timestamp()
+    if n_updates:
+        SK.upsert_index(
+            spark, dcfg.clusters_path,
+            updates.withColumn("updated_at", stamp),
+            key="node", order_col="updated_at",
+            backend=dcfg.state_backend, unique_keys=True,
+        )
+    # 2b. deletions: drop label/flag rows; their clusters join the
+    # winner recompute below
+    if deleted_ids is not None:
+        if LK.table_exists(dcfg.clusters_path):
+            SK.delete_from_index(
+                spark, dcfg.clusters_path, doomed,
+                key="node", backend=dcfg.state_backend,
+            )
+        if LK.table_exists(dcfg.flags_path):
+            SK.delete_from_index(
+                spark, dcfg.flags_path,
+                doomed.withColumnRenamed("node", "id"),
+                key="id", backend=dcfg.state_backend,
+            )
+    # 3. canonical flags for affected clusters + delta singletons
+    affected = updates.select("cluster_id").distinct()
+    if del_clusters is not None:
+        affected = affected.unionByName(del_clusters).distinct()
+    if LK.table_exists(dcfg.clusters_path):
+        merged_labels = LK.read_table(spark, dcfg.clusters_path).select(
+            "node", "cluster_id"
+        )
+    else:
+        merged_labels = labels
+    members = merged_labels.join(
+        F.broadcast(affected), ["cluster_id"], "left_semi"
+    )
+    flags = _winner_flags(members, dcfg, rank_source, id_col)
+    singles = (
+        delta.select(F.col(id_col).alias("id"))
+        .join(updates.select(F.col("node").alias("id")), ["id"], "left_anti")
+        .join(labeled_delta, ["id"], "left_anti")
+        .select(
+            "id", F.col("id").alias("cluster_id"), F.lit(True).alias("keep")
+        )
+    )
+    all_flags = flags.unionByName(singles).withColumn("updated_at", stamp)
+    n_flags = all_flags.count()
+    if n_flags:
+        SK.upsert_index(
+            spark, dcfg.flags_path, all_flags, key="id",
+            order_col="updated_at", backend=dcfg.state_backend,
+            unique_keys=True,
+        )
+    # 4. self-sustaining state: append the genuinely-new docs
+    n_appended = n_stale = 0
+    if dcfg.append_state and "keys" in state:
+        fresh_docs = delta_docs.join(
+            state["keys"].select(F.col("id").alias(id_col)),
+            [id_col], "left_anti",
+        )
+        n_fresh = fresh_docs.count()
+        n_stale = delta.count() - n_fresh
+        if n_fresh:
+            n_appended = DD.append_text_dedup_state(
+                spark, dcfg.state_path, fresh_docs,
+                text_col=dcfg.text_col, id_col=id_col,
+            )["appended"]
+    for ck in (delta, pairs, updates, labeled_delta, del_clusters):
+        if ck is not None:
+            DD._release_local_checkpoint(ck)
+    return {
+        "pairs": n_pairs,
+        "relabeled": n_updates,
+        "flagged": n_flags,
+        "appended": n_appended,
+        "stale": n_stale,
+    }
+
+
+def bootstrap_dedup_maintenance(
+    spark: SparkSession,
+    dcfg: DedupConfig,
+    docs: DataFrame,
+    id_col: str = "id",
+    rank_source: DataFrame | None = None,
+) -> dict[str, int]:
+    """One-time backfill for an EXISTING corpus: build the text serving
+    state, run the method's full self-join, resolve clusters, and flag
+    every doc (paired docs via the winner window, the rest keep=true
+    singletons). After this, ``run_dedup_maintenance`` keeps everything
+    current in O(delta) per night."""
+    from eea_crawler_spark.operators import dedup as DD
+
+    DD.build_text_dedup_state(
+        docs, dcfg.state_path, text_col=dcfg.text_col, id_col=id_col,
+        n=dcfg.ngram_n, threshold=dcfg.threshold, max_df=dcfg.max_df,
+    )
+    t = dcfg.text_col
+    if dcfg.method == "ngram":
+        pairs = DD.ngram_jaccard_pairs(
+            docs, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold,
+            max_df=dcfg.max_df,
+        ).select("doc_a", "doc_b")
+    elif dcfg.method == "minhash":
+        pairs = DD.minhash_lsh_pairs(
+            docs, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold
+        ).select("doc_a", "doc_b")
+    elif dcfg.method == "simhash":
+        pairs = DD.simhash_pairs(
+            docs, t, id_col, max_hamming=dcfg.max_hamming
+        ).select("doc_a", "doc_b")
+    elif dcfg.method == "prefix":
+        pairs = DD.prefix_dedup(docs, t, id_col=id_col).select(
+            F.col("dropped_id").alias("doc_a"),
+            F.col("keep_id").alias("doc_b"),
+        )
+    else:
+        raise ValueError(f"unknown dedup method {dcfg.method!r}")
+    labels = DD.connected_components(pairs).localCheckpoint(eager=True)
+    n_labeled = labels.count()
+    stamp = F.current_timestamp()
+    SK.upsert_index(
+        spark, dcfg.clusters_path,
+        labels.withColumn("updated_at", stamp),
+        key="node", order_col="updated_at",
+        backend=dcfg.state_backend, unique_keys=True,
+    )
+    flags = _winner_flags(labels, dcfg, rank_source, id_col)
+    singles = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(labels.select(F.col("node").alias("id")), ["id"], "left_anti")
+        .select(
+            "id", F.col("id").alias("cluster_id"), F.lit(True).alias("keep")
+        )
+    )
+    all_flags = flags.unionByName(singles).withColumn("updated_at", stamp)
+    n_flags = all_flags.count()
+    SK.upsert_index(
+        spark, dcfg.flags_path, all_flags, key="id",
+        order_col="updated_at", backend=dcfg.state_backend,
+        unique_keys=True,
+    )
+    DD._release_local_checkpoint(labels)
+    return {"labeled": n_labeled, "flagged": n_flags}
+
+
+def with_dedup_flags(
+    spark: SparkSession, docs: DataFrame, dcfg: DedupConfig,
+    id_col: str = "id",
+) -> DataFrame:
+    """Read-side join of the canonical flags sidecar: every doc gains
+    ``cluster_id`` and ``keep`` (unflagged docs — synced before the
+    dedup leg existed — default to their own singleton). The
+    training-data filter is ``.filter("keep")``."""
+    flags = LK.read_table(spark, dcfg.flags_path).select(
+        F.col("id").alias(id_col), "cluster_id", "keep"
+    )
+    return (
+        docs.join(flags, [id_col], "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn("keep", F.coalesce("keep", F.lit(True)))
+    )

@@ -1,0 +1,178 @@
+"""E2E: the incremental dedup family composed as a sync pipeline leg
+(round-9 verdict #1) — sync → bootstrap → nightly delta probe →
+cluster fold → canonical flags, idempotent re-runs, winner promotion
+on delete, and the with_dedup_flags read join."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.pipeline import (
+    DedupConfig,
+    SyncConfig,
+    SyncPaths,
+    run_sync,
+    with_dedup_flags,
+)
+from eea_crawler_spark.sinks import lakehouse as LK
+
+SITE = "https://dup.example"
+
+_BASE_A = " ".join(f"alpha{i}" for i in range(80))
+_BASE_B = " ".join(f"beta{i}" for i in range(80))
+
+
+def _title(base: str, variant: int) -> str:
+    words = base.split()
+    words[3 * variant] = f"mut{variant}"
+    return " ".join(words)
+
+
+class DupSite:
+    """Stub site whose doc titles carry near-duplicate 80-word texts:
+    d0/d1/d2 one cluster, d3/d4 another, d5..d7 unique."""
+
+    def __init__(self):
+        self.docs = {}
+        for i in range(3):
+            self._add(i, _title(_BASE_A, i))
+        for i in range(3, 5):
+            self._add(i, _title(_BASE_B, i - 3))
+        for i in range(5, 8):
+            self._add(i, " ".join(f"uniq{i}w{j}" for j in range(60)))
+
+    def _add(self, i: int, title: str, modified: str = "2024-01-01"):
+        self.docs[f"{SITE}/d{i}"] = {"modified": modified, "title": title}
+
+    def __call__(self, url: str) -> tuple[int, str]:
+        if "@search" in url:
+            if "b_start=0" not in url:
+                return 200, json.dumps({"items": [], "batching": {}})
+            items = [
+                {"@id": doc_id, "@type": "Document", "modified": d["modified"]}
+                for doc_id, d in sorted(self.docs.items())
+            ]
+            return 200, json.dumps({"items": items, "batching": {}})
+        d = self.docs.get(url)
+        if d is None:
+            return 404, "gone"
+        return 200, json.dumps(
+            {"@id": url, "title": d["title"], "language": "en",
+             "review_state": "published"}
+        )
+
+
+@pytest.fixture()
+def env(tmp_path):
+    paths = SyncPaths(
+        raw=str(tmp_path / "raw"),
+        searchui=str(tmp_path / "searchui"),
+        quarantine=str(tmp_path / "quarantine"),
+        status=str(tmp_path / "status"),
+    )
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "dedup_state"),
+        clusters_path=str(tmp_path / "clusters"),
+        flags_path=str(tmp_path / "flags"),
+        text_col="title",
+        threshold=0.8,
+    )
+    cfg = SyncConfig(site_url=SITE, site_id="eea", dedup=dcfg)
+    return paths, dcfg, cfg
+
+
+def _flags(spark, dcfg):
+    return {
+        r["id"]: (r["cluster_id"], r["keep"])
+        for r in LK.read_table(spark, dcfg.flags_path)
+        .select("id", "cluster_id", "keep")
+        .collect()
+    }
+
+
+def test_sync_dedup_leg_e2e(spark, env):
+    paths, dcfg, cfg = env
+    site = DupSite()
+    d = lambda i: f"{SITE}/d{i}"  # noqa: E731
+
+    # run 1: cold start — sync then BOOTSTRAP (no serving state yet)
+    r1 = run_sync(spark, cfg, paths, site)
+    assert r1["fetched"] == 8
+    assert r1["dedup_labeled"] == 5  # d0..d4 are in pairs
+    assert r1["dedup_flagged"] == 8  # every doc flagged
+    f1 = _flags(spark, dcfg)
+    assert f1[d(0)] == (d(0), True)
+    assert f1[d(1)] == (d(0), False) and f1[d(2)] == (d(0), False)
+    assert f1[d(3)] == (d(3), True) and f1[d(4)] == (d(3), False)
+    for i in (5, 6, 7):
+        assert f1[d(i)] == (d(i), True)
+
+    # run 2: zero changes — the dedup leg does not even run
+    r2 = run_sync(spark, cfg, paths, site)
+    assert r2["fetched"] == 0 and "dedup_pairs" not in r2
+    assert _flags(spark, dcfg) == f1
+
+    # run 3: a NEW near-dup of cluster A arrives — O(delta) leg:
+    # probe finds its pairs, the cluster fold adds it, flags refresh
+    site._add(8, _title(_BASE_A, 2), modified="2024-02-02")
+    site.docs[d(8)]["modified"] = "2024-02-02"
+    r3 = run_sync(spark, cfg, paths, site)
+    assert r3["fetched"] == 1
+    assert r3["dedup_pairs"] >= 1          # d8 paired with d0/d1/d2
+    assert r3["dedup_relabeled"] == 1      # only d8's label row is new
+    assert r3["dedup_appended"] == 1       # state stays self-sustaining
+    assert r3["dedup_stale"] == 0
+    f3 = _flags(spark, dcfg)
+    assert f3[d(8)] == (d(0), False)       # joined cluster A, dropped
+    assert f3[d(0)] == (d(0), True)        # winner unchanged
+    assert {k: v for k, v in f3.items() if k != d(8)} == f1
+
+    # run 4: idempotency — re-syncing the unchanged corpus is a no-op
+    r4 = run_sync(spark, cfg, paths, site)
+    assert r4["fetched"] == 0
+    assert _flags(spark, dcfg) == f3
+
+    # run 5: the cluster-A winner is DELETED — flags recompute for the
+    # affected cluster only and promote the next member
+    del site.docs[d(0)]
+    r5 = run_sync(spark, cfg, paths, site)
+    assert r5["deleted"] == 1
+    f5 = _flags(spark, dcfg)
+    assert d(0) not in f5
+    assert f5[d(1)][1] is True             # promoted keeper
+    assert f5[d(2)][1] is False and f5[d(8)][1] is False
+    # untouched clusters keep their verdicts
+    assert f5[d(3)] == (d(3), True) and f5[d(4)] == (d(3), False)
+    # label rows for the deleted doc are gone too
+    labels = {
+        r["node"]
+        for r in LK.read_table(spark, dcfg.clusters_path).collect()
+    }
+    assert d(0) not in labels and d(8) in labels
+
+    # the read join: training-data filter drops exactly the dropped dups
+    docs = LK.read_table(spark, paths.searchui)
+    flagged = with_dedup_flags(spark, docs, dcfg)
+    kept = {r["id"] for r in flagged.filter("keep").collect()}
+    assert kept == {d(1), d(3), d(5), d(6), d(7)}
+
+
+def test_dedup_leg_keep_by_quality(spark, env):
+    """keep_by routes the winner choice through a searchui ranking
+    column — the keep-the-best-copy policy."""
+    paths, dcfg, cfg = env
+    dcfg.keep_by = "readingTime"  # chain-computed numeric column
+    site = DupSite()
+    # make d2 the longest text in cluster A => highest readingTime
+    # (only +8 words so the pairwise Jaccard stays over the threshold)
+    site.docs[f"{SITE}/d2"]["title"] = (
+        _title(_BASE_A, 2) + " " + " ".join(f"extra{j}" for j in range(8))
+    )
+    run_sync(spark, cfg, paths, site)
+    f = _flags(spark, dcfg)
+    a_members = [k for k, v in f.items() if v[0] == f"{SITE}/d0"]
+    keepers = [k for k in a_members if f[k][1]]
+    assert keepers == [f"{SITE}/d2"]
