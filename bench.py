@@ -94,6 +94,26 @@ def main() -> None:
     # headline metric covers the declared core set (BASELINE.md contract);
     # extras are still reported per-query above
     total = round(sum(t for n, t in timings.items() if n in CORE_QUERIES), 4)
+    total_best = round(
+        sum(t for n, t in best.items() if n in CORE_QUERIES), 4
+    )
+    # Declared noise band (BASELINE.md "bench noise discipline"): this
+    # firecracker host has noisy-neighbor steal windows that swing
+    # identical code 1.5-3x, so round-over-round drift is judged on
+    # BEST-of-interleaved-reps vs the rolling best core total with a
+    # ±15% tolerance — a run is only a regression when even its best
+    # pass falls outside the band. Update the rolling best when a
+    # better window is recorded.
+    rolling_best = float(
+        os.environ.get("SPARK_GRAFT_ROLLING_BEST_CORE_SEC", "7.94")
+    )
+    band = {
+        "core_total_median_sec": total,
+        "core_total_best_sec": total_best,
+        "rolling_best_core_sec": rolling_best,
+        "tolerance_pct": 15,
+        "within_band": bool(total_best <= rolling_best * 1.15),
+    }
     print(
         json.dumps(
             {
@@ -102,6 +122,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_best": best,
+                "noise_band": band,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -956,7 +956,22 @@ def run_dedup_maintenance(
     the cluster fold is a no-op (intra-cluster edges contract to
     self-loops), and the flag MERGE rewrites identical verdicts.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     from eea_crawler_spark.operators import dedup as DD
+
+    _timing = _os.environ.get("SPARK_GRAFT_SYNC_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(step: str) -> None:
+        # same step-wall telemetry seam as run_sync (scale bench reads it)
+        nonlocal _t0
+        if _timing:
+            now = _time.perf_counter()
+            print(f"[dedup] {step}: +{now - _t0:.2f}s", file=_sys.stderr)
+            _t0 = now
 
     state = DD.read_text_dedup_state_full(spark, dcfg.state_path)
     id_type = delta_docs.schema[id_col].dataType.simpleString()
@@ -968,6 +983,7 @@ def run_dedup_maintenance(
         eager=True
     )
     n_pairs = pairs.count()
+    _mark("probe")
     # 2. O(delta) label fold
     if LK.table_exists(dcfg.clusters_path):
         labels = LK.read_table(spark, dcfg.clusters_path).select(
@@ -986,6 +1002,7 @@ def run_dedup_maintenance(
             [], f"node {id_type}, cluster_id {id_type}"
         )
     n_updates = updates.count()
+    _mark("cluster_fold")
     # everything still needed from the PRE-merge label relation is
     # materialized now (all delta-bounded): the keyed upsert below may
     # rewrite the table's files under any still-lazy plan over it
@@ -1057,6 +1074,7 @@ def run_dedup_maintenance(
             order_col="updated_at", backend=dcfg.state_backend,
             unique_keys=True,
         )
+    _mark("canonical_flags")
     # 4. self-sustaining state: append the genuinely-new docs
     n_appended = n_stale = 0
     if dcfg.append_state and "keys" in state:
@@ -1071,6 +1089,7 @@ def run_dedup_maintenance(
                 spark, dcfg.state_path, fresh_docs,
                 text_col=dcfg.text_col, id_col=id_col,
             )["appended"]
+    _mark("state_append")
     for ck in (delta, pairs, updates, labeled_delta, del_clusters):
         if ck is not None:
             DD._release_local_checkpoint(ck)

@@ -310,6 +310,32 @@ def dedup_ngram_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance (round-9 verdict #2): standing
+    labels from the corpus-only pair relation, folded with the delta
+    probe's pairs via ``update_connected_components`` — O(delta) label
+    maintenance whose applied result must equal the full recompute over
+    the union. The oracle IS the full recursive-CTE transitive closure
+    (same SQL as ``dedup_clusters``), so the driver hash-checks the
+    incremental path against the from-scratch answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+    base_pairs = DD.ngram_jaccard_pairs(
+        corpus, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
+    )
+    labels = DD.connected_components(base_pairs).localCheckpoint(eager=True)
+    delta_pairs = DD.ngram_jaccard_pairs(
+        new, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
+        against=corpus,
+    )
+    updates = DD.update_connected_components(labels, delta_pairs)
+    merged = labels.join(
+        updates.select("node"), ["node"], "left_anti"
+    ).unionByName(updates)
+    return merged.orderBy("node", "cluster_id")
+
+
 def emb_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup: delta vectors against the
     standing state — exact pairs touching the delta only."""
@@ -595,14 +621,16 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_stub": mm_decode_stub,
     "normalize_docs": normalize_docs,
     "chunk_embed": chunk_embed,
-    # --- past the 50-slot gate: the driver records rows-only here, but
-    # dedup_ngram_delta / emb_neardup_delta still carry full oracle SQL
-    # (below) and dedup_minhash_lsh its pytest pins + containment row ---
+    # gate-window placement is decided in plans/__init__ (round-10
+    # rotation): every oracle-bearing query rides inside the driver's
+    # 50-slot window; the rows-only dedup_minhash_lsh and five
+    # long-stable scalar filters hold the tail (all still pytest-gated)
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_delta": dedup_ngram_delta,
     "emb_neardup_delta": emb_neardup_delta,
     "dedup_clusters": dedup_clusters,
     "dedup_canonical": dedup_canonical,
+    "dedup_cluster_incr": dedup_cluster_incr,
 }
 
 # Implemented-but-undeclared (pytest-pinned) query builders, importable
@@ -718,3 +746,7 @@ SELECT d.doc_id,
        COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
 ORDER BY doc_id, cluster_id, keep"""
+
+# the incremental fold must land on exactly the from-scratch answer:
+# same closure oracle as dedup_clusters
+EXTRA_ORACLE["dedup_cluster_incr"] = EXTRA_ORACLE["dedup_clusters"]
