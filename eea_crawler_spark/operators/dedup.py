@@ -1790,6 +1790,15 @@ def append_embedding_state(
             f"state holds {spec['dim']}-d vectors, delta has "
             f"{probe['dmin']}..{probe['dmax']}-d"
         )
+    vecs_rel = _try_read_parquet(spark, f"{path}/vectors")
+    if vecs_rel is not None and not vecs_rel.join(
+        F.broadcast(new_vecs.select(id_col)), [id_col], "left_semi"
+    ).isEmpty():
+        raise ValueError(
+            "append_embedding_state takes strictly-NEW ids; the batch "
+            "contains ids already in the state — rebuild the state or "
+            "restrict the batch to inserts"
+        )
     vec_type = new_vecs.schema[vec_col].dataType.simpleString()
     id_type = new_vecs.schema[id_col].dataType.simpleString()
     p_mat = np.asarray(
@@ -1805,7 +1814,7 @@ def append_embedding_state(
             id_col, vec_col, p_mat, spec["n_bands"], spec["band_planes"]
         ),
         f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long",
-    )
+    ).select(id_col, "band", "bucket")  # id-only layout (see builder)
     part_cols = (
         ["band", "bucket"]
         if 2 ** spec["band_planes"] <= 4096
@@ -1813,6 +1822,9 @@ def append_embedding_state(
     )
     signed.write.mode("append").partitionBy(*part_cols).parquet(
         f"{path}/signed"
+    )
+    new_vecs.select(id_col, vec_col).write.mode("append").parquet(
+        f"{path}/vectors"
     )
     spark.createDataFrame(
         [(

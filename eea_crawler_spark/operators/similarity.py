@@ -1220,6 +1220,16 @@ def build_embedding_state(
         _make_sign_batches(id_col, vec_col, p_mat, n_bands, band_planes),
         sig_schema,
     )
+    # The persisted band relation is ID-ONLY: carrying the vector on
+    # every band row (the self-join's in-flight layout) would amplify
+    # the STORED state b× — an auto-sized 1M×768 state at ~40 bands is
+    # ~115 GB with vectors on rows vs ~1 GB id-only + the corpus
+    # vectors once. The self-join's rejection of id-only (pair-
+    # materialization explosion) does not apply to the probe: its
+    # candidate set is delta-anchored and collision-bounded, so the
+    # per-probe vector re-fetch is one bounded semi-join, not Σ|bucket|²
+    # pair rows.
+    signed = signed.select(id_col, "band", "bucket")
     if 2 ** band_planes <= 4096:
         (
             signed.repartition("band", "bucket")
@@ -1234,6 +1244,9 @@ def build_embedding_state(
             .partitionBy("band")
             .parquet(f"{path}/signed")
         )
+    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
     corpus.sparkSession.createDataFrame(
         [(dim, n_bands, band_planes, seed, int(probe["n"]))],
         "dim int, n_bands int, band_planes int, seed int, n long",
@@ -1242,15 +1255,25 @@ def build_embedding_state(
 
 def read_embedding_state(spark, path: str) -> dict:
     """Load the persisted embedding LSH state (build_embedding_state):
-    ``{"signed": DataFrame, "spec": dict}`` ready to pass as
-    ``against_state`` to ``neardup_pairs_lsh``. Partition-column types
-    are re-pinned (directory values infer as int) so the probe's union
-    with freshly-signed delta rows lines up."""
+    ``{"signed": DataFrame, "vectors": DataFrame | None, "spec": dict}``
+    ready to pass as ``against_state`` to ``neardup_pairs_lsh``.
+    Partition-column types are re-pinned (directory values infer as
+    int) so the probe's union with freshly-signed delta rows lines up.
+    ``vectors`` is None for a pre-round-10 state whose signed relation
+    still carries vectors on band rows — the probe handles both
+    layouts."""
+    from pyspark.errors import AnalysisException
+
     signed = spark.read.parquet(f"{path}/signed")
+    try:
+        vectors = spark.read.parquet(f"{path}/vectors")
+    except AnalysisException:
+        vectors = None
     return {
         "signed": signed.withColumn(
             "band", F.col("band").cast("int")
         ).withColumn("bucket", F.col("bucket").cast("long")),
+        "vectors": vectors,
         "spec": spark.read.parquet(f"{path}/spec").first().asDict(),
     }
 
@@ -1389,6 +1412,20 @@ def _neardup_lsh_delta(
     touched = state["signed"].join(
         F.broadcast(delta_buckets), ["band", "bucket"], "left_semi"
     )
+    if vec_col not in touched.columns:
+        # id-only band relation (the round-10 serving layout): attach
+        # vectors to the TOUCHED rows only — one id-keyed join whose
+        # left side is collision-bounded by the delta, so the re-fetch
+        # never approaches the b×-vector amplification the in-flight
+        # self-join layout pays (and the stored state avoids entirely)
+        if state.get("vectors") is None:
+            raise ValueError(
+                "state's band relation is id-only but no 'vectors' "
+                "relation was persisted — rebuild the state"
+            )
+        touched = touched.join(
+            state["vectors"].select(id_col, vec_col), [id_col]
+        )
     union = signed_new.withColumn("__d", F.lit(True)).unionByName(
         touched.select(id_col, vec_col, "band", "bucket").withColumn(
             "__d", F.lit(False)

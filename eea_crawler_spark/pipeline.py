@@ -973,11 +973,18 @@ def run_dedup_maintenance(
             print(f"[dedup] {step}: +{now - _t0:.2f}s", file=_sys.stderr)
             _t0 = now
 
-    state = DD.read_text_dedup_state_full(spark, dcfg.state_path)
     id_type = delta_docs.schema[id_col].dataType.simpleString()
     delta = delta_docs.select(id_col, dcfg.text_col).localCheckpoint(
         eager=True
     )
+    if delta.isEmpty() and deleted_ids is None:
+        # zero-change night: nothing to probe, fold, flag, or append
+        DD._release_local_checkpoint(delta)
+        return {
+            "pairs": 0, "relabeled": 0, "flagged": 0,
+            "appended": 0, "stale": 0,
+        }
+    state = DD.read_text_dedup_state_full(spark, dcfg.state_path)
     # 1. probe (BEFORE any state append — the delta must not see itself)
     pairs = _dedup_probe(delta, state, dcfg, id_col).localCheckpoint(
         eager=True

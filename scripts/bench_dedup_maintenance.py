@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""The composed nightly dedup wall (round-9 verdict #8): 5M-doc corpus,
+50k-doc nightly batch — bootstrap once, then the O(delta) maintenance
+leg end-to-end (probe → cluster fold → canonical flags → state append).
+
+Corpus = `.scale/sf100/documents` split on --delta-mod: every N-th doc
+plays the nightly batch (strictly-new ids, the append contract), the
+rest the standing corpus. Legs:
+
+  bootstrap  one-time backfill (`bootstrap_dedup_maintenance`): text
+             state build + full n-gram self-join + connected components
+             + canonical flags for every doc. The O(corpus) cost a
+             standing corpus pays ONCE.
+  nightly    `run_dedup_maintenance` with the 50k batch — the number a
+             100-TB operator asks for. SPARK_GRAFT_SYNC_TIMING=1 prints
+             the per-step decomposition (probe / cluster_fold /
+             canonical_flags / state_append).
+  nightly2   a second, empty-delta night (idempotence + floor).
+
+State tables ride the MOR backend (the scale posture: O(batch) merge
+segments, no corpus rewrites).
+
+Usage: python scripts/bench_dedup_maintenance.py
+         [--sf-dir .scale/sf100] [--delta-mod 100] [--work .scale/maint]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, ".scale", "sf100"))
+    ap.add_argument("--delta-mod", type=int, default=100)
+    ap.add_argument("--work", default=os.path.join(REPO, ".scale", "maint"))
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--max-df", type=int, default=20)
+    ap.add_argument("--keep-work", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")
+    os.environ.setdefault("SPARK_GRAFT_SYNC_TIMING", "1")
+
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.pipeline import (
+        DedupConfig,
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+    from eea_crawler_spark.session import get_spark
+    from eea_crawler_spark.sources.tables import load_table
+
+    if os.path.exists(args.work):
+        shutil.rmtree(args.work)
+    spark = get_spark("dedup-maint", data_dir=args.sf_dir)
+    docs = load_table(spark, args.sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    delta = docs.filter(F.col("doc_id") % args.delta_mod == 0)
+    corpus = docs.filter(F.col("doc_id") % args.delta_mod != 0)
+    n_delta, n_corpus = delta.count(), corpus.count()
+    print(f"corpus {n_corpus} delta {n_delta}", file=sys.stderr)
+
+    dcfg = DedupConfig(
+        state_path=os.path.join(args.work, "state"),
+        clusters_path=os.path.join(args.work, "clusters"),
+        flags_path=os.path.join(args.work, "flags"),
+        text_col="text",
+        threshold=args.threshold,
+        max_df=args.max_df,
+        state_backend="mor",
+    )
+    out: dict = {
+        "sf_dir": args.sf_dir,
+        "corpus": n_corpus,
+        "delta": n_delta,
+        "threshold": args.threshold,
+        "max_df": args.max_df,
+    }
+
+    t0 = time.perf_counter()
+    boot = bootstrap_dedup_maintenance(
+        spark, dcfg, corpus, id_col="doc_id"
+    )
+    out["bootstrap_sec"] = round(time.perf_counter() - t0, 1)
+    out["bootstrap"] = boot
+    print(f"bootstrap {out['bootstrap_sec']}s {boot}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    night = run_dedup_maintenance(spark, dcfg, delta, id_col="doc_id")
+    out["nightly_sec"] = round(time.perf_counter() - t0, 1)
+    out["nightly"] = night
+    print(f"nightly {out['nightly_sec']}s {night}", file=sys.stderr)
+
+    # second night with nothing new: the leg's fixed floor
+    t0 = time.perf_counter()
+    empty = delta.filter(F.lit(False))
+    night2 = run_dedup_maintenance(spark, dcfg, empty, id_col="doc_id")
+    out["nightly_empty_sec"] = round(time.perf_counter() - t0, 1)
+    out["nightly_empty"] = night2
+
+    print(json.dumps(out))
+    if not args.keep_work and os.path.exists(args.work):
+        shutil.rmtree(args.work)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
