@@ -5,19 +5,19 @@
 
 ``queries()`` maps every implemented operator from SURVEY.md §2 to a
 ``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` carries the
-DuckDB-equivalent ANSI SQL for the hash-compare gate. Every query
-inside the gate's 50-slot
-window has an oracle — MinHash's slot holds its containment invariant
-(``dedup_minhash_contained``: verified pairs ⊆ exact n-gram pairs,
-hash-checked as an empty set); the raw banded MinHash output rides
-51st (rows-only by design, xxhash64 signatures have no SQL twin;
-bit-identity and recall pinned in pytest), and the two incremental
-delta-vs-corpus queries (``dedup_ngram_delta``, ``emb_neardup_delta``)
-ride 52nd/53rd WITH full oracles stating the restriction contract, and
-the cluster-resolution pair (``dedup_clusters``, ``dedup_canonical`` —
-connected components over the near-dup pairs + the keep/drop verdict)
-rides 54th/55th with recursive-CTE oracles. 55 declared, 54
-oracle-bearing.
+DuckDB-equivalent ANSI SQL for the hash-compare gate. 56 declared, 55
+oracle-bearing. Round-10 window rotation (see plans/__init__.py):
+every oracle-bearing query rides inside the gate's 50-slot window —
+including the incremental delta-vs-corpus pair
+(``dedup_ngram_delta``/``emb_neardup_delta``, restriction-contract
+oracles), the cluster-resolution pair
+(``dedup_clusters``/``dedup_canonical``, recursive-CTE closure), and
+the O(delta) cluster fold ``dedup_cluster_incr`` (oracle = the FULL
+closure, so the driver checks incremental vs from-scratch). The tail
+(51st–56th) holds five long-stable scalar filters (q1 q3 q4 q5 q16 —
+still oracle-compared by pytest every session) and the by-design
+rows-only ``dedup_minhash_lsh`` (its gated slot is the containment
+invariant ``dedup_minhash_contained``).
 """
 
 from __future__ import annotations

@@ -227,6 +227,53 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if "auto" in legs:
+        # round-9 verdict #3 done-criterion: auto-sized states (planes
+        # from the declared delta, bands from the banding calculus) at
+        # 5k and 50k deltas — the default state must be probe-usable,
+        # with the id-only band relation keeping the build writable
+        import shutil
+
+        for dm, label in ((200, "5k"), (20, "50k")):
+            new = emb.filter(F.col("vec_id") % dm == 7)
+            corp = emb.filter(F.col("vec_id") % dm != 7)
+            n_new = new.count()
+            sp = f"{args.out}_state_auto{label}"
+            if os.path.exists(sp):
+                shutil.rmtree(sp)
+            t0 = time.perf_counter()
+            SIM.build_embedding_state(
+                corp, sp, expected_delta_rows=n_new, threshold=THRESHOLD
+            )
+            out[f"auto{label}_build_sec"] = round(time.perf_counter() - t0, 2)
+            st = SIM.read_embedding_state(spark, sp)
+            out[f"auto{label}_n_bands"] = st["spec"]["n_bands"]
+            out[f"auto{label}_band_planes"] = st["spec"]["band_planes"]
+            t0 = time.perf_counter()
+            res = SIM.neardup_pairs_lsh(
+                new, threshold=THRESHOLD, against_state=st
+            ).localCheckpoint(eager=True)
+            n_pairs = res.count()
+            out[f"auto{label}_probe_sec"] = round(time.perf_counter() - t0, 2)
+            out[f"auto{label}_rows"] = n_new
+            out[f"auto{label}_pairs"] = n_pairs
+            p_touch = planted.filter(
+                (F.col("a_id") % dm == 7) | (F.col("b_id") % dm == 7)
+            ).localCheckpoint(eager=True)
+            n_truth = p_touch.count()
+            hits = res.join(p_touch, ["a_id", "b_id"], "left_semi").count()
+            out[f"auto{label}_planted_recall"] = round(
+                hits / max(1, n_truth), 4
+            )
+            print(
+                f"auto{label}: build {out[f'auto{label}_build_sec']}s "
+                f"({out[f'auto{label}_n_bands']}x"
+                f"{out[f'auto{label}_band_planes']}), probe "
+                f"{out[f'auto{label}_probe_sec']}s pairs={n_pairs} "
+                f"recall {hits}/{n_truth}",
+                file=sys.stderr,
+            )
+
     if "exact" not in legs:
         print(json.dumps(out))
         spark.stop()
