@@ -133,6 +133,32 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _banded_broadcast_bytes(
+    base: DataFrame, id_col: str, rows_per_id: int, n_fields: int
+) -> int:
+    """UnsafeRow byte estimate for broadcasting an exploded band
+    relation derived from ``base`` (``rows_per_id`` rows per input row,
+    ``n_fields`` fields each): 8 B per field plus the null word, plus
+    the id's MEASURED payload when it is a string — replacing the
+    hardcoded row-width guesses the round-9 review flagged (a URL id is
+    several times a bigint id, and an under-estimate here is a driver
+    OOM, not a slow plan). One cheap aggregate over the (checkpointed)
+    delta-sized base."""
+    from pyspark.sql.types import StringType
+
+    aggs = [F.count(F.lit(1)).alias("c")]
+    is_str = isinstance(base.schema[id_col].dataType, StringType)
+    if is_str:
+        aggs.append(
+            F.sum(F.coalesce(F.length(id_col), F.lit(0))).alias("v")
+        )
+    r = base.agg(*aggs).first()
+    rows = int(r["c"]) * rows_per_id
+    per_row_fixed = 8 + 8 * n_fields
+    var = int(r["v"] or 0) * rows_per_id if is_str else 0
+    return rows * per_row_fixed + var
+
+
 def keyed_dedup_first_wins(
     df: DataFrame, key: F.Column, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1393,9 +1419,14 @@ def _minhash_lsh_pairs_delta(
     # (|delta|·bands skinny rows), so the CORPUS banded relation streams
     # through the candidate join with ZERO shuffle — the corpus-side
     # exchange (|corpus|·bands rows) was most of the first measured 5M
-    # probe wall. sigs_new is checkpointed, so the gate count is free.
-    n_new_sigs = sigs_new.count()
-    if n_new_sigs * bands * 32 <= RESCORE_BROADCAST_MAX_BYTES:
+    # probe wall. sigs_new is checkpointed, so the gate aggregate is
+    # cheap (and id-payload-aware — see _banded_broadcast_bytes).
+    if (
+        _banded_broadcast_bytes(
+            sigs_new.select("id"), "id", bands, 3
+        )
+        <= RESCORE_BROADCAST_MAX_BYTES
+    ):
         banded_new = F.broadcast(banded_new)
     else:
         banded_new = _wide_by(banded_new, "band_idx", "band_hash")
@@ -2040,8 +2071,11 @@ def _simhash_pairs_delta(
     banded_new = sh_new.select("id", *shs, band_arr)
     # churn-sized deltas broadcast their band rows (the corpus band
     # relation then streams with zero shuffle — the minhash delta's
-    # measured gate); sh_new is checkpointed so the count is free
-    if sh_new.count() * 4 * 56 <= RESCORE_BROADCAST_MAX_BYTES:
+    # measured gate); sh_new is checkpointed so the aggregate is cheap
+    if (
+        _banded_broadcast_bytes(sh_new.select("id"), "id", 4, 7)
+        <= RESCORE_BROADCAST_MAX_BYTES
+    ):
         banded_new = F.broadcast(banded_new)
     else:
         banded_new = _wide_by(banded_new, "band_idx", "band_val")
@@ -2471,6 +2505,14 @@ def canonical_docs(
     the keep-the-best-copy policy a training pipeline actually wants
     once quality scores exist. The training-data filter is then
     ``WHERE keep``.
+
+    Null-ordering contract (``keep_by``): ranking is
+    ``desc_nulls_last`` with the min id as tiebreak — a doc with NO
+    quality score never beats a scored sibling, ties (including the
+    all-null cluster) fall back to the reference's first-seen min-id
+    rule, and exactly one ``keep`` per cluster holds in every mix
+    (pinned). The same contract drives the pipeline leg's
+    ``_winner_flags``.
 
     One broadcast-eligible join: the cluster relation holds only docs
     that appear in a pair — at real dup rates a few percent of the

@@ -271,3 +271,32 @@ def test_cc_incremental_shapes(spark):
     # bootstrap: empty labels == plain connected_components
     _, boot = _incr(spark, [], delta)
     assert boot == _union_find_clusters(delta)
+
+
+def test_canonical_keep_by_null_ordering(spark):
+    """The keep_by null contract: unscored docs never beat scored
+    siblings; an all-null cluster falls back to min id; exactly one
+    keeper per cluster in every mix."""
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: only 3 is scored -> 3 wins
+            (1, None), (2, None), (3, 0.1),
+            # cluster {10,11}: all null -> min id 10 wins
+            (10, None), (11, None),
+            # cluster {20,21}: scored tie -> min id 20 wins
+            (20, 5.0), (21, 5.0),
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in canonical_docs(docs, pairs, keep_by="q").collect()
+    }
+    assert out == {
+        1: False, 2: False, 3: True,
+        10: True, 11: False,
+        20: True, 21: False,
+    }
