@@ -55,6 +55,17 @@ from pyspark.sql.window import Window as W
 # Above, the blocked exact plan runs: nothing ever materializes on the
 # driver, O(n²) work spreads over block-pair tasks.
 NEARDUP_BROADCAST_MAX_BYTES = 64 << 20
+
+# Gate for the incremental LSH probe's pair-verify plan: the delta's
+# f64 matrix is collected and broadcast so each candidate (delta,
+# state) pair is scored exactly once with state vectors shipped ONCE
+# per distinct candidate state row. Larger than the exact probe's
+# broadcast gate because the payload is a plain numpy broadcast (no
+# per-task hash relation) and the alternative — the union fan shipping
+# every touched corpus vector once PER BAND — measured a disk-full at
+# 1M×768×62 bands (round-10; the ~32 GB transient was the bands×
+# multiplicity, not the data size).
+NEARDUP_DELTA_MATRIX_MAX_BYTES = 512 << 20
 # Block sizing for the blocked plan. The binding memory constraint is
 # NOT the input block (rows×dim×8) but the per-sub-pair SIMS MATRIX:
 # the tile scorer evaluates one block pair at a time, so its peak is
@@ -1146,8 +1157,19 @@ def _auto_band_params(
     p = int(np.ceil(np.log2(max(4 * expected_delta_rows, 2))))
     p = max(8, min(20, p))
     match = 1.0 - np.arccos(min(1.0, threshold)) / np.pi
-    b = int(np.ceil(np.log(0.02) / np.log(1.0 - match**p)))
-    return max(4, min(96, b)), p
+
+    def bands_for(planes: int) -> int:
+        return int(np.ceil(np.log(0.02) / np.log(1.0 - match**planes)))
+
+    # recall wins over pruning: at low thresholds wide bands need more
+    # than the 96-band cap to hold 0.98 recall (the banding curve is
+    # steep in p there), so step the planes DOWN until the band count
+    # is feasible — the probe's coverage valve then routes genuinely
+    # un-prunable (big delta × low threshold) probes to the exact plan,
+    # which is the documented selection rule for that regime anyway.
+    while p > 8 and bands_for(p) > 96:
+        p -= 1
+    return max(4, min(96, bands_for(p))), p
 
 
 def build_embedding_state(
@@ -1278,6 +1300,59 @@ def read_embedding_state(spark, path: str) -> dict:
     }
 
 
+def _make_pair_verify(id_col: str, vec_col: str, threshold: float, bc):
+    """mapInPandas kernel for the incremental probe's pair-verify plan:
+    each input row is one candidate STATE vector plus the list of delta
+    ids it collided with (``__as``); the delta's (ids, f64 matrix)
+    arrives via broadcast. Scoring is ``_neardup_cells`` with a
+    per-pair adjacency mask — the same prescreen-then-exact-HALF_UP
+    arithmetic as every other near-dup plan, so emitted cosines are
+    bit-identical. State rows process in ~1k-row slices and the mask is
+    |distinct delta ids in slice| × slice — bounded however hot a
+    boilerplate collision gets."""
+
+    def fn(batches):
+        import pandas as pd
+
+        d_ids, d_mat = bc.value
+        idx = {i: k for k, i in enumerate(d_ids.tolist())}
+        d_nrm = np.sqrt((d_mat * d_mat).sum(axis=1))
+        for pdf in batches:
+            outs = []
+            for s in range(0, len(pdf), 1024):
+                sub = pdf.iloc[s : s + 1024]
+                b_ids = sub[id_col].to_numpy()
+                b_mat = _vec_matrix(sub[vec_col])
+                b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+                lists = sub["__as"].tolist()
+                uniq = sorted({a for lst in lists for a in lst})
+                rows = [idx[a] for a in uniq]
+                pos = {a: k for k, a in enumerate(uniq)}
+                mask = np.zeros((len(uniq), len(sub)), dtype=bool)
+                for j, lst in enumerate(lists):
+                    for a in lst:
+                        mask[pos[a], j] = True
+                ai, bj, cos = _neardup_cells(
+                    d_mat[rows], d_nrm[rows], b_mat, b_nrm, threshold,
+                    mask,
+                )
+                if len(ai):
+                    a_sel = np.asarray(uniq)[ai]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "a_id": np.minimum(a_sel, b_ids[bj]),
+                                "b_id": np.maximum(a_sel, b_ids[bj]),
+                                "cos": cos,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def _neardup_lsh_delta(
     new: DataFrame,
     state: dict,
@@ -1354,24 +1429,27 @@ def _neardup_lsh_delta(
         raise ValueError(
             f"state holds {spec['dim']}-d vectors, delta has {dim}-d"
         )
-    # refusal valve (round-9 verdict): when the delta occupies
-    # essentially every bucket (expected per-band coverage
-    # 1 − e^(−|delta|/2^p) ≈ 1) the "pruned" probe ships the whole
+    # refusal valve (round-9 verdict), FAN PATH ONLY: when the delta
+    # occupies essentially every bucket (expected per-band coverage
+    # 1 − e^(−|delta|/2^p) ≈ 1) the union-fan probe ships the whole
     # state b× — the self-join's shuffle volume, the shape that filled
-    # a box's disk twice in the round-9 campaign. That is never what a
-    # caller reaching for the incremental probe meant: a broadcast-
-    # sized delta should take the exact probe, a genuinely huge one a
-    # state rebuilt with more planes (band_planes="auto" sizes them
-    # from the expected delta). ``allow_full_fan=True`` overrides for
-    # the adjudicated cluster-scale case where the full fan is the
-    # accepted price (per-node disk, delta×members flops still ≪ the
-    # union self-join's Σ|bucket|²).
+    # a box's disk twice in the round-9 campaign. The pair-verify plan
+    # below is immune (its candidate volume is delta-anchored id pairs,
+    # not per-band vector copies), so the valve only fires when the fan
+    # is actually the plan: a legacy vectors-on-band-rows state, or a
+    # delta past the broadcast-matrix gate. ``allow_full_fan=True``
+    # overrides for the adjudicated cluster-scale case.
+    pair_plan = (
+        vec_col not in state["signed"].columns
+        and state.get("vectors") is not None
+        and int(probe["n"]) * dim * 8 <= NEARDUP_DELTA_MATRIX_MAX_BYTES
+    )
     import math as _math
 
     coverage = 1.0 - _math.exp(
         -int(probe["n"]) / float(2 ** band_planes)
     )
-    if coverage >= 0.95 and not allow_full_fan:
+    if coverage >= 0.95 and not allow_full_fan and not pair_plan:
         delta_bytes = int(probe["n"]) * dim * 8
         hint = (
             "the delta's f64 matrix fits the broadcast gate — use the "
@@ -1412,6 +1490,53 @@ def _neardup_lsh_delta(
     touched = state["signed"].join(
         F.broadcast(delta_buckets), ["band", "bucket"], "left_semi"
     )
+    if pair_plan:
+        # PAIR-VERIFY plan (round 10, the id-only layout's fast path):
+        # the union-fan plan ships every touched corpus vector once PER
+        # BAND — b× multiplicity that filled this box's disk at
+        # 1M×768×62 auto-sized bands. Here the band dimension dies
+        # early: distinct candidate (delta, state) id pairs come from
+        # the id-only collision join (skinny rows, delta-anchored
+        # volume), state vectors are fetched ONCE per distinct
+        # candidate state row, and the delta's f64 matrix (gated above)
+        # broadcasts so every pair is scored in one mapInPandas pass
+        # with the SAME _neardup_cells arithmetic — bit-identical
+        # cosines, no per-band vector copies, no bucket-size task
+        # hazard (the mask is per-pair, not per-bucket). Delta-delta
+        # pairs come from the ordinary self-join on the delta alone
+        # (banding is deterministic, so its co-bucket set equals the
+        # union's delta-delta co-bucket set).
+        dd = neardup_pairs_lsh(
+            new, threshold=threshold, n_bands=n_bands,
+            band_planes=band_planes, id_col=id_col, vec_col=vec_col,
+            seed=seed, max_bucket_rows=max_bucket_rows,
+        )
+        cand = (
+            signed_new.select(F.col(id_col).alias("__a"), "band", "bucket")
+            .join(
+                touched.select(F.col(id_col).alias("__b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("__a") != F.col("__b"))
+            .select("__a", "__b")
+            .distinct()
+        )
+        grouped = cand.groupBy("__b").agg(
+            F.collect_list("__a").alias("__as")
+        )
+        rows = new.select(id_col, vec_col).collect()  # gated above
+        d_ids = np.asarray([r[id_col] for r in rows])
+        d_mat = np.asarray(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+        )
+        bc = new.sparkSession.sparkContext.broadcast((d_ids, d_mat))
+        verify_in = grouped.join(
+            state["vectors"].withColumnRenamed(id_col, "__b"), ["__b"]
+        ).select(F.col("__b").alias(id_col), vec_col, "__as")
+        ds = verify_in.mapInPandas(
+            _make_pair_verify(id_col, vec_col, threshold, bc), pair_schema
+        )
+        return dd.unionByName(ds).orderBy("a_id", "b_id", "cos")
     if vec_col not in touched.columns:
         # id-only band relation (the round-10 serving layout): attach
         # vectors to the TOUCHED rows only — one id-keyed join whose

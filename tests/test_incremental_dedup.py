@@ -566,22 +566,37 @@ def test_embedding_state_auto_band_params(spark, tmp_path):
     assert all(exact[(r["a_id"], r["b_id"])] == r["cos"] for r in got)
 
 
-def test_neardup_lsh_probe_refuses_full_fan(spark, tmp_path):
-    """A probe whose delta occupies ~every bucket (expected coverage
-    ≥ 95%) must refuse with the selection-rule message instead of
-    silently shipping the whole state per band — the round-9
-    disk-full shape; allow_full_fan=True overrides."""
+def test_neardup_lsh_probe_refuses_full_fan(spark, tmp_path, monkeypatch):
+    """The union-FAN path (legacy layout / oversized delta) must refuse
+    when the delta occupies ~every bucket (expected coverage ≥ 95%) —
+    the round-9 disk-full shape; allow_full_fan=True overrides. The
+    pair-verify plan (round 10) is immune: with the default gate the
+    same probe succeeds and its output equals the forced fan's."""
     new, corpus = _mk_vecs(spark, n=200, dim=16, seed=5)
     path = str(tmp_path / "emb_state_tiny")
     # 2^3 = 8 buckets per band << the 40-row delta -> coverage ~1
     SIM.build_embedding_state(corpus, path, n_bands=4, band_planes=3)
     state = SIM.read_embedding_state(spark, path)
+    # pair plan engages at the default gate: no refusal needed
+    got_pair = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            new, threshold=0.9, against_state=state
+        ).collect()
+    }
+    assert got_pair
+    # force the fan path: the valve fires, allow_full_fan overrides,
+    # and both plans agree pair-for-pair with identical cosines
+    monkeypatch.setattr(SIM, "NEARDUP_DELTA_MATRIX_MAX_BYTES", 0)
     with pytest.raises(ValueError, match="bucket pruning cannot"):
         SIM.neardup_pairs_lsh(new, threshold=0.9, against_state=state)
-    out = SIM.neardup_pairs_lsh(
-        new, threshold=0.9, against_state=state, allow_full_fan=True
-    )
-    assert out.count() > 0
+    got_fan = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            new, threshold=0.9, against_state=state, allow_full_fan=True
+        ).collect()
+    }
+    assert got_fan == got_pair
 
 
 def test_append_text_dedup_state_equals_rebuild(spark, tmp_path):
