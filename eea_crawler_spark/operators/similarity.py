@@ -1524,13 +1524,20 @@ def _neardup_lsh_delta(
         grouped = cand.groupBy("__b").agg(
             F.collect_list("__a").alias("__as")
         )
-        rows = new.select(id_col, vec_col).collect()  # gated above
-        d_ids = np.asarray([r[id_col] for r in rows])
+        # Arrow transfer (gated above): a Row-object collect of a 50k
+        # ×768 delta built ~GBs of JVM garbage; toPandas streams
+        # columnar batches
+        pdf = new.select(id_col, vec_col).toPandas()
+        d_ids = pdf[id_col].to_numpy()
         d_mat = np.asarray(
-            [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
         bc = new.sparkSession.sparkContext.broadcast((d_ids, d_mat))
-        verify_in = grouped.join(
+        # merge hint: the grouped relation's size estimate undershoots
+        # (lists of ids compress in stats but explode as a broadcast
+        # hash relation of Java objects — observed JVM heap OOM at
+        # 50k×62 bands); SMJ spills instead
+        verify_in = grouped.hint("merge").join(
             state["vectors"].withColumnRenamed(id_col, "__b"), ["__b"]
         ).select(F.col("__b").alias(id_col), vec_col, "__as")
         ds = verify_in.mapInPandas(

@@ -61,6 +61,11 @@ def main() -> None:
         help="delta leg: every Nth vector plays the nightly batch "
         "(default 20 -> 5%% of the corpus)",
     )
+    ap.add_argument("--reuse-states", action="store_true")
+    ap.add_argument(
+        "--skip-auto", default="",
+        help="comma list of auto labels to skip (5k,50k)",
+    )
     ap.add_argument(
         "--bands", type=int, default=0,
         help="override n_bands (0 = threshold-derived); fewer bands "
@@ -235,16 +240,20 @@ def main() -> None:
         import shutil
 
         for dm, label in ((200, "5k"), (20, "50k")):
+            if args.skip_auto and label in args.skip_auto.split(","):
+                continue
             new = emb.filter(F.col("vec_id") % dm == 7)
             corp = emb.filter(F.col("vec_id") % dm != 7)
             n_new = new.count()
             sp = f"{args.out}_state_auto{label}"
-            if os.path.exists(sp):
+            if os.path.exists(sp) and not args.reuse_states:
                 shutil.rmtree(sp)
             t0 = time.perf_counter()
-            SIM.build_embedding_state(
-                corp, sp, expected_delta_rows=n_new, threshold=THRESHOLD
-            )
+            if not os.path.exists(sp):
+                SIM.build_embedding_state(
+                    corp, sp, expected_delta_rows=n_new,
+                    threshold=THRESHOLD,
+                )
             out[f"auto{label}_build_sec"] = round(time.perf_counter() - t0, 2)
             st = SIM.read_embedding_state(spark, sp)
             out[f"auto{label}_n_bands"] = st["spec"]["n_bands"]
