@@ -952,6 +952,15 @@ def run_dedup_maintenance(
     ends up with zero kept copies. (Their text-state rows are part of
     the same stale budget as modified docs.)
 
+    MODIFIED docs (ids already in the state): probed with their NEW
+    text, so new duplicate relationships are found immediately — but
+    cluster membership is MONOTONE between rebuilds: a doc edited away
+    from its duplicates keeps its standing label until the periodic
+    state rebuild re-derives the pair relation (removing a node from a
+    component would need the persisted pair set, which this design
+    deliberately does not keep). Same cadence as the stale text-state
+    rows; the ``stale`` count in the result is the rebuild trigger.
+
     Idempotent: re-running with the same delta yields the same pairs,
     the cluster fold is a no-op (intra-cluster edges contract to
     self-loops), and the flag MERGE rewrites identical verdicts.
