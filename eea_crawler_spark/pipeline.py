@@ -574,27 +574,30 @@ def run_sync(
     # state exists yet (the one-time O(corpus) backfill).
     dd: dict[str, int] = {}
     if cfg.dedup is not None and (n_norm or n_del):
-        from eea_crawler_spark.operators import dedup as _DD
-
         ddcfg = cfg.dedup
         rank_src = None
         if ddcfg.keep_by is not None and LK.table_exists(paths.searchui):
             rank_src = LK.read_table(spark, paths.searchui).select(
                 "id", ddcfg.keep_by
             )
-        if _DD._try_read_parquet(spark, f"{ddcfg.state_path}/arrays") is None:
+        if not _dedup_state_exists(spark, ddcfg):
             corpus = LK.read_table(spark, paths.searchui).select(
-                "id", ddcfg.text_col
+                "id", _dedup_data_col(ddcfg)
             )
             dd = bootstrap_dedup_maintenance(
                 spark, ddcfg, corpus, id_col="id", rank_source=rank_src
             )
         else:
-            if n_norm and ddcfg.text_col in searchui.columns:
-                delta_dd = searchui.select("id", ddcfg.text_col)
+            dd_col = _dedup_data_col(ddcfg)
+            if n_norm and dd_col in searchui.columns:
+                delta_dd = searchui.select("id", dd_col)
             else:
+                dd_type = (
+                    "array<float>" if ddcfg.method == "embedding"
+                    else "string"
+                )
                 delta_dd = spark.createDataFrame(
-                    [], f"id string, {ddcfg.text_col} string"
+                    [], f"id string, {dd_col} {dd_type}"
                 )
             dd = run_dedup_maintenance(
                 spark, ddcfg, delta_dd, id_col="id",
@@ -837,11 +840,20 @@ class DedupConfig:
     dimension join. The training-data filter is ``WHERE keep``.
     """
 
-    state_path: str                 # build_text_dedup_state directory
+    # serving-state dir: build_text_dedup_state for the text methods,
+    # build_embedding_state for method="embedding"
+    state_path: str
     clusters_path: str              # persisted (node, cluster_id) labels
     flags_path: str                 # persisted canonical keep/drop flags
-    method: str = "ngram"           # ngram | minhash | simhash | prefix
+    method: str = "ngram"   # ngram | minhash | simhash | prefix | embedding
     text_col: str = "fulltext"
+    # method="embedding": the delta/corpus column holding array<float>
+    # vectors (e.g. a document embedding); cos_threshold the near-dup
+    # cosine bar; expected_delta_rows sizes the auto-banded state at
+    # bootstrap (None = 1% of the corpus)
+    vec_col: str = "embedding"
+    cos_threshold: float = 0.9
+    expected_delta_rows: int | None = None
     ngram_n: int = 3
     threshold: float = 0.8
     # hot-shingle document-frequency valve: required by the ngram
@@ -858,11 +870,57 @@ class DedupConfig:
     append_state: bool = True       # keep the text state self-sustaining
 
 
+def _dedup_data_col(dcfg: DedupConfig) -> str:
+    return dcfg.vec_col if dcfg.method == "embedding" else dcfg.text_col
+
+
+def _read_dedup_state(spark, dcfg: DedupConfig) -> dict:
+    from eea_crawler_spark.operators import dedup as DD
+    from eea_crawler_spark.operators import similarity as SIM
+
+    if dcfg.method == "embedding":
+        return SIM.read_embedding_state(spark, dcfg.state_path)
+    return DD.read_text_dedup_state_full(spark, dcfg.state_path)
+
+
+def _dedup_state_exists(spark, dcfg: DedupConfig) -> bool:
+    from eea_crawler_spark.operators.dedup import _try_read_parquet
+
+    rel = "vectors" if dcfg.method == "embedding" else "arrays"
+    return _try_read_parquet(spark, f"{dcfg.state_path}/{rel}") is not None
+
+
 def _dedup_probe(delta, state, dcfg: DedupConfig, id_col: str) -> DataFrame:
     """Method dispatch for the delta-vs-corpus pair probe; output is
     normalized to (doc_a, doc_b) whatever the member emits."""
     from eea_crawler_spark.operators import dedup as DD
 
+    if dcfg.method == "embedding":
+        from eea_crawler_spark.operators import similarity as SIM
+
+        # selection rule (BASELINE round 9/10): broadcast-sized deltas
+        # take the EXACT probe against the state's vectors relation —
+        # exact and faster; bigger deltas take the banded pair-verify
+        # probe against the persisted signed relation
+        n_probe = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.size(dcfg.vec_col)).alias("d"),
+        ).first()
+        n, dim = int(n_probe["n"]), int(n_probe["d"] or 0)
+        if n * dim * 8 <= SIM.NEARDUP_BROADCAST_MAX_BYTES:
+            pairs = SIM.neardup_pairs(
+                delta, threshold=dcfg.cos_threshold, id_col=id_col,
+                vec_col=dcfg.vec_col,
+                against=state["vectors"].select(id_col, dcfg.vec_col),
+            )
+        else:
+            pairs = SIM.neardup_pairs_lsh(
+                delta, threshold=dcfg.cos_threshold, id_col=id_col,
+                vec_col=dcfg.vec_col, against_state=state,
+            )
+        return pairs.select(
+            F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+        )
     t = dcfg.text_col
     if dcfg.method == "ngram":
         return DD.ngram_jaccard_pairs(
@@ -983,9 +1041,9 @@ def run_dedup_maintenance(
             _t0 = now
 
     id_type = delta_docs.schema[id_col].dataType.simpleString()
-    delta = delta_docs.select(id_col, dcfg.text_col).localCheckpoint(
-        eager=True
-    )
+    delta = delta_docs.select(
+        id_col, _dedup_data_col(dcfg)
+    ).localCheckpoint(eager=True)
     if delta.isEmpty() and deleted_ids is None:
         # zero-change night: nothing to probe, fold, flag, or append
         DD._release_local_checkpoint(delta)
@@ -993,7 +1051,7 @@ def run_dedup_maintenance(
             "pairs": 0, "relabeled": 0, "flagged": 0,
             "appended": 0, "stale": 0,
         }
-    state = DD.read_text_dedup_state_full(spark, dcfg.state_path)
+    state = _read_dedup_state(spark, dcfg)
     # 1. probe (BEFORE any state append — the delta must not see itself)
     pairs = _dedup_probe(delta, state, dcfg, id_col).localCheckpoint(
         eager=True
@@ -1093,14 +1151,22 @@ def run_dedup_maintenance(
     _mark("canonical_flags")
     # 4. self-sustaining state: append the genuinely-new docs
     n_appended = n_stale = 0
-    if dcfg.append_state and "keys" in state:
-        fresh_docs = delta_docs.join(
-            state["keys"].select(F.col("id").alias(id_col)),
-            [id_col], "left_anti",
-        )
+    standing_ids = None
+    if dcfg.method == "embedding":
+        if state.get("vectors") is not None:
+            standing_ids = state["vectors"].select(id_col)
+    elif "keys" in state:
+        standing_ids = state["keys"].select(F.col("id").alias(id_col))
+    if dcfg.append_state and standing_ids is not None:
+        fresh_docs = delta_docs.join(standing_ids, [id_col], "left_anti")
         n_fresh = fresh_docs.count()
         n_stale = delta.count() - n_fresh
-        if n_fresh:
+        if n_fresh and dcfg.method == "embedding":
+            n_appended = DD.append_embedding_state(
+                spark, dcfg.state_path, fresh_docs,
+                id_col=id_col, vec_col=dcfg.vec_col,
+            )
+        elif n_fresh:
             n_appended = DD.append_text_dedup_state(
                 spark, dcfg.state_path, fresh_docs,
                 text_col=dcfg.text_col, id_col=id_col,
@@ -1125,19 +1191,37 @@ def bootstrap_dedup_maintenance(
     id_col: str = "id",
     rank_source: DataFrame | None = None,
 ) -> dict[str, int]:
-    """One-time backfill for an EXISTING corpus: build the text serving
-    state, run the method's full self-join, resolve clusters, and flag
-    every doc (paired docs via the winner window, the rest keep=true
-    singletons). After this, ``run_dedup_maintenance`` keeps everything
-    current in O(delta) per night."""
+    """One-time backfill for an EXISTING corpus: build the method's
+    serving state (text or embedding), run the full self-join, resolve
+    clusters, and flag every doc (paired docs via the winner window,
+    the rest keep=true singletons). After this,
+    ``run_dedup_maintenance`` keeps everything current in O(delta) per
+    night."""
     from eea_crawler_spark.operators import dedup as DD
 
-    DD.build_text_dedup_state(
-        docs, dcfg.state_path, text_col=dcfg.text_col, id_col=id_col,
-        n=dcfg.ngram_n, threshold=dcfg.threshold, max_df=dcfg.max_df,
-    )
+    if dcfg.method == "embedding":
+        from eea_crawler_spark.operators import similarity as SIM
+
+        SIM.build_embedding_state(
+            docs, dcfg.state_path, id_col=id_col, vec_col=dcfg.vec_col,
+            expected_delta_rows=dcfg.expected_delta_rows,
+            threshold=dcfg.cos_threshold,
+        )
+        pairs = SIM.neardup_pairs(
+            docs, threshold=dcfg.cos_threshold, id_col=id_col,
+            vec_col=dcfg.vec_col,
+        ).select(
+            F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+        )
+    else:
+        DD.build_text_dedup_state(
+            docs, dcfg.state_path, text_col=dcfg.text_col, id_col=id_col,
+            n=dcfg.ngram_n, threshold=dcfg.threshold, max_df=dcfg.max_df,
+        )
     t = dcfg.text_col
-    if dcfg.method == "ngram":
+    if dcfg.method == "embedding":
+        pass  # pairs built above
+    elif dcfg.method == "ngram":
         pairs = DD.ngram_jaccard_pairs(
             docs, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold,
             max_df=dcfg.max_df,

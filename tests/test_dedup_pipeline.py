@@ -176,3 +176,66 @@ def test_dedup_leg_keep_by_quality(spark, env):
     a_members = [k for k, v in f.items() if v[0] == f"{SITE}/d0"]
     keepers = [k for k in a_members if f[k][1]]
     assert keepers == [f"{SITE}/d2"]
+
+
+def test_dedup_leg_embedding_method(spark, tmp_path):
+    """method='embedding': the composed leg over vectors — bootstrap
+    (auto-banded state + exact self-join + CC + flags), nightly probe
+    via the selection rule (broadcast-sized delta -> exact probe),
+    cluster fold, state append; idempotent re-run counts the standing
+    delta as stale and changes nothing."""
+    import numpy as np
+
+    from eea_crawler_spark.pipeline import (
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    rng = np.random.RandomState(9)
+    rows, base = [], None
+    for i in range(200):
+        if i % 6 == 0 or base is None:
+            base = rng.standard_normal(16)
+            v = base
+        else:
+            v = base + 0.02 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    new = df.filter(F.col("vec_id") % 5 == 0)
+    corpus = df.filter(F.col("vec_id") % 5 != 0)
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "emb_state"),
+        clusters_path=str(tmp_path / "emb_clusters"),
+        flags_path=str(tmp_path / "emb_flags"),
+        method="embedding",
+        cos_threshold=0.9,
+        expected_delta_rows=40,
+    )
+    boot = bootstrap_dedup_maintenance(spark, dcfg, corpus, id_col="vec_id")
+    assert boot["labeled"] > 0 and boot["flagged"] == corpus.count()
+    r1 = run_dedup_maintenance(spark, dcfg, new, id_col="vec_id")
+    assert r1["pairs"] > 0
+    assert r1["appended"] == new.count() and r1["stale"] == 0
+    # boundary-straddling clusters: a delta member joined a standing
+    # cluster and lost to its min-id root
+    flags = {
+        r["id"]: (r["cluster_id"], r["keep"])
+        for r in LK.read_table(spark, dcfg.flags_path).collect()
+    }
+    # vec 5 (delta) is a mutation of base cluster {0..5}: joins root 1
+    # (corpus min of that cluster is 1 since 0 is delta)
+    joined = [
+        i for i in (5, 10, 15) if i in flags and flags[i][0] != i
+    ]
+    assert joined, "no delta member joined a standing cluster"
+    assert all(flags[i][1] is False for i in joined)
+    # idempotent second night: same delta is now standing state —
+    # nothing relabels, nothing appends, everything counts stale
+    r2 = run_dedup_maintenance(spark, dcfg, new, id_col="vec_id")
+    assert r2["relabeled"] == 0 and r2["appended"] == 0
+    assert r2["stale"] == new.count()
+    flags2 = {
+        r["id"]: (r["cluster_id"], r["keep"])
+        for r in LK.read_table(spark, dcfg.flags_path).collect()
+    }
+    assert flags2 == flags
