@@ -325,10 +325,14 @@ def dedup_cluster_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
     )
     labels = DD.connected_components(base_pairs).localCheckpoint(eager=True)
+    # checkpoint the probe's pairs: the fold consumes its input twice
+    # (endpoint set + contracted edges) and would otherwise re-run the
+    # whole delta-probe pipeline — the same discipline as
+    # run_dedup_maintenance
     delta_pairs = DD.ngram_jaccard_pairs(
         new, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
         against=corpus,
-    )
+    ).localCheckpoint(eager=True)
     updates = DD.update_connected_components(labels, delta_pairs)
     merged = labels.join(
         updates.select("node"), ["node"], "left_anti"
