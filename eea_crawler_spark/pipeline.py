@@ -26,6 +26,7 @@ tables, not logic. Every step is the already-tested operator.
 
 from __future__ import annotations
 
+import os
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field, replace
@@ -868,6 +869,12 @@ class DedupConfig:
     keep_by: str | None = None
     state_backend: str = "auto"     # clusters/flags table format
     append_state: bool = True       # keep the text state self-sustaining
+    # rebuild trigger: the leg appends modified/deleted ids to a stale
+    # ledger under state_path and reports needs_rebuild once the
+    # distinct stale fraction passes this (the log-structured
+    # compaction cadence — bootstrap_dedup_maintenance IS the rebuild
+    # and clears the ledger)
+    rebuild_stale_fraction: float = 0.05
 
 
 def _dedup_data_col(dcfg: DedupConfig) -> str:
@@ -1157,6 +1164,8 @@ def run_dedup_maintenance(
             standing_ids = state["vectors"].select(id_col)
     elif "keys" in state:
         standing_ids = state["keys"].select(F.col("id").alias(id_col))
+    stale_total = 0
+    needs_rebuild = False
     if dcfg.append_state and standing_ids is not None:
         fresh_docs = delta_docs.join(standing_ids, [id_col], "left_anti")
         n_fresh = fresh_docs.count()
@@ -1171,6 +1180,31 @@ def run_dedup_maintenance(
                 spark, dcfg.state_path, fresh_docs,
                 text_col=dcfg.text_col, id_col=id_col,
             )["appended"]
+        # stale ledger → rebuild trigger: MODIFIED (and deleted) docs
+        # leave stale rows in the serving state until a full rebuild
+        # (the documented log-structured cadence). Persist the stale
+        # ids (append-mode, distinct-on-read) and surface the running
+        # fraction so the operator knows WHEN to rebuild instead of
+        # guessing — the leg itself stays O(delta).
+        stale_ledger = f"{dcfg.state_path}/stale_ids"
+        stale_now = delta.select(F.col(id_col).alias("id")).join(
+            standing_ids.select(F.col(id_col).alias("id")), ["id"],
+            "left_semi",
+        )
+        if deleted_ids is not None:
+            stale_now = stale_now.unionByName(
+                deleted_ids.select(F.col(id_col).alias("id"))
+            )
+        if not stale_now.isEmpty():
+            stale_now.write.mode("append").parquet(stale_ledger)
+        ledger_df = DD._try_read_parquet(spark, stale_ledger)
+        if ledger_df is not None:
+            stale_total = ledger_df.distinct().count()
+            n_standing = standing_ids.count()
+            needs_rebuild = (
+                stale_total
+                >= dcfg.rebuild_stale_fraction * max(1, n_standing)
+            )
     _mark("state_append")
     for ck in (delta, pairs, updates, labeled_delta, del_clusters):
         if ck is not None:
@@ -1181,6 +1215,8 @@ def run_dedup_maintenance(
         "flagged": n_flags,
         "appended": n_appended,
         "stale": n_stale,
+        "stale_total": stale_total,
+        "needs_rebuild": int(needs_rebuild),
     }
 
 
@@ -1199,6 +1235,13 @@ def bootstrap_dedup_maintenance(
     night."""
     from eea_crawler_spark.operators import dedup as DD
 
+    # a (re)build resets staleness: drop the ledger the nightly leg
+    # appends modified/deleted ids to
+    import shutil as _shutil
+
+    _ledger = f"{dcfg.state_path}/stale_ids"
+    if os.path.exists(_ledger):
+        _shutil.rmtree(_ledger)
     if dcfg.method == "embedding":
         from eea_crawler_spark.operators import similarity as SIM
 

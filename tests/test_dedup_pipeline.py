@@ -239,3 +239,53 @@ def test_dedup_leg_embedding_method(spark, tmp_path):
         for r in LK.read_table(spark, dcfg.flags_path).collect()
     }
     assert flags2 == flags
+
+
+def test_stale_ledger_rebuild_trigger(spark, tmp_path):
+    """Modified docs accumulate in the stale ledger; needs_rebuild
+    flips once the distinct stale fraction passes the config threshold;
+    bootstrap (the rebuild) clears the ledger."""
+    from eea_crawler_spark.pipeline import (
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"doc{i}w{j}" for j in range(40)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "state"),
+        clusters_path=str(tmp_path / "clusters"),
+        flags_path=str(tmp_path / "flags"),
+        text_col="text",
+        rebuild_stale_fraction=0.2,  # 4 of 20 docs
+    )
+    bootstrap_dedup_maintenance(spark, dcfg, docs, id_col="doc_id")
+    # night 1: 2 modified docs (ids already standing) -> stale, no flip
+    mod = docs.filter(F.col("doc_id") < 2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" edited"))
+    )
+    r1 = run_dedup_maintenance(spark, dcfg, mod, id_col="doc_id")
+    assert r1["stale"] == 2 and r1["stale_total"] == 2
+    assert r1["needs_rebuild"] == 0
+    # night 2: 2 MORE modified (incl. one repeat — ledger is distinct)
+    mod2 = docs.filter(
+        (F.col("doc_id") >= 1) & (F.col("doc_id") < 4)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    r2 = run_dedup_maintenance(spark, dcfg, mod2, id_col="doc_id")
+    assert r2["stale"] == 3 and r2["stale_total"] == 4  # {0,1,2,3}
+    assert r2["needs_rebuild"] == 1  # 4/20 >= 0.2
+    # the rebuild clears the ledger and resets the trigger
+    bootstrap_dedup_maintenance(spark, dcfg, docs, id_col="doc_id")
+    r3 = run_dedup_maintenance(
+        spark, dcfg, docs.filter(F.lit(False)), id_col="doc_id",
+        deleted_ids=docs.filter(F.col("doc_id") == 19).select(
+            F.col("doc_id")
+        ),
+    )
+    # deletions count into the ledger too
+    assert r3["stale_total"] == 1 and r3["needs_rebuild"] == 0
