@@ -45,9 +45,18 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--max-df", type=int, default=20)
     ap.add_argument("--keep-work", action="store_true")
+    ap.add_argument(
+        "--method", default="ngram",
+        help="ngram (documents table) | embedding (--sf-dir is then a "
+        "vectors parquet like .scale/neardup768; id col vec_id)",
+    )
+    ap.add_argument("--cos-threshold", type=float, default=0.9)
     args = ap.parse_args()
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    emb_mode = args.method == "embedding"
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM", "40g" if emb_mode else "16g"
+    )
     os.environ.setdefault("SPARK_GRAFT_FIXED_HEAP", "1")
     os.environ.setdefault("SPARK_GRAFT_SYNC_TIMING", "1")
 
@@ -63,12 +72,18 @@ def main() -> None:
 
     if os.path.exists(args.work):
         shutil.rmtree(args.work)
-    spark = get_spark("dedup-maint", data_dir=args.sf_dir)
-    docs = load_table(spark, args.sf_dir, "documents").select(
-        "doc_id", "text"
-    )
-    delta = docs.filter(F.col("doc_id") % args.delta_mod == 0)
-    corpus = docs.filter(F.col("doc_id") % args.delta_mod != 0)
+    if emb_mode:
+        spark = get_spark("dedup-maint", data_dir=None)
+        docs = spark.read.parquet(args.sf_dir).repartition(256)
+        id_col = "vec_id"
+    else:
+        spark = get_spark("dedup-maint", data_dir=args.sf_dir)
+        docs = load_table(spark, args.sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        id_col = "doc_id"
+    delta = docs.filter(F.col(id_col) % args.delta_mod == 0)
+    corpus = docs.filter(F.col(id_col) % args.delta_mod != 0)
     n_delta, n_corpus = delta.count(), corpus.count()
     print(f"corpus {n_corpus} delta {n_delta}", file=sys.stderr)
 
@@ -76,9 +91,12 @@ def main() -> None:
         state_path=os.path.join(args.work, "state"),
         clusters_path=os.path.join(args.work, "clusters"),
         flags_path=os.path.join(args.work, "flags"),
+        method=args.method,
         text_col="text",
         threshold=args.threshold,
         max_df=args.max_df,
+        cos_threshold=args.cos_threshold,
+        expected_delta_rows=n_delta if emb_mode else None,
         state_backend="mor",
     )
     out: dict = {
@@ -91,14 +109,14 @@ def main() -> None:
 
     t0 = time.perf_counter()
     boot = bootstrap_dedup_maintenance(
-        spark, dcfg, corpus, id_col="doc_id"
+        spark, dcfg, corpus, id_col=id_col
     )
     out["bootstrap_sec"] = round(time.perf_counter() - t0, 1)
     out["bootstrap"] = boot
     print(f"bootstrap {out['bootstrap_sec']}s {boot}", file=sys.stderr)
 
     t0 = time.perf_counter()
-    night = run_dedup_maintenance(spark, dcfg, delta, id_col="doc_id")
+    night = run_dedup_maintenance(spark, dcfg, delta, id_col=id_col)
     out["nightly_sec"] = round(time.perf_counter() - t0, 1)
     out["nightly"] = night
     print(f"nightly {out['nightly_sec']}s {night}", file=sys.stderr)
@@ -106,7 +124,7 @@ def main() -> None:
     # second night with nothing new: the leg's fixed floor
     t0 = time.perf_counter()
     empty = delta.filter(F.lit(False))
-    night2 = run_dedup_maintenance(spark, dcfg, empty, id_col="doc_id")
+    night2 = run_dedup_maintenance(spark, dcfg, empty, id_col=id_col)
     out["nightly_empty_sec"] = round(time.perf_counter() - t0, 1)
     out["nightly_empty"] = night2
 
