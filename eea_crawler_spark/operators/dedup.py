@@ -1830,7 +1830,6 @@ def append_embedding_state(
             "contains ids already in the state — rebuild the state or "
             "restrict the batch to inserts"
         )
-    vec_type = new_vecs.schema[vec_col].dataType.simpleString()
     id_type = new_vecs.schema[id_col].dataType.simpleString()
     p_mat = np.asarray(
         _SIM.hyperplane_planes(
@@ -1842,10 +1841,11 @@ def append_embedding_state(
     )
     signed = new_vecs.select(id_col, vec_col).mapInPandas(
         _SIM._make_sign_batches(
-            id_col, vec_col, p_mat, spec["n_bands"], spec["band_planes"]
+            id_col, vec_col, p_mat, spec["n_bands"],
+            spec["band_planes"], include_vec=False,  # id-only layout
         ),
-        f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long",
-    ).select(id_col, "band", "bucket")  # id-only layout (see builder)
+        f"{id_col} {id_type}, band int, bucket long",
+    )
     part_cols = (
         ["band", "bucket"]
         if 2 ** spec["band_planes"] <= 4096

@@ -852,12 +852,20 @@ def _make_sign_batches(
     p_mat: "np.ndarray",
     n_bands: int,
     band_planes: int,
+    include_vec: bool = True,
 ):
     """mapInPandas generator for the banded signature pass: one
-    (id, vec, band, bucket) output frame per band per Arrow batch,
+    (id[, vec], band, bucket) output frame per band per Arrow batch,
     zero-norm rows dropped. One factory shared by the self-join LSH,
     the delta probe, and the persisted embedding state so the
-    bucketing arithmetic cannot drift."""
+    bucketing arithmetic cannot drift.
+
+    ``include_vec=False`` emits id-only band rows — the round-10
+    serving layout and the pair-verify probe never consume vectors on
+    band rows, and shipping them anyway multiplied the Arrow transfer
+    b× (a 1M×768 auto-banded state build streamed ~190 GB of vector
+    copies through Arrow before this flag; column pruning cannot reach
+    inside the Python worker)."""
 
     def _sign_batches(batches):
         import pandas as pd
@@ -874,14 +882,12 @@ def _make_sign_batches(
                 continue
             buckets = _band_buckets(v_mat, p_mat, band_planes)
             for b in range(n_bands):
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        vec_col: pdf[vec_col],
-                        "band": b,
-                        "bucket": buckets[:, b],
-                    }
-                )
+                cols = {id_col: pdf[id_col]}
+                if include_vec:
+                    cols[vec_col] = pdf[vec_col]
+                cols["band"] = b
+                cols["bucket"] = buckets[:, b]
+                yield pd.DataFrame(cols)
 
     return _sign_batches
 
@@ -1229,18 +1235,10 @@ def build_embedding_state(
         )
     elif n_bands is None:
         n_bands = 16
-    vec_type = corpus.schema[vec_col].dataType.simpleString()
     id_type = corpus.schema[id_col].dataType.simpleString()
-    sig_schema = (
-        f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long"
-    )
     p_mat = np.asarray(
         hyperplane_planes(dim, n_planes=n_bands * band_planes, seed=seed),
         dtype=np.float64,
-    )
-    signed = corpus.select(id_col, vec_col).mapInPandas(
-        _make_sign_batches(id_col, vec_col, p_mat, n_bands, band_planes),
-        sig_schema,
     )
     # The persisted band relation is ID-ONLY: carrying the vector on
     # every band row (the self-join's in-flight layout) would amplify
@@ -1250,8 +1248,15 @@ def build_embedding_state(
     # materialization explosion) does not apply to the probe: its
     # candidate set is delta-anchored and collision-bounded, so the
     # per-probe vector re-fetch is one bounded semi-join, not Σ|bucket|²
-    # pair rows.
-    signed = signed.select(id_col, "band", "bucket")
+    # pair rows. include_vec=False keeps the b× copies out of the
+    # Arrow transfer too, not just out of the files.
+    signed = corpus.select(id_col, vec_col).mapInPandas(
+        _make_sign_batches(
+            id_col, vec_col, p_mat, n_bands, band_planes,
+            include_vec=False,
+        ),
+        f"{id_col} {id_type}, band int, bucket long",
+    )
     if 2 ** band_planes <= 4096:
         (
             signed.repartition("band", "bucket")
@@ -1469,18 +1474,27 @@ def _neardup_lsh_delta(
     if max_bucket_rows is None:
         max_bucket_rows = _lsh_bucket_cap(dim)
     vec_type = new.schema[vec_col].dataType.simpleString()
-    sig_schema = (
-        f"{id_col} {id_type}, {vec_col} {vec_type}, band int, bucket long"
-    )
     p_mat = np.asarray(
         hyperplane_planes(dim, n_planes=n_bands * band_planes, seed=seed),
         dtype=np.float64,
     )
+    # the pair plan consumes band rows id-only (its delta-delta leg
+    # re-signs with vectors inside the ordinary self-join); only the
+    # union-fan plan needs vectors riding the delta's band rows — at
+    # auto band counts the difference is b× the delta's Arrow volume
+    if pair_plan:
+        sig_schema = f"{id_col} {id_type}, band int, bucket long"
+    else:
+        sig_schema = (
+            f"{id_col} {id_type}, {vec_col} {vec_type}, "
+            "band int, bucket long"
+        )
     signed_new = (
         new.select(id_col, vec_col)
         .mapInPandas(
             _make_sign_batches(
-                id_col, vec_col, p_mat, n_bands, band_planes
+                id_col, vec_col, p_mat, n_bands, band_planes,
+                include_vec=not pair_plan,
             ),
             sig_schema,
         )
