@@ -1606,20 +1606,68 @@ def build_text_dedup_state(
         ).parquet(f"{path}/hp0")
 
 
-def _replace_dir(spark, tmp: str, dst: str) -> None:
-    """Swap a freshly-written relation over the old one through the
-    Hadoop FileSystem API (local/HDFS/S3A alike): delete dst, rename
-    tmp → dst. The write-to-tmp-then-swap dance exists because a
-    merged aggregate reads the relation it replaces — an in-place
-    overwrite would truncate its own input mid-scan."""
+def _hadoop_fs(spark, path: str):
+    """(fs, Path) for a path string through the Hadoop FileSystem API —
+    the one place the scheme (file/hdfs/s3a) is resolved, so every
+    state-dir mutation behaves the same on local and object stores."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    dpath = jvm.org.apache.hadoop.fs.Path(dst)
-    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = dpath.getFileSystem(conf)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p
+
+
+def _fs_delete(spark, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API; True when
+    the path existed. The portability twin of
+    ``os.path.exists``+``shutil.rmtree`` for state relations that may
+    live on HDFS/S3 (same class as the read-side ``_try_read_parquet``
+    fix)."""
+    fs, p = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+        return True
+    return False
+
+
+def _replace_dir(spark, tmp: str, dst: str) -> None:
+    """Swap a freshly-written relation over the old one through the
+    Hadoop FileSystem API (local/HDFS/S3A alike). The write-to-tmp-
+    then-swap dance exists because a merged aggregate reads the
+    relation it replaces — an in-place overwrite would truncate its
+    own input mid-scan.
+
+    Crash discipline: dst is renamed ASIDE (``{dst}__old``) before tmp
+    takes its place, never deleted first — so no crash point leaves
+    the relation simply gone with no recovery path. The windows:
+    before the aside-rename, dst is intact and ``{dst}__new`` complete;
+    between the renames, dst is missing but ``{dst}__new`` (the newer,
+    fully-written data) is present and ``_read_rel`` recovers it; after
+    the second rename, dst is the new data and the ``__old`` leftover
+    is garbage that the next swap (or this one's final delete) clears.
+    """
+    fs, dpath = _hadoop_fs(spark, dst)
+    _, tpath = _hadoop_fs(spark, tmp)
+    _, opath = _hadoop_fs(spark, f"{dst}__old")
+    if fs.exists(opath):
+        fs.delete(opath, True)
     if fs.exists(dpath):
-        fs.delete(dpath, True)
+        fs.rename(dpath, opath)
     fs.rename(tpath, dpath)
+    if fs.exists(opath):
+        fs.delete(opath, True)
+
+
+def _read_rel(spark, path: str, rel: str) -> DataFrame | None:
+    """Read a state relation with crash recovery: ``{path}/{rel}``
+    first, falling back to ``{path}/{rel}__new`` when the primary is
+    missing — the mid-swap ``_replace_dir`` window (old renamed aside,
+    new not yet renamed in). The ``__new`` dir is always a complete,
+    newer copy by the write discipline, so reading it is safe; the
+    next successful swap heals the layout."""
+    df = _try_read_parquet(spark, f"{path}/{rel}")
+    if df is None:
+        df = _try_read_parquet(spark, f"{path}/{rel}__new")
+    return df
 
 
 def append_text_dedup_state(
@@ -1661,10 +1709,12 @@ def append_text_dedup_state(
 
     Write discipline: merged aggregates are written to ``__new`` tmp
     dirs FIRST (executing every read of the old relations), row-wise
-    appends happen second, tmp dirs swap in last — so a crash leaves
-    either the old state or a superset of row-wise relations with
-    consistent aggregates one swap away, never a half-merged
-    aggregate.
+    appends happen second — ``keys`` leading, so any RETRY of a batch
+    that crashed mid-append trips the strictly-new-ids check instead
+    of double-appending — and tmp dirs swap in last
+    (crash-recoverable: ``_replace_dir`` + ``_read_rel``). A crash
+    therefore leaves either the old state, or a detectable
+    partial-append (retry raises), never a silent half-merge.
 
     Returns ``{"appended": delta_rows, "tipped": n_tipped_shingles}``.
     """
@@ -1771,10 +1821,18 @@ def append_text_dedup_state(
             )
             _release_local_checkpoint(tipped)
         _release_local_checkpoint(pre_new)
-    # 2. row-wise appends (all from materialized delta checkpoints)
+    # 2. row-wise appends (all from materialized delta checkpoints).
+    # ``keys`` goes FIRST: it is what the strictly-new-ids clash check
+    # reads, so a retry of a batch that crashed anywhere past this
+    # point trips the check and raises (rebuild) instead of silently
+    # appending arrays/sigs a second time — duplicate shingle rows
+    # would corrupt every jaccard/df count. The cost is the inverse
+    # window (keys present, arrays absent): detectable by the same
+    # raise, and a keys-only id is inert for every probe except the
+    # prefix method's exact-key lookup.
+    delta_keys.write.mode("append").parquet(f"{path}/keys")
     arr_new.write.mode("append").parquet(f"{path}/arrays")
     sig_new.write.mode("append").parquet(f"{path}/sigs")
-    delta_keys.write.mode("append").parquet(f"{path}/keys")
     simhash_bands(new_docs, text_col, id_col).write.mode("append").parquet(
         f"{path}/simhash"
     )
@@ -1808,7 +1866,11 @@ def append_embedding_state(
     strictly-new-ids cadence as the text state."""
     from eea_crawler_spark.operators import similarity as _SIM
 
-    spec = spark.read.parquet(f"{path}/spec").first().asDict()
+    spec_df = _read_rel(spark, path, "spec")
+    if spec_df is None:
+        raise ValueError(f"no spec relation under {path!r} — not an "
+                         "embedding state dir")
+    spec = spec_df.first().asDict()
     probe = new_vecs.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.size(vec_col)).alias("dmin"),
@@ -1822,7 +1884,17 @@ def append_embedding_state(
             f"{probe['dmin']}..{probe['dmax']}-d"
         )
     vecs_rel = _try_read_parquet(spark, f"{path}/vectors")
-    if vecs_rel is not None and not vecs_rel.join(
+    if vecs_rel is None:
+        # a pre-round-10 state: vectors ride the band rows and there is
+        # no vectors relation. Appending id-only signed rows into it
+        # would MIX layouts (null vec columns on read) and the clash
+        # check below would silently pass — refuse instead of corrupting
+        raise ValueError(
+            "state has no vectors relation (legacy vectors-on-band-rows "
+            "layout) — append_embedding_state only extends the id-only "
+            "layout; rebuild the state with build_embedding_state"
+        )
+    if not vecs_rel.join(
         F.broadcast(new_vecs.select(id_col)), [id_col], "left_semi"
     ).isEmpty():
         raise ValueError(
@@ -1911,11 +1983,14 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
         "arrays": spark.read.parquet(f"{path}/arrays"),
         "sigs": spark.read.parquet(f"{path}/sigs"),
     }
+    # _read_rel (not a bare read): the swapped aggregates may sit in
+    # their __new dir after a mid-swap crash — recover instead of
+    # silently degrading the probe to the stateless path
     for rel in ("prefix", "prefix_df", "hp0", "bands", "keys", "simhash"):
-        df = _try_read_parquet(spark, f"{path}/{rel}")
+        df = _read_rel(spark, path, rel)
         if df is not None:
             state[rel] = df
-    spec_df = _try_read_parquet(spark, f"{path}/spec")
+    spec_df = _read_rel(spark, path, "spec")
     if spec_df is not None:
         state["spec"] = spec_df.first().asDict()
     return state

@@ -1291,17 +1291,26 @@ def read_embedding_state(spark, path: str) -> dict:
     layouts."""
     from pyspark.errors import AnalysisException
 
+    from eea_crawler_spark.operators.dedup import _read_rel
+
     signed = spark.read.parquet(f"{path}/signed")
     try:
         vectors = spark.read.parquet(f"{path}/vectors")
     except AnalysisException:
         vectors = None
+    # spec via _read_rel: append_embedding_state swaps it through a
+    # __new tmp dir — recover the mid-swap crash window instead of
+    # raising on a missing primary
+    spec_df = _read_rel(spark, path, "spec")
+    if spec_df is None:
+        raise ValueError(f"no spec relation under {path!r} — not an "
+                         "embedding state dir")
     return {
         "signed": signed.withColumn(
             "band", F.col("band").cast("int")
         ).withColumn("bucket", F.col("bucket").cast("long")),
         "vectors": vectors,
-        "spec": spark.read.parquet(f"{path}/spec").first().asDict(),
+        "spec": spec_df.first().asDict(),
     }
 
 
@@ -1864,6 +1873,319 @@ def ivf_assign(
             yield out
 
     return corpus.mapInPandas(_assign_batches, out_schema)
+
+
+# Rebuild triggers for the persisted IVF serving index (append_ivf_index):
+# flag once appends-since-build pass this fraction of the indexed rows…
+IVF_REBUILD_APPEND_FRACTION = 0.25
+# …or once any cluster's implied mean (running sums/cnt, maintained in
+# the index's agg relation) drifts below this cosine vs its standing
+# centroid — the signal that a re-Lloyd would materially move the lists.
+IVF_REBUILD_DRIFT_COS = 0.98
+
+
+def _ivf_cluster_agg(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """Per-cluster running aggregates (cluster, cnt, sums) of an
+    assigned relation — the drift bookkeeping the append leg maintains.
+    Same partial-sums shape as ``_lloyd_means``: one ``mapInPandas``
+    pass emits ≤ partitions·k partial rows; the exact combine then
+    groups those, never n·dim exploded rows."""
+
+    def _partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v_mat = _vec_matrix(pdf[vec_col])
+            cl = pdf["cluster"].to_numpy()
+            out = []
+            for c in np.unique(cl):
+                mask = cl == c
+                out.append(
+                    (int(c), int(mask.sum()), v_mat[mask].sum(axis=0))
+                )
+            yield pd.DataFrame(out, columns=["cluster", "cnt", "sums"])
+
+    partials = assigned.select("cluster", vec_col).mapInPandas(
+        _partials, "cluster int, cnt long, sums array<double>"
+    )
+    cnts = partials.groupBy("cluster").agg(F.sum("cnt").alias("cnt"))
+    sums = (
+        partials.select("cluster", F.posexplode("sums").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("v"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("sums")
+        )
+    )
+    return cnts.join(sums, ["cluster"])
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the IVF ANN serving index — the vector-search mirror of
+    the text/embedding dedup serving states, and of the reference's
+    dense_vector serving surface (dags/lib/elastic.py:107-119):
+
+      * ``lists``   — the corpus (id, vec) PARTITIONED BY its
+        nearest-centroid inverted list: ``ivf_topk_state`` probe masks
+        become physical partition pruning.
+      * ``centroids`` — the k×dim Lloyd centroids (one row per list).
+      * ``agg``     — per-cluster (cnt, sum-vector) running aggregates:
+        ``append_ivf_index`` folds each delta in and reads centroid
+        drift off them without ever touching the corpus.
+      * ``spec``    — (dim, n_clusters, n, appended); ``appended``
+        counts rows added since the last full build (the other rebuild
+        trigger).
+
+    Returns ``{"n", "n_clusters", "dim"}``."""
+    spark = corpus.sparkSession
+    probe = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    if probe["dmin"] != probe["dmax"]:
+        raise ValueError(
+            f"{vec_col} must be uniform-width: found lengths "
+            f"{probe['dmin']}..{probe['dmax']}"
+        )
+    dim = int(probe["dmax"] or 0)
+    centroids = ivf_centroids(corpus, n_clusters, n_iter, id_col, vec_col)
+    assigned = ivf_assign(
+        corpus.select(id_col, vec_col), centroids,
+        id_col=id_col, vec_col=vec_col, n_probe=1,
+    )
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/lists")
+    )
+    # aggregates from the PERSISTED lists so agg ≡ lists exactly
+    lists = spark.read.parquet(f"{path}/lists").withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+    _ivf_cluster_agg(lists, vec_col).write.mode("overwrite").parquet(
+        f"{path}/agg"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(dim, int(n_clusters), int(probe["n"]), 0)],
+        "dim int, n_clusters int, n long, appended long",
+    ).write.mode("overwrite").parquet(f"{path}/spec")
+    return {"n": int(probe["n"]), "n_clusters": int(n_clusters), "dim": dim}
+
+
+def read_ivf_index(spark, path: str) -> dict:
+    """Load the persisted IVF index: ``{"lists": DataFrame,
+    "centroids": list[list[float]], "agg": DataFrame, "spec": dict}``.
+    The spec rides ``_read_rel`` (append swaps it through a __new tmp
+    dir — same crash-recovery discipline as the dedup states)."""
+    from eea_crawler_spark.operators.dedup import _read_rel
+
+    spec_df = _read_rel(spark, path, "spec")
+    if spec_df is None:
+        raise ValueError(f"no spec relation under {path!r} — not an "
+                         "IVF index dir")
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    by_id = {r["cluster"]: list(r["centroid"]) for r in cent_rows}
+    centroids = [by_id[i] for i in range(len(by_id))]
+    agg = _read_rel(spark, path, "agg")
+    return {
+        "lists": spark.read.parquet(f"{path}/lists").withColumn(
+            "cluster", F.col("cluster").cast("int")
+        ),
+        "centroids": centroids,
+        "agg": agg,
+        "spec": spec_df.first().asDict(),
+    }
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_append_fraction: float = IVF_REBUILD_APPEND_FRACTION,
+    rebuild_drift_cos: float = IVF_REBUILD_DRIFT_COS,
+) -> dict:
+    """O(delta) IVF index maintenance (round-10 verdict #2): assign the
+    NEW vectors to their nearest STANDING centroid (``ivf_assign`` —
+    the exact rule the build and the serve share, so append ≡ rebuild
+    with the same centroids, pinned), append them into the
+    cluster-partitioned lists, and fold their per-cluster (cnt, sums)
+    into the agg relation (k×dim driver-side merge — bounded, never a
+    corpus touch).
+
+    Rebuild cadence, same pattern as the dedup stale ledger: appends
+    keep serving EXACTLY (every appended row lands in the list its
+    assignment rule says, so probe-all == brute force always holds) but
+    recall at small n_probe decays as the data distribution drifts away
+    from the frozen centroids. Two triggers surface that:
+    ``appended/n ≥ rebuild_append_fraction``, or any cluster's implied
+    mean (sums/cnt) falling under ``rebuild_drift_cos`` cosine vs its
+    standing centroid. ``needs_rebuild`` is reported; the rebuild IS
+    ``build_ivf_index`` (which resets both).
+
+    Strictly-new ids only (same contract as the dedup state appends).
+    Returns ``{"appended", "appended_fraction", "min_centroid_cos",
+    "needs_rebuild"}``."""
+    from eea_crawler_spark.operators.dedup import _read_rel, _replace_dir
+
+    idx = read_ivf_index(spark, path)
+    spec = idx["spec"]
+    probe = new_vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("dmin"),
+        F.max(F.size(vec_col)).alias("dmax"),
+    ).first()
+    if not probe["n"]:
+        return {
+            "appended": 0,
+            "appended_fraction": float(spec["appended"]) / max(1, spec["n"]),
+            "min_centroid_cos": 1.0,
+            "needs_rebuild": 0,
+        }
+    if probe["dmin"] != probe["dmax"] or int(probe["dmax"]) != spec["dim"]:
+        raise ValueError(
+            f"index holds {spec['dim']}-d vectors, delta has "
+            f"{probe['dmin']}..{probe['dmax']}-d"
+        )
+    if not idx["lists"].select(id_col).join(
+        F.broadcast(new_vecs.select(id_col)), [id_col], "left_semi"
+    ).isEmpty():
+        raise ValueError(
+            "append_ivf_index takes strictly-NEW ids; the batch "
+            "contains ids already in the index — rebuild the index or "
+            "restrict the batch to inserts"
+        )
+    assigned = ivf_assign(
+        new_vecs.select(id_col, vec_col), idx["centroids"],
+        id_col=id_col, vec_col=vec_col, n_probe=1,
+    ).localCheckpoint(eager=True)
+    # delta agg BEFORE the lists append (k×dim rows to the driver)
+    d_agg = {
+        r["cluster"]: (r["cnt"], np.asarray(r["sums"], dtype=np.float64))
+        for r in _ivf_cluster_agg(assigned, vec_col).collect()
+    }
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        f"{path}/lists"
+    )
+    # merged running aggregates (driver-side: 2·k rows of dim floats)
+    o_agg = {
+        r["cluster"]: (r["cnt"], np.asarray(r["sums"], dtype=np.float64))
+        for r in (idx["agg"].collect() if idx["agg"] is not None else [])
+    }
+    dim = int(spec["dim"])
+    merged = {}
+    for c in set(o_agg) | set(d_agg):
+        oc, osum = o_agg.get(c, (0, np.zeros(dim)))
+        dc, dsum = d_agg.get(c, (0, np.zeros(dim)))
+        merged[c] = (int(oc) + int(dc), osum + dsum)
+    spark.createDataFrame(
+        [
+            (int(c), int(cnt), [float(x) for x in sums])
+            for c, (cnt, sums) in sorted(merged.items())
+        ],
+        "cluster int, cnt long, sums array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/agg__new")
+    _replace_dir(spark, f"{path}/agg__new", f"{path}/agg")
+    # drift: implied means vs the frozen centroids
+    c_mat = np.asarray(idx["centroids"], dtype=np.float64)
+    min_cos = 1.0
+    for c, (cnt, sums) in merged.items():
+        if cnt <= 0:
+            continue
+        mean = sums / cnt
+        denom = np.linalg.norm(mean) * np.linalg.norm(c_mat[c])
+        if denom > 0:
+            min_cos = min(min_cos, float(mean @ c_mat[c] / denom))
+    n_new = int(spec["n"]) + int(probe["n"])
+    appended = int(spec["appended"]) + int(probe["n"])
+    frac = appended / max(1, n_new)
+    needs_rebuild = (
+        frac >= rebuild_append_fraction or min_cos < rebuild_drift_cos
+    )
+    spark.createDataFrame(
+        [(dim, int(spec["n_clusters"]), n_new, appended)],
+        "dim int, n_clusters int, n long, appended long",
+    ).write.mode("overwrite").parquet(f"{path}/spec__new")
+    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
+    from eea_crawler_spark.operators.dedup import _release_local_checkpoint
+
+    _release_local_checkpoint(assigned)
+    return {
+        "appended": int(probe["n"]),
+        "appended_fraction": frac,
+        "min_centroid_cos": min_cos,
+        "needs_rebuild": int(needs_rebuild),
+    }
+
+
+def ivf_topk_state(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN top-k from the PERSISTED IVF index: the queries'
+    ``n_probe`` nearest lists are computed driver-side (queries are
+    broadcast-sized by the family contract) and the lists relation is
+    read with ``cluster IN (probed)`` — a physical partition-pruning
+    filter, so only the probed inverted lists are scanned at all
+    (pinned in tests). Scoring then reuses ``ivf_topk`` with the
+    standing centroids: rows outside a given query's own probe set are
+    masked per query, so the result is EXACTLY
+    ``ivf_topk(full_corpus, queries, centroids=standing, n_probe)`` —
+    pre-pruning only removes rows no query probes. With
+    ``n_probe >= n_clusters`` it equals ``brute_force_topk`` on
+    everything indexed (build + appends), the oracle-checked property.
+    """
+    idx = read_ivf_index(spark, path)
+    centroids = idx["centroids"]
+    n_probe = min(n_probe, len(centroids))
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    q_rows = queries.select(vec_col).collect()
+    if not q_rows:
+        return _fused_topk(
+            idx["lists"].select(id_col, vec_col).limit(0), queries, k,
+            id_col, vec_col,
+        )
+    q_mat = _vec_matrix(list(r[vec_col]) for r in q_rows)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    probed = sorted(
+        int(c)
+        for c in np.unique(
+            _nearest_centroids(q_mat, q_nrm, c_mat, c_nrm, n_probe)
+        )
+    )
+    pruned = idx["lists"].filter(F.col("cluster").isin(probed)).select(
+        id_col, vec_col
+    )
+    return ivf_topk(
+        pruned, queries, k=k, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, centroids=centroids,
+    )
 
 
 def ivf_topk(

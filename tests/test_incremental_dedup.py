@@ -699,3 +699,85 @@ def test_append_embedding_state_equals_rebuild(spark, tmp_path):
         ).collect()
     }
     assert pa == pr and pa
+
+
+def test_append_embedding_state_refuses_legacy_layout(spark, tmp_path):
+    """A pre-round-10 state (vectors on band rows, no vectors relation)
+    must be REFUSED, not silently mixed: appending id-only signed rows
+    into it would leave null vec columns on read and skip the
+    strictly-new-ids clash check entirely (round-10 ADVICE, medium)."""
+    import shutil
+
+    new, corpus = _mk_vecs(spark, n=80, dim=16, seed=11)
+    p = str(tmp_path / "legacy")
+    SIM.build_embedding_state(
+        corpus, p, expected_delta_rows=20, threshold=0.9
+    )
+    shutil.rmtree(f"{p}/vectors")  # simulate the legacy layout
+    with pytest.raises(ValueError, match="legacy"):
+        DD.append_embedding_state(spark, p, new)
+
+
+def test_replace_dir_crash_windows_recoverable(spark, tmp_path):
+    """_replace_dir crash discipline (round-10 ADVICE): a crash between
+    the aside-rename and the swap-in leaves dst missing but __new
+    present — readers must recover via the __new fallback instead of
+    silently degrading (text state) or crashing (embedding spec)."""
+    import os
+    import shutil
+
+    new, corpus = _mk_docs(spark, n_docs=60)
+    p = str(tmp_path / "txt")
+    DD.build_text_dedup_state(corpus, p, threshold=THRESH, max_df=20)
+    healthy = DD.read_text_dedup_state_full(spark, p)
+    want_df = sorted(
+        (r["shingle"], r["df"]) for r in healthy["prefix_df"].collect()
+    )
+    # simulate the mid-swap window: prefix_df renamed aside (gone),
+    # the fully-written __new copy present
+    shutil.move(f"{p}/prefix_df", f"{p}/prefix_df__new")
+    recovered = DD.read_text_dedup_state_full(spark, p)
+    assert "prefix_df" in recovered, "reader must fall back to __new"
+    got_df = sorted(
+        (r["shingle"], r["df"]) for r in recovered["prefix_df"].collect()
+    )
+    assert got_df == want_df
+    # embedding spec: same window on the swapped spec relation
+    vnew, vcorp = _mk_vecs(spark, n=60, dim=16, seed=12)
+    pe = str(tmp_path / "emb")
+    SIM.build_embedding_state(
+        vcorp, pe, expected_delta_rows=15, threshold=0.9
+    )
+    spec_before = SIM.read_embedding_state(spark, pe)["spec"]
+    shutil.move(f"{pe}/spec", f"{pe}/spec__new")
+    assert SIM.read_embedding_state(spark, pe)["spec"] == spec_before
+    # the next successful swap heals the layout and clears leftovers:
+    # restore and run a real swap with a stale __old lying around
+    shutil.move(f"{pe}/spec__new", f"{pe}/spec")
+    os.makedirs(f"{p}/prefix_df__old/stale", exist_ok=True)
+    DD._replace_dir(spark, f"{p}/prefix_df__new", f"{p}/prefix_df")
+    assert os.path.exists(f"{p}/prefix_df")
+    assert not os.path.exists(f"{p}/prefix_df__new")
+    assert not os.path.exists(f"{p}/prefix_df__old")
+    again = DD.read_text_dedup_state_full(spark, p)
+    assert sorted(
+        (r["shingle"], r["df"]) for r in again["prefix_df"].collect()
+    ) == want_df
+
+
+def test_append_text_retry_after_partial_crash_is_detected(spark, tmp_path):
+    """Crash-retry contract (round-10 ADVICE): ``keys`` is appended
+    FIRST among the row-wise appends, so retrying a batch whose first
+    attempt crashed after ANY row-wise append trips the strictly-new
+    clash check — it can never silently append arrays/sigs twice."""
+    new, corpus = _mk_docs(spark, n_docs=60)
+    p = str(tmp_path / "crashy")
+    DD.build_text_dedup_state(corpus, p, threshold=THRESH, max_df=20)
+    # simulate the narrowest crash: the keys append landed, nothing else
+    delta_keys = new.select(
+        F.col("doc_id").alias("id"),
+        F.substring(DD.clean_html(F.col("text")), 1, 20).alias("key"),
+    )
+    delta_keys.write.mode("append").parquet(f"{p}/keys")
+    with pytest.raises(ValueError, match="strictly-NEW"):
+        DD.append_text_dedup_state(spark, p, new)
