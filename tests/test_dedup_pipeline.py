@@ -289,3 +289,134 @@ def test_stale_ledger_rebuild_trigger(spark, tmp_path):
     )
     # deletions count into the ledger too
     assert r3["stale_total"] == 1 and r3["needs_rebuild"] == 0
+
+
+def test_rebuild_trigger_status_event_and_auto_rebuild(spark, tmp_path):
+    """Round-10 verdict #1: the trigger is OBSERVABLE (a needs_rebuild
+    event lands on the status stream) and, with rebuild_on_trigger +
+    a corpus relation, ACTED ON (in-line bootstrap resets the ledger
+    and reports rebuilt=1)."""
+    from eea_crawler_spark.pipeline import (
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"doc{i}w{j}" for j in range(40)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    status = str(tmp_path / "status")
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "state"),
+        clusters_path=str(tmp_path / "clusters"),
+        flags_path=str(tmp_path / "flags"),
+        text_col="text",
+        rebuild_stale_fraction=0.1,  # 2 of 20 docs
+        status_path=status,
+        rebuild_on_trigger=True,
+    )
+    bootstrap_dedup_maintenance(spark, dcfg, docs, id_col="doc_id")
+    mod = docs.filter(F.col("doc_id") < 3).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" edited"))
+    )
+    # the post-edit corpus the rebuild would index
+    corpus = docs.filter(F.col("doc_id") >= 3).unionByName(mod)
+    r = run_dedup_maintenance(
+        spark, dcfg, mod, id_col="doc_id", corpus=corpus
+    )
+    # trigger fired (3/20 >= 0.1), the event landed, the rebuild ran
+    assert r["rebuilt"] == 1
+    assert r["needs_rebuild"] == 0 and r["stale_total"] == 0
+    events = {
+        (e["task_name"], e["status"])
+        for e in spark.read.parquet(status).collect()
+    }
+    assert ("dedup:ngram", "needs_rebuild") in events
+    # the ledger is gone, so the next nightly starts from zero stale
+    mod2 = docs.filter(F.col("doc_id") == 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    )
+    r2 = run_dedup_maintenance(spark, dcfg, mod2, id_col="doc_id",
+                               corpus=corpus)
+    assert r2["stale_total"] == 1 and r2["needs_rebuild"] == 0
+    assert r2["rebuilt"] == 0
+    # without a corpus the opt-in is a loud error, not a silent skip
+    dcfg2 = DedupConfig(
+        state_path=dcfg.state_path,
+        clusters_path=dcfg.clusters_path,
+        flags_path=dcfg.flags_path,
+        text_col="text",
+        rebuild_stale_fraction=0.01,
+        rebuild_on_trigger=True,
+    )
+    mod3 = docs.filter(F.col("doc_id") == 6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v3"))
+    )
+    with pytest.raises(ValueError, match="corpus"):
+        run_dedup_maintenance(spark, dcfg2, mod3, id_col="doc_id")
+
+
+def test_stale_ledger_compaction_preserves_trigger(spark, tmp_path):
+    """Round-10 verdict #4: past max_files nightly appends the ledger
+    folds to one distinct relation — same distinct id set, same
+    trigger arithmetic, fewer files."""
+    import os
+
+    from eea_crawler_spark.pipeline import _compact_stale_ledger
+
+    ledger = str(tmp_path / "state" / "stale_ids")
+    ids = spark.createDataFrame(
+        [(i,) for i in range(10)], "id long"
+    )
+    # 6 nightly appends with overlapping ids
+    for k in range(6):
+        ids.filter((F.col("id") >= k) & (F.col("id") < k + 4)).coalesce(
+            1
+        ).write.mode("append").parquet(ledger)
+    want = {
+        r["id"] for r in spark.read.parquet(ledger).distinct().collect()
+    }
+    files = lambda: [  # noqa: E731
+        f for f in os.listdir(ledger) if f.endswith(".parquet")
+    ]
+    assert len(files()) == 6
+    # under the cap: no-op
+    assert _compact_stale_ledger(spark, ledger, max_files=16) is False
+    assert len(files()) == 6
+    # over the cap: folds, set preserved
+    assert _compact_stale_ledger(spark, ledger, max_files=4) is True
+    assert len(files()) < 6
+    got = {
+        r["id"] for r in spark.read.parquet(ledger).distinct().collect()
+    }
+    assert got == want
+    # missing ledger: clean no-op
+    assert _compact_stale_ledger(
+        spark, str(tmp_path / "nope"), max_files=1
+    ) is False
+
+
+def test_sync_dedup_leg_missing_column_raises(spark, env):
+    """Round-10 ADVICE: when cfg.dedup is set but the configured data
+    column is absent from a non-empty normalized batch, the leg must
+    raise — a silent empty-delta substitution would let new docs skip
+    the probe AND the serving state forever."""
+    paths, dcfg, cfg = env
+    site = DupSite()
+    run_sync(spark, cfg, paths, site)  # bootstrap with text_col=title
+    # a new doc arrives, but the config now names a column the
+    # normalizer does not produce
+    site._add(9, _title(_BASE_A, 1), modified="2024-03-03")
+    bad = DedupConfig(
+        state_path=dcfg.state_path,
+        clusters_path=dcfg.clusters_path,
+        flags_path=dcfg.flags_path,
+        text_col="no_such_column",
+        threshold=0.8,
+    )
+    cfg_bad = SyncConfig(site_url=SITE, site_id="eea", dedup=bad)
+    with pytest.raises(ValueError, match="no_such_column"):
+        run_sync(spark, cfg_bad, paths, site)

@@ -212,3 +212,44 @@ def test_incremental_sync_normalize_is_semi_join_pruned(spark, sf_dir, tmp_path)
     )
     plan = _plan(common_normalizer(raw_ok, DEFAULT_CONFIG))
     assert "LeftSemi" in plan  # id pruning happens below the chain
+
+
+def test_with_dedup_flags_join_broadcasts_sidecar(spark, tmp_path):
+    """The flags sidecar join is the hot path every training-data read
+    pays (round-10 verdict #5): at serving sizes the 3-column sidecar
+    must arrive broadcast — the docs (fact) side never shuffles. The
+    crossover past broadcast range (~10⁸–10⁹ flag rows) is documented
+    on with_dedup_flags; we pin the CURRENT plan, not a forced
+    broadcast hint, so the at-scale fallback stays available.
+    """
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.pipeline import DedupConfig, with_dedup_flags
+    from eea_crawler_spark.sinks import indexes as SK
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("id"),
+        F.lit("body").alias("fulltext"),
+    )
+    flags = spark.range(500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("id"),
+        F.concat(F.lit("d"), F.col("id") % 7).alias("cluster_id"),
+        (F.col("id") % 7 == 0).alias("keep"),
+        F.current_timestamp().alias("updated_at"),
+    )
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "s"),
+        clusters_path=str(tmp_path / "c"),
+        flags_path=str(tmp_path / "flags"),
+    )
+    SK.upsert_index(
+        spark, dcfg.flags_path, flags, key="id",
+        order_col="updated_at", unique_keys=True,
+    )
+    out = with_dedup_flags(spark, docs, dcfg)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # and the defaulting logic holds: unflagged docs are singletons
+    row = out.filter(F.col("id") == "d1500").first()
+    assert row["cluster_id"] == "d1500" and row["keep"] is True
