@@ -51,6 +51,12 @@ def main() -> None:
         "vectors parquet like .scale/neardup768; id col vec_id)",
     )
     ap.add_argument("--cos-threshold", type=float, default=0.9)
+    ap.add_argument(
+        "--rebuild-leg", action="store_true",
+        help="after the nightly legs, run a modified-docs night sized "
+        "past the stale trigger with rebuild_on_trigger: measures the "
+        "rebuild-at-trigger wall (round-10 verdict #1c)",
+    )
     args = ap.parse_args()
 
     emb_mode = args.method == "embedding"
@@ -127,6 +133,48 @@ def main() -> None:
     night2 = run_dedup_maintenance(spark, dcfg, empty, id_col=id_col)
     out["nightly_empty_sec"] = round(time.perf_counter() - t0, 1)
     out["nightly_empty"] = night2
+
+    if args.rebuild_leg:
+        # night 3: a MODIFIED slice sized just past the stale trigger
+        # (rebuild_stale_fraction of the standing corpus, default 5%).
+        # The leg probes the modified docs, ledgers them, trips the
+        # trigger and — rebuild_on_trigger — runs the in-line rebuild
+        # (bootstrap over the post-edit corpus, ledger reset). The wall
+        # is what a 100-TB operator pays the night compaction fires.
+        from dataclasses import replace as _dc_replace
+
+        n_mod = int(dcfg.rebuild_stale_fraction * (n_corpus + n_delta)) + 1
+        mod_col = "text" if not emb_mode else "embedding"
+        standing = corpus.unionByName(delta)
+        if emb_mode:
+            mod = standing.limit(n_mod).withColumn(
+                mod_col,
+                F.transform(
+                    F.col(mod_col),
+                    lambda x: (x * F.lit(1.001)).cast("float"),
+                ),
+            )
+        else:
+            mod = standing.limit(n_mod).withColumn(
+                mod_col, F.concat(F.col(mod_col), F.lit(" edited-tok"))
+            )
+        mod = mod.localCheckpoint(eager=True)
+        mod_ids = mod.select(id_col)
+        post_corpus = standing.join(
+            mod_ids, [id_col], "left_anti"
+        ).unionByName(mod)
+        dcfg_rb = _dc_replace(dcfg, rebuild_on_trigger=True)
+        t0 = time.perf_counter()
+        night3 = run_dedup_maintenance(
+            spark, dcfg_rb, mod, id_col=id_col, corpus=post_corpus
+        )
+        out["rebuild_leg_sec"] = round(time.perf_counter() - t0, 1)
+        out["rebuild_leg"] = night3
+        out["rebuild_mod_rows"] = n_mod
+        print(
+            f"rebuild-at-trigger {out['rebuild_leg_sec']}s {night3}",
+            file=sys.stderr,
+        )
 
     print(json.dumps(out))
     if not args.keep_work and os.path.exists(args.work):
