@@ -2084,9 +2084,12 @@ def append_ivf_index(
         r["cluster"]: (r["cnt"], np.asarray(r["sums"], dtype=np.float64))
         for r in _ivf_cluster_agg(assigned, vec_col).collect()
     }
-    assigned.write.mode("append").partitionBy("cluster").parquet(
-        f"{path}/lists"
-    )
+    # repartition on the partition column before the dynamic-partition
+    # append (same file hygiene as the build): one file per touched
+    # cluster dir instead of input_tasks × clusters
+    assigned.repartition("cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(f"{path}/lists")
     # merged running aggregates (driver-side: 2·k rows of dim floats)
     o_agg = {
         r["cluster"]: (r["cnt"], np.asarray(r["sums"], dtype=np.float64))
