@@ -397,10 +397,14 @@ def ann_ivf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
     tmp = tempfile.mkdtemp(prefix="ivf_state_")
     try:
-        SIM.build_ivf_index(corpus, tmp, n_clusters=16, n_iter=2)
+        # gate-sized parameters: probe-all correctness is independent
+        # of centroid quality, so one Lloyd iteration over 8 lists
+        # keeps the per-rep job count (the cost driver at gate SF) low;
+        # scale parameters live in scripts/bench_ivf_index.py
+        SIM.build_ivf_index(corpus, tmp, n_clusters=8, n_iter=1)
         SIM.append_ivf_index(spark, tmp, new)
         out = SIM.ivf_topk_state(
-            spark, tmp, queries, k=ANN_K, n_probe=16
+            spark, tmp, queries, k=ANN_K, n_probe=8
         )
         # materialize before the index dir is removed — the driver
         # collects AFTER this callable returns
