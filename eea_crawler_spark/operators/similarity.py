@@ -2149,6 +2149,7 @@ def ivf_topk_state(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from the PERSISTED IVF index: the queries'
     ``n_probe`` nearest lists are computed driver-side (queries are
@@ -2162,6 +2163,14 @@ def ivf_topk_state(
     pre-pruning only removes rows no query probes. With
     ``n_probe >= n_clusters`` it equals ``brute_force_topk`` on
     everything indexed (build + appends), the oracle-checked property.
+
+    ``exclude_ids`` (one column named ``id_col``): indexed entries to
+    knock out before scoring — the serve-correctness valve for STALE
+    entries (a modified/deleted source row's old vector still sits in
+    its list until the next rebuild; serving it would return the OLD
+    vector's neighbors). ``pipeline.ann_search`` passes the stale
+    ledger here, so staleness degrades to absence, never to a wrong
+    answer.
     """
     idx = read_ivf_index(spark, path)
     centroids = idx["centroids"]
@@ -2185,6 +2194,13 @@ def ivf_topk_state(
     pruned = idx["lists"].filter(F.col("cluster").isin(probed)).select(
         id_col, vec_col
     )
+    if exclude_ids is not None:
+        # no broadcast hint: the exclusion set is ledger-bounded (≤ the
+        # rebuild trigger fraction) but can still be large at corpus
+        # scale — let the size estimate pick broadcast vs shuffle
+        pruned = pruned.join(
+            exclude_ids.select(id_col), [id_col], "left_anti"
+        )
     return ivf_topk(
         pruned, queries, k=k, n_probe=n_probe, id_col=id_col,
         vec_col=vec_col, centroids=centroids,

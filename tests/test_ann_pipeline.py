@@ -1,0 +1,219 @@
+"""The ANN serving-index leg composed into the pipeline (round 11) —
+the vector twin of the dedup leg: bootstrap → O(delta) append →
+stale-ledger triggers → serve-with-exclusion, plus the run_sync wiring
+over chunk embeddings (the reference's dense_vector serving surface,
+dags/lib/elastic.py:107-119)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eea_crawler_spark.pipeline import (
+    AnnConfig,
+    ann_search,
+    run_ann_maintenance,
+)
+
+
+def _mk_vecs(spark, n=120, dim=12, seed=4, id_start=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((6, dim)) * 3.0
+    rows = [
+        (
+            f"c{id_start + i}",
+            [float(x) for x in centers[i % 6] + 0.1 * rng.standard_normal(dim)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "chunk_id string, embedding array<float>"
+    )
+
+
+def test_ann_maintenance_lifecycle(spark, tmp_path):
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"),
+        n_clusters=4,
+        n_iter=1,
+        rebuild_stale_fraction=0.2,
+        status_path=str(tmp_path / "status"),
+    )
+    corpus = _mk_vecs(spark, n=120, seed=4)
+    # 1. bootstrap: no index yet -> built from the corpus
+    r0 = run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    assert r0["built"] == 120
+    # 2. nightly: fresh ids append, no staleness
+    fresh = _mk_vecs(spark, n=10, seed=5, id_start=1000)
+    r1 = run_ann_maintenance(spark, acfg, fresh)
+    assert r1["appended"] == 10 and r1["stale"] == 0
+    assert r1["needs_rebuild"] == 0
+    # the appended rows are servable, exactly
+    from eea_crawler_spark.operators import similarity as SIM
+
+    q = fresh.limit(3)
+    got = ann_search(spark, acfg, q, k=3, n_probe=4).collect()
+    want = SIM.brute_force_topk(
+        corpus.unionByName(fresh), q, k=3,
+        id_col="chunk_id", vec_col="embedding",
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # 3. a MODIFIED id (standing, new vector) is ledgered and excluded
+    # from serving — the old vector is never served
+    mod = corpus.filter(F.col("chunk_id") == "c0").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(9.0)).cast("float")),
+    )
+    r2 = run_ann_maintenance(spark, acfg, mod)
+    assert r2["appended"] == 0 and r2["stale"] == 1
+    assert r2["stale_total"] == 1
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, corpus.limit(5), k=130,
+                            n_probe=4).collect()
+    }
+    assert "c0" not in served
+    # 4. deletions ledger too; enough staleness trips the trigger and
+    # the status event lands
+    doomed = corpus.filter(
+        F.col("chunk_id").isin([f"c{i}" for i in range(1, 30)])
+    ).select("chunk_id")
+    r3 = run_ann_maintenance(spark, acfg, None, deleted_ids=doomed)
+    assert r3["stale"] == 29 and r3["stale_total"] == 30
+    assert r3["needs_rebuild"] == 1  # 30/130 >= 0.2
+    events = {
+        (e["task_name"], e["status"])
+        for e in spark.read.parquet(acfg.status_path).collect()
+    }
+    assert ("ann:ivf", "needs_rebuild") in events
+    # 5. rebuild_on_trigger: the in-line rebuild over the live corpus
+    # resets the ledger and re-serves the modified id's NEW vector
+    live = (
+        corpus.filter(~F.col("chunk_id").isin([f"c{i}" for i in range(30)]))
+        .unionByName(fresh)
+        .unionByName(mod)
+    )
+    acfg_rb = AnnConfig(
+        index_path=acfg.index_path,
+        n_clusters=4,
+        n_iter=1,
+        rebuild_stale_fraction=0.0001,
+        rebuild_on_trigger=True,
+    )
+    extra = _mk_vecs(spark, n=2, seed=6, id_start=2000)
+    r4 = run_ann_maintenance(
+        spark, acfg_rb, extra, corpus=live.unionByName(extra)
+    )
+    assert r4["rebuilt"] == 1 and r4["needs_rebuild"] == 0
+    assert r4["stale_total"] == 0
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, mod, k=1, n_probe=4).collect()
+    }
+    # c0's new vector is indexed again (its own nearest is no longer
+    # excluded; self-match is excluded by the kernel, so check presence
+    # in the index through a probe-all serve over a far query)
+    all_ids = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, extra.limit(1), k=200,
+                            n_probe=4).collect()
+    }
+    assert "c0" in all_ids
+
+
+def test_sync_ann_leg_e2e(spark, tmp_path):
+    """run_sync wiring: chunk embeddings feed the index (bootstrap on
+    first sync, O(delta) append on later ones); deleting a doc removes
+    its chunk rows from the chunks table and ledgers them stale."""
+    from eea_crawler_spark.pipeline import SyncConfig, SyncPaths, run_sync
+    from eea_crawler_spark.sinks import lakehouse as LK
+    from tests.test_dedup_pipeline import SITE, DupSite
+
+    paths = SyncPaths(
+        raw=str(tmp_path / "raw"),
+        searchui=str(tmp_path / "searchui"),
+        quarantine=str(tmp_path / "quarantine"),
+        status=str(tmp_path / "status"),
+        chunks=str(tmp_path / "chunks"),
+    )
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=2, n_iter=1
+    )
+    cfg = SyncConfig(site_url=SITE, site_id="eea", embed=True, ann=acfg)
+    site = DupSite()
+    d = lambda i: f"{SITE}/d{i}"  # noqa: E731
+
+    r1 = run_sync(spark, cfg, paths, site)
+    assert r1["fetched"] == 8
+    n_chunks = LK.read_table(spark, paths.chunks).count()
+    assert r1["ann_built"] == n_chunks > 0
+
+    # run 2: a new doc arrives -> its chunks APPEND (no rebuild)
+    site._add(9, "brand new body " * 30, modified="2024-02-02")
+    r2 = run_sync(spark, cfg, paths, site)
+    assert r2["ann_appended"] > 0 and r2["ann_rebuilt"] == 0
+    assert r2["ann_stale"] == 0
+
+    # run 3: delete a doc -> chunks table loses its rows, index
+    # ledgers them stale, serving excludes them
+    del site.docs[d(9)]
+    r3 = run_sync(spark, cfg, paths, site)
+    assert r3["deleted"] == 1
+    assert r3["ann_stale"] > 0
+    chunk_ids = {
+        r["chunk_id"] for r in LK.read_table(spark, paths.chunks).collect()
+    }
+    assert not any(c.startswith(d(9)) for c in chunk_ids)
+    q = (
+        LK.read_table(spark, paths.chunks)
+        .select("chunk_id", "embedding")
+        .limit(1)
+    )
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, q, k=500, n_probe=2).collect()
+    }
+    assert served and not any(c.startswith(d(9)) for c in served)
+
+
+def test_ann_maintenance_modified_then_rebuild_serves_new_vector(
+    spark, tmp_path
+):
+    """The staleness contract end-to-end: before rebuild the modified
+    id is absent from serving; after rebuild its NEW vector's
+    neighbors are served (never the old vector's)."""
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=2, n_iter=1,
+        rebuild_stale_fraction=1.0,
+    )
+    corpus = _mk_vecs(spark, n=40, dim=8, seed=10)
+    run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    mod = corpus.filter(F.col("chunk_id") == "c3").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x * F.lit(-1.0)).cast("float")),
+    )
+    run_ann_maintenance(spark, acfg, mod)
+    # absent while stale
+    got = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, corpus.limit(8), k=50,
+                            n_probe=2).collect()
+    }
+    assert "c3" not in got
+    # rebuild over the live corpus (with the new vector)
+    live = corpus.filter(F.col("chunk_id") != "c3").unionByName(mod)
+    from eea_crawler_spark.operators import similarity as SIM
+
+    SIM.build_ivf_index(
+        live, acfg.index_path, n_clusters=2, n_iter=1,
+        id_col="chunk_id", vec_col="embedding",
+    )
+    from eea_crawler_spark.operators.dedup import _fs_delete
+
+    _fs_delete(spark, f"{acfg.index_path}/stale_ids")
+    got = ann_search(spark, acfg, mod, k=50, n_probe=2).collect()
+    want = SIM.brute_force_topk(
+        live, mod, k=50, id_col="chunk_id", vec_col="embedding"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
