@@ -1966,7 +1966,11 @@ def build_ivf_index(
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids,
         id_col=id_col, vec_col=vec_col, n_probe=1,
-    )
+    ).withColumn("vec_hash", F.xxhash64(vec_col))
+    # vec_hash: a narrow fingerprint of the stored vector, so the
+    # pipeline's nightly staleness check (did a re-delivered id's
+    # vector actually change?) scans (id, hash) — ~16 B/row — instead
+    # of the wide vector column
     (
         assigned.repartition("cluster")
         .write.mode("overwrite")
@@ -2078,7 +2082,9 @@ def append_ivf_index(
     assigned = ivf_assign(
         new_vecs.select(id_col, vec_col), idx["centroids"],
         id_col=id_col, vec_col=vec_col, n_probe=1,
-    ).localCheckpoint(eager=True)
+    ).withColumn("vec_hash", F.xxhash64(vec_col)).localCheckpoint(
+        eager=True
+    )
     # delta agg BEFORE the lists append (k×dim rows to the driver)
     d_agg = {
         r["cluster"]: (r["cnt"], np.asarray(r["sums"], dtype=np.float64))

@@ -1480,11 +1480,38 @@ def run_ann_maintenance(
         )
     else:
         app = {"appended": 0, "needs_rebuild": 0}
-    # stale ledger: modified (standing ids re-delivered with a new
-    # vector) + deleted
-    stale_now = delta.select(acfg.id_col).join(
-        standing, [acfg.id_col], "left_semi"
-    )
+    # stale ledger: standing ids re-delivered with a DIFFERENT vector
+    # + deleted. The vector-equality filter matters for precision: a
+    # doc edit re-embeds ALL its chunks but typically changes few —
+    # ledgering identical re-deliveries would both inflate the rebuild
+    # cadence and needlessly EXCLUDE those ids from serving. The check
+    # compares the lists' stored ``vec_hash`` fingerprint (a narrow
+    # (id, hash) scan — the corpus's wide vector column never reads)
+    # against the delivered vectors' hashes; pre-hash lists fall back
+    # to array equality.
+    if "vec_hash" in lists.columns:
+        stale_now = (
+            delta.withColumn("__vh", F.xxhash64(acfg.vec_col))
+            .join(
+                lists.select(
+                    acfg.id_col, F.col("vec_hash").alias("__standing")
+                ),
+                [acfg.id_col],
+            )
+            .filter(F.col("__vh") != F.col("__standing"))
+            .select(acfg.id_col)
+        )
+    else:
+        stale_now = (
+            delta.join(
+                lists.select(
+                    acfg.id_col, F.col(acfg.vec_col).alias("__standing")
+                ),
+                [acfg.id_col],
+            )
+            .filter(F.col(acfg.vec_col) != F.col("__standing"))
+            .select(acfg.id_col)
+        )
     if deleted_ids is not None:
         stale_now = stale_now.unionByName(deleted_ids.select(acfg.id_col))
     n_stale = stale_now.count()

@@ -59,6 +59,12 @@ def test_ann_maintenance_lifecycle(spark, tmp_path):
         id_col="chunk_id", vec_col="embedding",
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # 2b. an UNCHANGED re-delivery (same id, identical vector — a doc
+    # edit re-embeds all its chunks but changes few) is NOT ledgered
+    # and stays served
+    r1b = run_ann_maintenance(spark, acfg, corpus.limit(4))
+    assert r1b["appended"] == 0 and r1b["stale"] == 0
+    assert r1b["stale_total"] == 0
     # 3. a MODIFIED id (standing, new vector) is ledgered and excluded
     # from serving — the old vector is never served
     mod = corpus.filter(F.col("chunk_id") == "c0").withColumn(
