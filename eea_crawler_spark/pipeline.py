@@ -532,6 +532,7 @@ def run_sync(
         n_norm = 0
     _mark("n_norm")
     chunks_batch = None
+    vanished_chunks = None
     if n_norm:
         SK.upsert_index(
             spark, paths.searchui, searchui, key="id",
@@ -556,6 +557,29 @@ def run_sync(
                     "indexed_at": F.current_timestamp(),
                 }
             )
+            # exact per-doc replacement (the reference rewrites a doc's
+            # nlp_250 list wholesale, normalizer.py:40-112): chunk ids
+            # a re-chunked doc no longer produces (the doc shortened)
+            # must leave the table, or stale chunks pollute search and
+            # the ANN index serves vectors for text that no longer
+            # exists. Narrow scan: id + chunk_id columns only.
+            vanished_chunks = None
+            if LK.table_exists(paths.chunks):
+                vanished_chunks = (
+                    LK.read_table(spark, paths.chunks)
+                    .join(
+                        F.broadcast(searchui.select("id")), ["id"],
+                        "left_semi",
+                    )
+                    .select("chunk_id")
+                    .join(
+                        chunks_batch.select("chunk_id"), ["chunk_id"],
+                        "left_anti",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                if vanished_chunks.isEmpty():
+                    vanished_chunks = None
             if cfg.ann is not None:
                 # the ANN leg below consumes the batch after the chunks
                 # MERGE may have rewritten the table's files
@@ -565,6 +589,11 @@ def run_sync(
                 order_col="indexed_at", backend=cfg.state_backend,
                 n_buckets=cfg.state_buckets, unique_keys=True,
             )
+            if vanished_chunks is not None:
+                SK.delete_from_index(
+                    spark, paths.chunks, vanished_chunks,
+                    key="chunk_id", backend=cfg.state_backend,
+                )
 
     # 6. deletions (J2): apply the candidates the step-2b guard approved
     n_del = 0
@@ -602,7 +631,14 @@ def run_sync(
                 spark, paths.chunks, doomed.select("id"),
                 key="id", backend=cfg.state_backend,
             )
-        if chunks_batch is not None or doomed_chunks is not None:
+        gone_chunks = doomed_chunks
+        if vanished_chunks is not None:
+            v = vanished_chunks.withColumnRenamed("chunk_id", cfg.ann.id_col)
+            gone_chunks = (
+                v if gone_chunks is None
+                else gone_chunks.unionByName(v)
+            )
+        if chunks_batch is not None or gone_chunks is not None:
             ann = run_ann_maintenance(
                 spark, cfg.ann,
                 (
@@ -610,7 +646,7 @@ def run_sync(
                     if chunks_batch is not None
                     else None
                 ),
-                deleted_ids=doomed_chunks,
+                deleted_ids=gone_chunks,
                 status_path=cfg.ann.status_path or paths.status,
                 # rebuild/bootstrap corpus: the post-merge chunks table
                 # (lazy — only read when bootstrapping or the trigger
@@ -716,10 +752,15 @@ def run_sync(
         docs_cnt=n_norm,
     )
     _mark("status_finish")
-    if chunks_batch is not None and cfg.ann is not None:
+    if (chunks_batch is not None and cfg.ann is not None) or (
+        vanished_chunks is not None
+    ):
         from eea_crawler_spark.operators import dedup as _DD
 
-        _DD._release_local_checkpoint(chunks_batch)
+        if chunks_batch is not None and cfg.ann is not None:
+            _DD._release_local_checkpoint(chunks_batch)
+        if vanished_chunks is not None:
+            _DD._release_local_checkpoint(vanished_chunks)
     return {
         "fetched": n_fetched,
         "normalized": n_norm,

@@ -171,16 +171,54 @@ def test_sync_ann_leg_e2e(spark, tmp_path):
         r["chunk_id"] for r in LK.read_table(spark, paths.chunks).collect()
     }
     assert not any(c.startswith(d(9)) for c in chunk_ids)
-    q = (
+    # materialize the query row: the chunks table's files are rewritten
+    # by later merges, so a lazy read would dangle
+    q_row = (
         LK.read_table(spark, paths.chunks)
         .select("chunk_id", "embedding")
-        .limit(1)
+        .first()
+    )
+    q = spark.createDataFrame(
+        [(q_row["chunk_id"], [float(x) for x in q_row["embedding"]])],
+        "chunk_id string, embedding array<float>",
     )
     served = {
         r["chunk_id"]
         for r in ann_search(spark, acfg, q, k=500, n_probe=2).collect()
     }
     assert served and not any(c.startswith(d(9)) for c in served)
+
+    # run 4: a doc SHRINKS (600 words -> 80): its re-chunking produces
+    # fewer chunks — the vanished chunk ids must leave the chunks
+    # table (exact per-doc replacement, the reference rewrites the
+    # nlp_250 list wholesale) and join the ANN stale ledger
+    site._add(10, "long body word " * 200, modified="2024-04-04")
+    r4 = run_sync(spark, cfg, paths, site)
+    assert r4["fetched"] == 1
+    d10 = {
+        r["chunk_id"]
+        for r in LK.read_table(spark, paths.chunks)
+        .filter(F.col("id") == d(10))
+        .collect()
+    }
+    assert len(d10) >= 2, "fixture must produce a multi-chunk doc"
+    site._add(10, "short body " * 8, modified="2024-05-05")
+    r5 = run_sync(spark, cfg, paths, site)
+    assert r5["fetched"] == 1
+    d10_after = {
+        r["chunk_id"]
+        for r in LK.read_table(spark, paths.chunks)
+        .filter(F.col("id") == d(10))
+        .collect()
+    }
+    assert len(d10_after) < len(d10)
+    vanished = d10 - d10_after
+    assert vanished and r5["ann_stale"] >= len(vanished)
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, q, k=500, n_probe=2).collect()
+    }
+    assert served.isdisjoint(vanished)
 
 
 def test_ann_maintenance_modified_then_rebuild_serves_new_vector(
