@@ -1663,11 +1663,41 @@ def _read_rel(spark, path: str, rel: str) -> DataFrame | None:
     missing — the mid-swap ``_replace_dir`` window (old renamed aside,
     new not yet renamed in). The ``__new`` dir is always a complete,
     newer copy by the write discipline, so reading it is safe; the
-    next successful swap heals the layout."""
+    next successful swap heals the layout.
+
+    Deliberately non-mutating: a concurrent writer may be mid-swap, and
+    a reader renaming ``__new`` into place under it would make the
+    writer's own rename fail. WRITERS heal eagerly instead
+    (``_heal_rel`` — single-writer posture makes that race-free)."""
     df = _try_read_parquet(spark, f"{path}/{rel}")
     if df is None:
         df = _try_read_parquet(spark, f"{path}/{rel}__new")
     return df
+
+
+def _heal_rel(spark, path: str, rel: str) -> bool:
+    """Repair a mid-swap ``_replace_dir`` crash layout IN PLACE: when
+    the primary ``{path}/{rel}`` is missing but ``{path}/{rel}__new``
+    exists (old renamed aside, new not yet renamed in), rename the
+    ``__new`` dir — always a complete, newer copy by the write
+    discipline — into the primary slot. The leftover ``__old`` aside is
+    left for the next swap to clear.
+
+    Writers MUST call this before (a) overwriting a ``__new`` tmp dir
+    whose contents a lazily-resolved ``_read_rel`` may still be reading
+    (the round-11 append deadlock: 'Cannot overwrite a path that is
+    also being read from'), and (b) any ``mode("append")`` to a
+    relation that compaction swaps (the stale ledgers) — appending into
+    a missing primary would otherwise create a FRESH dir and the
+    orphaned ``__new`` ids would be silently lost at the next
+    compaction's overwrite. Single-writer posture (documented on the
+    states) makes the heal race-free. True when a heal ran."""
+    fs, p = _hadoop_fs(spark, f"{path}/{rel}")
+    _, pnew = _hadoop_fs(spark, f"{path}/{rel}__new")
+    if not fs.exists(p) and fs.exists(pnew):
+        fs.rename(pnew, p)
+        return True
+    return False
 
 
 def append_text_dedup_state(
@@ -1718,6 +1748,14 @@ def append_text_dedup_state(
 
     Returns ``{"appended": delta_rows, "tipped": n_tipped_shingles}``.
     """
+    # heal a mid-swap crash layout FIRST: read_text_dedup_state_full
+    # resolves a missing primary to its __new dir as a LAZY DataFrame,
+    # and the merge below would then overwrite that same __new path
+    # while still reading it (Spark refuses — the round-11 append
+    # deadlock). With the primary renamed back into place, the lazy
+    # reads and the tmp overwrites never collide.
+    for rel in ("prefix_df", "hp0", "spec"):
+        _heal_rel(spark, path, rel)
     state = read_text_dedup_state_full(spark, path)
     spec = state.get("spec")
     if spec is None or "keys" not in state:
@@ -1866,6 +1904,7 @@ def append_embedding_state(
     strictly-new-ids cadence as the text state."""
     from eea_crawler_spark.operators import similarity as _SIM
 
+    _heal_rel(spark, path, "spec")  # a crashed swap's __new back in place
     spec_df = _read_rel(spark, path, "spec")
     if spec_df is None:
         raise ValueError(f"no spec relation under {path!r} — not an "

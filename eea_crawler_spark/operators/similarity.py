@@ -2050,8 +2050,17 @@ def append_ivf_index(
     Strictly-new ids only (same contract as the dedup state appends).
     Returns ``{"appended", "appended_fraction", "min_centroid_cos",
     "needs_rebuild"}``."""
-    from eea_crawler_spark.operators.dedup import _read_rel, _replace_dir
+    from eea_crawler_spark.operators.dedup import (
+        _heal_rel,
+        _read_rel,
+        _replace_dir,
+    )
 
+    # heal crashed swaps before any read resolves to a __new dir this
+    # append would overwrite (writer-side heal; _read_rel stays
+    # non-mutating for concurrent serve paths)
+    for rel in ("spec", "agg"):
+        _heal_rel(spark, path, rel)
     idx = read_ivf_index(spark, path)
     spec = idx["spec"]
     probe = new_vecs.agg(

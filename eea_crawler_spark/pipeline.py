@@ -584,19 +584,32 @@ def run_sync(
                 # the ANN leg below consumes the batch after the chunks
                 # MERGE may have rewritten the table's files
                 chunks_batch = chunks_batch.localCheckpoint(eager=True)
+            if vanished_chunks is not None:
+                # delete BEFORE the upsert (round-11 ADVICE): the
+                # vanished ids are disjoint from the batch by
+                # construction, so the order is free — and a crash
+                # between the two steps then leaves the new chunks
+                # pending (repaired on the doc's next delivery) instead
+                # of the vanished ids PERMANENTLY in the table (the
+                # next run recomputes vanished only for its own docs)
+                SK.delete_from_index(
+                    spark, paths.chunks, vanished_chunks,
+                    key="chunk_id", backend=cfg.state_backend,
+                )
             SK.upsert_index(
                 spark, paths.chunks, chunks_batch, key="chunk_id",
                 order_col="indexed_at", backend=cfg.state_backend,
                 n_buckets=cfg.state_buckets, unique_keys=True,
             )
-            if vanished_chunks is not None:
-                SK.delete_from_index(
-                    spark, paths.chunks, vanished_chunks,
-                    key="chunk_id", backend=cfg.state_backend,
-                )
 
     # 6. deletions (J2): apply the candidates the step-2b guard approved
+    # — raw, searchui AND the chunks table (a deleted doc's chunks must
+    # leave search regardless of whether the ANN leg is configured;
+    # round-11 ADVICE hoisted this out of the cfg.ann guard). The chunk
+    # ids are collected FIRST, ANN-gated — they are the index's stale-
+    # ledger bookkeeping and need the pre-delete table.
     n_del = 0
+    doomed_chunks = None
     if allowed and doomed is not None:
         n_del = doomed.count()
         if n_del:
@@ -606,6 +619,21 @@ def run_sync(
             SK.delete_from_index(
                 spark, paths.searchui, doomed, backend=cfg.state_backend
             )
+            if paths.chunks and LK.table_exists(paths.chunks):
+                if cfg.ann is not None:
+                    doomed_chunks = (
+                        LK.read_table(spark, paths.chunks)
+                        .join(
+                            F.broadcast(doomed.select("id")), ["id"],
+                            "left_semi",
+                        )
+                        .select(cfg.ann.id_col)
+                        .localCheckpoint(eager=True)
+                    )
+                SK.delete_from_index(
+                    spark, paths.chunks, doomed.select("id"),
+                    key="id", backend=cfg.state_backend,
+                )
 
     _mark("searchui_merge_deletes")
 
@@ -616,21 +644,6 @@ def run_sync(
     # that no longer exist — ann_search excludes them until rebuild).
     ann: dict = {}
     if cfg.ann is not None and paths.chunks:
-        doomed_chunks = None
-        if (
-            allowed and doomed is not None and n_del
-            and LK.table_exists(paths.chunks)
-        ):
-            doomed_chunks = (
-                LK.read_table(spark, paths.chunks)
-                .join(F.broadcast(doomed.select("id")), ["id"], "left_semi")
-                .select(cfg.ann.id_col)
-                .localCheckpoint(eager=True)
-            )
-            SK.delete_from_index(
-                spark, paths.chunks, doomed.select("id"),
-                key="id", backend=cfg.state_backend,
-            )
         gone_chunks = doomed_chunks
         if vanished_chunks is not None:
             v = vanished_chunks.withColumnRenamed("chunk_id", cfg.ann.id_col)
@@ -1363,13 +1376,21 @@ def run_dedup_maintenance(
                 deleted_ids.select(F.col(id_col).alias("id"))
             )
         if not stale_now.isEmpty():
+            # heal a crashed compaction swap BEFORE the append: with
+            # the primary missing mid-swap, mode("append") would create
+            # a FRESH dir and the orphaned __new ids would be lost at
+            # the next compaction's overwrite (round-11 ADVICE)
+            DD._heal_rel(spark, dcfg.state_path, "stale_ids")
             stale_now.write.mode("append").parquet(stale_ledger)
             # log-structured hygiene: one small file lands per night
             # and the trigger below pays distinct() over all of them —
             # fold the ledger back to one distinct relation once the
             # file count passes the cap (round-10 verdict #4)
             _compact_stale_ledger(spark, stale_ledger)
-        ledger_df = DD._try_read_parquet(spark, stale_ledger)
+        # _read_rel, not a bare read: mid-compaction-swap the ledger
+        # sits in its __new dir — missing it here would under-count
+        # stale_total and mute the rebuild trigger
+        ledger_df = DD._read_rel(spark, dcfg.state_path, "stale_ids")
         if ledger_df is not None:
             stale_total = ledger_df.distinct().count()
             n_standing = standing_ids.count()
@@ -1492,7 +1513,7 @@ def run_ann_maintenance(
             n_clusters=acfg.n_clusters, n_iter=acfg.n_iter,
             id_col=acfg.id_col, vec_col=acfg.vec_col,
         )
-        DD._fs_delete(spark, ledger)
+        _clear_ledger(spark, ledger)
         return {
             "built": meta["n"], "appended": 0, "stale": 0,
             "stale_total": 0, "needs_rebuild": 0, "rebuilt": 0,
@@ -1557,13 +1578,16 @@ def run_ann_maintenance(
         stale_now = stale_now.unionByName(deleted_ids.select(acfg.id_col))
     n_stale = stale_now.count()
     if n_stale:
+        # heal a crashed compaction swap before the append (see the
+        # dedup leg: a fresh primary would orphan the __new ids)
+        DD._heal_rel(spark, acfg.index_path, "stale_ids")
         stale_now.select(F.col(acfg.id_col).alias("id")).write.mode(
             "append"
         ).parquet(ledger)
         _compact_stale_ledger(spark, ledger)
     stale_total = 0
     needs_rebuild = bool(app["needs_rebuild"])
-    ledger_df = DD._try_read_parquet(spark, ledger)
+    ledger_df = DD._read_rel(spark, acfg.index_path, "stale_ids")
     if ledger_df is not None:
         stale_total = ledger_df.distinct().count()
         n_indexed = int(
@@ -1598,7 +1622,7 @@ def run_ann_maintenance(
                 n_clusters=acfg.n_clusters, n_iter=acfg.n_iter,
                 id_col=acfg.id_col, vec_col=acfg.vec_col,
             )
-            DD._fs_delete(spark, ledger)
+            _clear_ledger(spark, ledger)
             rebuilt = 1
             needs_rebuild = False
             stale_total = 0
@@ -1628,7 +1652,11 @@ def ann_search(
     from eea_crawler_spark.operators import dedup as DD
     from eea_crawler_spark.operators import similarity as SIM
 
-    stale = DD._try_read_parquet(spark, f"{acfg.index_path}/stale_ids")
+    # _read_rel: mid-compaction-swap the ledger sits in its __new dir —
+    # a bare read would miss it and serve the very stale vectors the
+    # ledger exists to exclude (round-11 ADVICE: the one crash window
+    # that violated the never-a-wrong-answer contract)
+    stale = DD._read_rel(spark, acfg.index_path, "stale_ids")
     if stale is not None:
         stale = stale.select(F.col("id").alias(acfg.id_col))
     return SIM.ivf_topk_state(
@@ -1649,6 +1677,10 @@ def _compact_stale_ledger(
     (pinned). True when a compaction ran."""
     from eea_crawler_spark.operators import dedup as DD
 
+    # a crashed PRIOR compaction left the ledger in its __new dir:
+    # rename it back so this one compacts the real contents instead of
+    # skipping on a missing primary
+    DD._heal_rel(spark, ledger.rsplit("/", 1)[0], ledger.rsplit("/", 1)[1])
     fs, p = DD._hadoop_fs(spark, ledger)
     if not fs.exists(p):
         return False
@@ -1675,6 +1707,18 @@ def _compact_stale_ledger(
     return True
 
 
+def _clear_ledger(spark, ledger: str) -> None:
+    """Reset a stale ledger INCLUDING its swap siblings: a rebuild that
+    deleted only the primary would leave a crashed compaction's
+    ``__new`` (or ``__old``) dir behind, and ``_read_rel`` would
+    resurrect those ghost ids — re-latching ``needs_rebuild`` and
+    excluding freshly re-indexed entries from serving forever."""
+    from eea_crawler_spark.operators import dedup as DD
+
+    for suffix in ("", "__new", "__old"):
+        DD._fs_delete(spark, f"{ledger}{suffix}")
+
+
 def bootstrap_dedup_maintenance(
     spark: SparkSession,
     dcfg: DedupConfig,
@@ -1695,7 +1739,7 @@ def bootstrap_dedup_maintenance(
     # API (round-10 ADVICE: an os.path/shutil clear is local-FS-only;
     # on HDFS/S3 the ledger would never clear and needs_rebuild would
     # stay latched forever after the first rebuild)
-    DD._fs_delete(spark, f"{dcfg.state_path}/stale_ids")
+    _clear_ledger(spark, f"{dcfg.state_path}/stale_ids")
     if dcfg.method == "embedding":
         from eea_crawler_spark.operators import similarity as SIM
 

@@ -221,6 +221,121 @@ def test_sync_ann_leg_e2e(spark, tmp_path):
     assert served.isdisjoint(vanished)
 
 
+def test_stale_ledger_midswap_crash_never_serves_stale(spark, tmp_path):
+    """Round-11 ADVICE (medium): a crash mid-compaction-swap leaves the
+    ledger in its __new dir. Serving must STILL exclude the ledgered
+    ids (the never-a-wrong-answer contract), and the next nightly's
+    append must heal the layout first — a fresh primary would orphan
+    the __new ids and lose them at the next compaction."""
+    import os
+    import shutil
+
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=2, n_iter=1,
+        rebuild_stale_fraction=1.0,
+    )
+    corpus = _mk_vecs(spark, n=40, dim=8, seed=21)
+    run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    mod = corpus.filter(F.col("chunk_id") == "c1").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(7.0)).cast("float")),
+    )
+    run_ann_maintenance(spark, acfg, mod)
+    ledger = f"{acfg.index_path}/stale_ids"
+    # simulate the mid-swap crash: primary gone, __new holds the ids
+    shutil.move(ledger, f"{ledger}__new")
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, corpus.limit(5), k=50,
+                            n_probe=2).collect()
+    }
+    assert "c1" not in served, "crashed ledger swap must still exclude"
+    # next nightly ledgers another id: the append heals first, so the
+    # primary ends with BOTH ids (nothing orphaned in __new)
+    mod2 = corpus.filter(F.col("chunk_id") == "c2").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(7.0)).cast("float")),
+    )
+    r = run_ann_maintenance(spark, acfg, mod2)
+    assert r["stale_total"] == 2
+    assert not os.path.exists(f"{ledger}__new")
+    ids = {r["id"] for r in spark.read.parquet(ledger).collect()}
+    assert ids == {"c1", "c2"}
+
+
+def test_rebuild_clears_orphaned_ledger_siblings(spark, tmp_path):
+    """A rebuild resets the ledger INCLUDING a crashed compaction's
+    __new orphan: otherwise _read_rel would resurrect the ghost ids,
+    re-latch needs_rebuild, and exclude freshly re-indexed entries
+    from serving forever."""
+    import os
+
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=2, n_iter=1,
+        rebuild_stale_fraction=0.01, rebuild_on_trigger=True,
+    )
+    corpus = _mk_vecs(spark, n=40, dim=8, seed=22)
+    run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    mod = corpus.filter(F.col("chunk_id") == "c1").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(5.0)).cast("float")),
+    )
+    live = corpus.filter(F.col("chunk_id") != "c1").unionByName(mod)
+    # the modified id trips the stale trigger; rebuild_on_trigger runs
+    # the in-line rebuild — with a crashed compaction's __new orphan
+    # already lying around, it must be cleared too
+    ledger = f"{acfg.index_path}/stale_ids"
+    os.makedirs(f"{ledger}__new", exist_ok=True)
+    spark.createDataFrame([("ghost",)], "id string").write.mode(
+        "overwrite"
+    ).parquet(f"{ledger}__new")
+    r = run_ann_maintenance(spark, acfg, mod, corpus=live)
+    assert r["rebuilt"] == 1 and r["stale_total"] == 0
+    assert not os.path.exists(ledger)
+    assert not os.path.exists(f"{ledger}__new")
+    # the re-indexed id serves again
+    far = _mk_vecs(spark, n=1, dim=8, seed=23, id_start=9000)
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, far, k=50, n_probe=2).collect()
+    }
+    assert "c1" in served
+
+
+def test_sync_chunk_delete_without_ann(spark, tmp_path):
+    """Round-11 ADVICE (low): a deleted doc's chunk rows must leave the
+    chunks table even with the ANN leg OFF — the delete was previously
+    gated on cfg.ann and the chunks kept polluting search."""
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.pipeline import SyncConfig, SyncPaths, run_sync
+    from eea_crawler_spark.sinks import lakehouse as LK
+    from tests.test_dedup_pipeline import SITE, DupSite
+
+    paths = SyncPaths(
+        raw=str(tmp_path / "raw"),
+        searchui=str(tmp_path / "searchui"),
+        quarantine=str(tmp_path / "quarantine"),
+        status=str(tmp_path / "status"),
+        chunks=str(tmp_path / "chunks"),
+    )
+    cfg = SyncConfig(site_url=SITE, site_id="eea", embed=True, ann=None)
+    site = DupSite()
+    d = lambda i: f"{SITE}/d{i}"  # noqa: E731
+    run_sync(spark, cfg, paths, site)
+    assert (
+        LK.read_table(spark, paths.chunks)
+        .filter(F.col("id") == d(1)).count() > 0
+    )
+    del site.docs[d(1)]
+    r = run_sync(spark, cfg, paths, site)
+    assert r["deleted"] == 1
+    assert (
+        LK.read_table(spark, paths.chunks)
+        .filter(F.col("id") == d(1)).count() == 0
+    )
+
+
 def test_ann_maintenance_modified_then_rebuild_serves_new_vector(
     spark, tmp_path
 ):

@@ -765,6 +765,43 @@ def test_replace_dir_crash_windows_recoverable(spark, tmp_path):
     ) == want_df
 
 
+def test_append_after_midswap_crash_heals_and_succeeds(spark, tmp_path):
+    """Round-11 ADVICE (medium): after a mid-swap crash the aggregates
+    sit in their __new dirs; the next append used to resolve them there
+    as LAZY reads and then overwrite the same __new paths — Spark
+    raises 'Cannot overwrite a path that is also being read from' and
+    every subsequent append fails until a manual rename. The append now
+    HEALS the layout first (primary missing + __new present → rename
+    into place), so the retry succeeds and append ≡ rebuild still
+    holds."""
+    import os
+    import shutil
+
+    new, corpus = _mk_docs(spark, n_docs=60)
+    p = str(tmp_path / "crashed")
+    DD.build_text_dedup_state(corpus, p, threshold=THRESH, max_df=20)
+    # simulate the mid-swap window on BOTH swapped aggregates
+    shutil.move(f"{p}/prefix_df", f"{p}/prefix_df__new")
+    shutil.move(f"{p}/hp0", f"{p}/hp0__new")
+    r = DD.append_text_dedup_state(spark, p, new)
+    assert r["appended"] == new.count()
+    assert os.path.exists(f"{p}/prefix_df")
+    assert not os.path.exists(f"{p}/prefix_df__new")
+    # healed-then-appended state equals a clean rebuild over the union
+    ref = str(tmp_path / "ref")
+    DD.build_text_dedup_state(
+        corpus.unionByName(new), ref, threshold=THRESH, max_df=20
+    )
+    got = DD.read_text_dedup_state_full(spark, p)
+    want = DD.read_text_dedup_state_full(spark, ref)
+    assert sorted(
+        (r["shingle"], r["df"]) for r in got["prefix_df"].collect()
+    ) == sorted((r["shingle"], r["df"]) for r in want["prefix_df"].collect())
+    assert sorted(
+        (r["id"], r["hp"]) for r in got["hp0"].collect()
+    ) == sorted((r["id"], r["hp"]) for r in want["hp0"].collect())
+
+
 def test_append_text_retry_after_partial_crash_is_detected(spark, tmp_path):
     """Crash-retry contract (round-10 ADVICE): ``keys`` is appended
     FIRST among the row-wise appends, so retrying a batch whose first
