@@ -2156,6 +2156,245 @@ def append_ivf_index(
     }
 
 
+def repair_ivf_index(
+    spark,
+    path: str,
+    updates: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_append_fraction: float = IVF_REBUILD_APPEND_FRACTION,
+    rebuild_drift_cos: float = IVF_REBUILD_DRIFT_COS,
+) -> dict:
+    """O(stale) partition-local index repair (round-11 verdict #1) —
+    the update-in-place serving semantics of the reference's
+    ``doc_as_upsert`` over its dense_vector mapping
+    (logstash/pipeline/search_pipeline.conf:19-27,
+    dags/lib/elastic.py:107-119), without the O(corpus) Lloyd rebuild:
+
+      1. locate: one NARROW (id, cluster) column scan of the lists
+         finds the clusters holding any touched id (update or delete)
+         — the wide vector column never reads outside those clusters.
+      2. evict: ONLY those cluster partitions are rewritten without
+         the touched ids (dynamic partition overwrite — untouched
+         lists never rewrite); a partition emptied entirely is deleted.
+      3. re-insert: update vectors are assigned to their nearest
+         STANDING centroid (the exact build/append rule, so
+         probe-all == brute force still holds) and appended — an
+         update id absent from the index is therefore a plain insert
+         (upsert semantics).
+      4. re-aggregate: the affected clusters' (cnt, sums) rows are
+         recomputed FROM the rewritten lists (partition-pruned scan),
+         unioned with the untouched clusters' standing rows, and
+         swapped in — so ``agg ≡ lists`` exactly regardless of crash
+         history, and the drift trigger stays honest.
+
+    Cost is O(touched partitions): ≤ min(|touched ids|, n_clusters)
+    inverted lists rewrite, plus the one narrow id-column scan in
+    step 1. Degenerate case — stale ids spread over ALL clusters —
+    costs one full list rewrite, comparable to the rebuild it avoids;
+    the appended-fraction trigger fires long before that matters.
+
+    Crash discipline: partition commits land one at a time, so a crash
+    mid-repair leaves some touched ids evicted and others standing —
+    callers keep the ids LEDGERED (serve-time exclusion) until the
+    repair returns, and a retry is exactly idempotent: step 2's
+    anti-join re-evicts whatever survived (including rows a crashed
+    attempt already appended — their ids are touched too), step 3
+    re-inserts one copy, step 4 recomputes from what is actually on
+    disk.
+
+    Reassigned vectors count toward the ``appended`` drift bookkeeping
+    (they are placed against the FROZEN centroids, same as appends).
+    Returns ``{"removed", "reassigned", "touched_clusters",
+    "appended_fraction", "min_centroid_cos", "needs_rebuild"}``."""
+    from eea_crawler_spark.operators.dedup import (
+        _fs_delete,
+        _heal_rel,
+        _release_local_checkpoint,
+        _replace_dir,
+    )
+
+    for rel in ("spec", "agg"):
+        _heal_rel(spark, path, rel)
+    idx = read_ivf_index(spark, path)
+    spec = idx["spec"]
+    dim = int(spec["dim"])
+    if updates is not None:
+        updates = updates.select(id_col, vec_col)
+        probe = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(F.size(vec_col)).alias("dmin"),
+            F.max(F.size(vec_col)).alias("dmax"),
+        ).first()
+        n_updates = int(probe["n"])
+        if n_updates:
+            if probe["nd"] != n_updates:
+                raise ValueError(
+                    "repair_ivf_index updates must be unique per id — "
+                    "duplicate ids make which-vector-wins ambiguous"
+                )
+            if probe["dmin"] != probe["dmax"] or int(probe["dmax"]) != dim:
+                raise ValueError(
+                    f"index holds {dim}-d vectors, updates have "
+                    f"{probe['dmin']}..{probe['dmax']}-d"
+                )
+    else:
+        n_updates = 0
+    touched = None
+    if n_updates:
+        touched = updates.select(id_col)
+    if deleted_ids is not None:
+        d = deleted_ids.select(id_col)
+        touched = d if touched is None else touched.unionByName(d)
+    if touched is None:
+        return {
+            "removed": 0, "reassigned": 0, "touched_clusters": 0,
+            "appended_fraction":
+                float(spec["appended"]) / max(1, spec["n"]),
+            "min_centroid_cos": 1.0, "needs_rebuild": 0,
+        }
+    touched = touched.distinct().localCheckpoint(eager=True)
+    # 1. the narrow locate scan: (id, cluster) only — column pruning
+    # keeps the wide vectors out of this full-lists pass
+    removal_clusters = sorted(
+        r["cluster"]
+        for r in idx["lists"]
+        .join(touched, [id_col], "left_semi")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    n_removed = 0
+    if removal_clusters:
+        keep = (
+            idx["lists"]
+            .filter(F.col("cluster").isin(removal_clusters))
+            .join(touched, [id_col], "left_anti")
+            # materialize BEFORE the overwrite: the rewrite reads the
+            # same partitions it replaces. Bounded at the touched
+            # partitions' rows — the O(stale-partitions) working set.
+            .localCheckpoint(eager=True)
+        )
+        survivors = {
+            r["cluster"]
+            for r in keep.select("cluster").distinct().collect()
+        }
+        n_before = (
+            idx["lists"]
+            .filter(F.col("cluster").isin(removal_clusters))
+            .count()
+        )
+        n_removed = n_before - keep.count()
+        mode_before = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            if survivors:
+                (
+                    keep.repartition("cluster")
+                    .write.mode("overwrite")
+                    .partitionBy("cluster")
+                    .parquet(f"{path}/lists")
+                )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", mode_before
+            )
+        # dynamic overwrite only touches partitions PRESENT in the
+        # writeout — a fully-emptied list must be deleted explicitly,
+        # and the manual delete bypasses Spark's file-index cache
+        # invalidation (a later read would chase the vanished files)
+        for c in set(removal_clusters) - survivors:
+            _fs_delete(spark, f"{path}/lists/cluster={c}")
+        spark.catalog.refreshByPath(f"{path}/lists")
+        _release_local_checkpoint(keep)
+    # 3. re-insert the update vectors against the standing centroids
+    added_clusters: set = set()
+    if n_updates:
+        assigned = ivf_assign(
+            updates, idx["centroids"], id_col=id_col, vec_col=vec_col,
+            n_probe=1,
+        ).withColumn("vec_hash", F.xxhash64(vec_col)).localCheckpoint(
+            eager=True
+        )
+        added_clusters = {
+            r["cluster"]
+            for r in assigned.select("cluster").distinct().collect()
+        }
+        assigned.repartition("cluster").write.mode("append").partitionBy(
+            "cluster"
+        ).parquet(f"{path}/lists")
+        _release_local_checkpoint(assigned)
+    _release_local_checkpoint(touched)
+    # 4. exact re-aggregation of every affected cluster from the
+    # rewritten lists (partition-pruned), untouched clusters keep
+    # their standing agg rows
+    affected = sorted(set(removal_clusters) | added_clusters)
+    lists_now = spark.read.parquet(f"{path}/lists").withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+    fresh_agg = _ivf_cluster_agg(
+        lists_now.filter(F.col("cluster").isin(affected)), vec_col
+    )
+    standing_agg = (
+        idx["agg"].filter(~F.col("cluster").isin(affected))
+        if idx["agg"] is not None
+        else None
+    )
+    merged_agg = (
+        fresh_agg if standing_agg is None
+        else standing_agg.unionByName(fresh_agg)
+    )
+    merged_rows = merged_agg.collect()  # bounded: k rows of dim floats
+    spark.createDataFrame(
+        [
+            (int(r["cluster"]), int(r["cnt"]),
+             [float(x) for x in r["sums"]])
+            for r in sorted(merged_rows, key=lambda r: r["cluster"])
+        ],
+        "cluster int, cnt long, sums array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/agg__new")
+    _replace_dir(spark, f"{path}/agg__new", f"{path}/agg")
+    # drift over the merged implied means (same calculus as append)
+    c_mat = np.asarray(idx["centroids"], dtype=np.float64)
+    min_cos = 1.0
+    n_total = 0
+    for r in merged_rows:
+        cnt = int(r["cnt"])
+        n_total += cnt
+        if cnt <= 0:
+            continue
+        mean = np.asarray(r["sums"], dtype=np.float64) / cnt
+        denom = np.linalg.norm(mean) * np.linalg.norm(c_mat[r["cluster"]])
+        if denom > 0:
+            min_cos = min(
+                min_cos, float(mean @ c_mat[r["cluster"]] / denom)
+            )
+    appended = int(spec["appended"]) + n_updates
+    frac = appended / max(1, n_total)
+    needs_rebuild = (
+        frac >= rebuild_append_fraction or min_cos < rebuild_drift_cos
+    )
+    spark.createDataFrame(
+        [(dim, int(spec["n_clusters"]), int(n_total), appended)],
+        "dim int, n_clusters int, n long, appended long",
+    ).write.mode("overwrite").parquet(f"{path}/spec__new")
+    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
+    return {
+        "removed": int(n_removed),
+        "reassigned": n_updates,
+        "touched_clusters": len(affected),
+        "appended_fraction": frac,
+        "min_centroid_cos": min_cos,
+        "needs_rebuild": int(needs_rebuild),
+    }
+
+
 def ivf_topk_state(
     spark,
     path: str,

@@ -166,6 +166,187 @@ def test_ivf_drift_trigger_and_rebuild_reset(spark, tmp_path):
     assert r3["needs_rebuild"] == 0
 
 
+def _repair_fixture(spark, tmp_path, n_clusters=8):
+    base = _mk_vecs(spark, n=200, seed=7)
+    path = str(tmp_path / "repairable")
+    SIM.build_ivf_index(base, path, n_clusters=n_clusters, n_iter=2)
+    return base, path
+
+
+def _modified(df, offset=20.0):
+    return df.withColumn(
+        "embedding",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(-1.0) + F.lit(offset)).cast(
+                "float"
+            )
+        ),
+    )
+
+
+def test_ivf_repair_upsert_delete_exact(spark, tmp_path):
+    """THE repair pin (round-11 verdict #1): after a partition-local
+    repair — modified vectors replaced in place, deleted ids evicted,
+    a brand-new id inserted through the same path — probe-all serving
+    equals exact brute force over the CORRECTED corpus, and the agg
+    relation equals the rewritten lists exactly."""
+    base, path = _repair_fixture(spark, tmp_path)
+    mod = _modified(base.filter(F.col("vec_id") % 17 == 0))
+    new = _mk_vecs(spark, n=3, seed=9, id_start=5000)
+    updates = mod.unionByName(new)  # upsert semantics: insert rides too
+    doomed = base.filter(F.col("vec_id") % 23 == 0).filter(
+        F.col("vec_id") % 17 != 0
+    ).select("vec_id")
+    r = SIM.repair_ivf_index(
+        spark, path, updates=updates, deleted_ids=doomed
+    )
+    n_mod, n_doomed = mod.count(), doomed.count()
+    assert r["reassigned"] == n_mod + 3
+    assert r["removed"] == n_mod + n_doomed  # evicted old copies
+    corrected = (
+        base.join(updates.select("vec_id"), ["vec_id"], "left_anti")
+        .join(doomed, ["vec_id"], "left_anti")
+        .unionByName(updates)
+    )
+    queries = corrected.filter(F.col("vec_id") % 37 == 0)
+    got = SIM.ivf_topk_state(spark, path, queries, k=K, n_probe=8)
+    want = SIM.brute_force_topk(corrected, queries, k=K)
+    assert _rows(got) == _rows(want)
+    idx = SIM.read_ivf_index(spark, path)
+    assert idx["spec"]["n"] == corrected.count()
+    agg_live = {
+        r["cluster"]: (r["cnt"], np.round(np.asarray(r["sums"]), 6).tolist())
+        for r in SIM._ivf_cluster_agg(idx["lists"], "embedding").collect()
+    }
+    agg_stored = {
+        r["cluster"]: (r["cnt"], np.round(np.asarray(r["sums"]), 6).tolist())
+        for r in idx["agg"].collect()
+    }
+    assert agg_stored == agg_live
+
+
+def test_ivf_repair_retry_is_idempotent(spark, tmp_path):
+    """A crashed repair's retry must converge: running the SAME repair
+    twice leaves exactly one copy of every updated id and the same
+    lists content (step 2 re-evicts whatever a crashed attempt already
+    appended — their ids are touched too)."""
+    base, path = _repair_fixture(spark, tmp_path)
+    mod = _modified(base.filter(F.col("vec_id") % 11 == 0))
+    doomed = base.filter(F.col("vec_id") % 31 == 0).filter(
+        F.col("vec_id") % 11 != 0
+    ).select("vec_id")
+    SIM.repair_ivf_index(spark, path, updates=mod, deleted_ids=doomed)
+    first = sorted(_rows(
+        SIM.read_ivf_index(spark, path)["lists"].select(
+            "vec_id", "cluster", "vec_hash"
+        )
+    ))
+    r2 = SIM.repair_ivf_index(spark, path, updates=mod, deleted_ids=doomed)
+    again = sorted(_rows(
+        SIM.read_ivf_index(spark, path)["lists"].select(
+            "vec_id", "cluster", "vec_hash"
+        )
+    ))
+    assert again == first
+    assert r2["removed"] == mod.count()  # the retry re-evicts its own rows
+    spec = SIM.read_ivf_index(spark, path)["spec"]
+    assert spec["n"] == len(first)
+
+
+def test_ivf_repair_empties_a_partition(spark, tmp_path):
+    """Deleting every member of an inverted list must remove its
+    partition DIR (dynamic overwrite only rewrites partitions present
+    in the writeout) — and serving stays exact afterwards."""
+    import os
+
+    base, path = _repair_fixture(spark, tmp_path, n_clusters=4)
+    lists = SIM.read_ivf_index(spark, path)["lists"]
+    c0 = lists.first()["cluster"]
+    # materialize: the lazy plan would chase the files repair deletes
+    victim_ids = [
+        (r["vec_id"],)
+        for r in lists.filter(F.col("cluster") == int(c0))
+        .select("vec_id").collect()
+    ]
+    victims = spark.createDataFrame(victim_ids, "vec_id bigint")
+    n_victims = len(victim_ids)
+    r = SIM.repair_ivf_index(spark, path, deleted_ids=victims)
+    assert r["removed"] == n_victims
+    assert not os.path.exists(f"{path}/lists/cluster={int(c0)}")
+    survivors = base.join(victims, ["vec_id"], "left_anti")
+    queries = survivors.limit(4)
+    got = SIM.ivf_topk_state(spark, path, queries, k=K, n_probe=4)
+    want = SIM.brute_force_topk(survivors, queries, k=K)
+    assert _rows(got) == _rows(want)
+    # agg carries no row for the emptied cluster
+    agg = SIM.read_ivf_index(spark, path)["agg"]
+    assert agg.filter(F.col("cluster") == int(c0)).isEmpty()
+
+
+def test_ivf_repair_leaves_untouched_partitions_alone(spark, tmp_path):
+    """O(stale) means PHYSICAL: a repair touching one cluster must not
+    rewrite any file of the other inverted lists."""
+    import os
+
+    base, path = _repair_fixture(spark, tmp_path, n_clusters=8)
+    lists = SIM.read_ivf_index(spark, path)["lists"]
+    c0 = int(lists.first()["cluster"])
+    one = lists.filter(F.col("cluster") == c0).select("vec_id").limit(1)
+    victim_id = one.first()["vec_id"]
+
+    def _files():
+        out = {}
+        for d in os.listdir(f"{path}/lists"):
+            if not d.startswith("cluster="):
+                continue
+            full = f"{path}/lists/{d}"
+            out[d] = {
+                (f, os.path.getmtime(f"{full}/{f}"))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = _files()
+    r = SIM.repair_ivf_index(
+        spark, path,
+        deleted_ids=spark.createDataFrame([(victim_id,)], "vec_id bigint"),
+    )
+    assert r["removed"] == 1 and r["touched_clusters"] == 1
+    after = _files()
+    for d in before:
+        if d != f"cluster={c0}":
+            assert after[d] == before[d], f"{d} was rewritten"
+    assert after[f"cluster={c0}"] != before[f"cluster={c0}"]
+
+
+def test_ivf_repair_contracts(spark, tmp_path):
+    base, path = _repair_fixture(spark, tmp_path, n_clusters=4)
+    # duplicate update ids: ambiguous — refused
+    dup = _modified(base.limit(1)).unionByName(_modified(base.limit(1)))
+    with pytest.raises(ValueError, match="unique per id"):
+        SIM.repair_ivf_index(spark, path, updates=dup)
+    # dim mismatch refused
+    bad = spark.createDataFrame(
+        [(0, [0.0] * (DIM + 1))], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="-d"):
+        SIM.repair_ivf_index(spark, path, updates=bad)
+    # nothing to do: exact no-op
+    r = SIM.repair_ivf_index(spark, path)
+    assert r == {
+        "removed": 0, "reassigned": 0, "touched_clusters": 0,
+        "appended_fraction": 0.0, "min_centroid_cos": 1.0,
+        "needs_rebuild": 0,
+    }
+    # deleting ids absent from the index: no-op eviction
+    r2 = SIM.repair_ivf_index(
+        spark, path,
+        deleted_ids=spark.createDataFrame([(777777,)], "vec_id bigint"),
+    )
+    assert r2["removed"] == 0 and r2["touched_clusters"] == 0
+
+
 def test_ivf_state_serve_prunes_partitions(spark, built):
     """The scale property the persisted layout buys: the probed lists
     arrive via partition pruning — the scan's PartitionFilters carry
