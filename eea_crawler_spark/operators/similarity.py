@@ -2221,7 +2221,13 @@ def repair_ivf_index(
     spec = idx["spec"]
     dim = int(spec["dim"])
     if updates is not None:
-        updates = updates.select(id_col, vec_col)
+        # materialize FIRST: the caller's updates/deleted plans may
+        # derive from the very lists this repair rewrites (the nightly
+        # leg's changed-vector join does) — a lazy read would chase the
+        # evicted files mid-repair
+        updates = updates.select(id_col, vec_col).localCheckpoint(
+            eager=True
+        )
         probe = updates.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col(id_col)).alias("nd"),
@@ -2242,13 +2248,21 @@ def repair_ivf_index(
                 )
     else:
         n_updates = 0
+    if deleted_ids is not None:
+        deleted_ids = deleted_ids.select(id_col).localCheckpoint(
+            eager=True
+        )
     touched = None
     if n_updates:
         touched = updates.select(id_col)
     if deleted_ids is not None:
-        d = deleted_ids.select(id_col)
-        touched = d if touched is None else touched.unionByName(d)
+        touched = (
+            deleted_ids if touched is None
+            else touched.unionByName(deleted_ids)
+        )
     if touched is None:
+        if updates is not None:
+            _release_local_checkpoint(updates)
         return {
             "removed": 0, "reassigned": 0, "touched_clusters": 0,
             "appended_fraction":
@@ -2331,6 +2345,10 @@ def repair_ivf_index(
         ).parquet(f"{path}/lists")
         _release_local_checkpoint(assigned)
     _release_local_checkpoint(touched)
+    if updates is not None:
+        _release_local_checkpoint(updates)
+    if deleted_ids is not None:
+        _release_local_checkpoint(deleted_ids)
     # 4. exact re-aggregation of every affected cluster from the
     # rewritten lists (partition-pruned), untouched clusters keep
     # their standing agg rows

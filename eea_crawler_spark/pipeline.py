@@ -1468,6 +1468,21 @@ class AnnConfig:
     rebuild_stale_fraction: float = 0.05
     status_path: str | None = None
     rebuild_on_trigger: bool = False
+    # update-in-place (round-11 verdict #1): repair modified/deleted
+    # ids' inverted lists partition-locally in the nightly leg
+    # (repair_ivf_index) instead of ledgering them for serve-time
+    # exclusion — the reference's doc_as_upsert semantics
+    # (logstash/pipeline/search_pipeline.conf:19-27): a modified doc's
+    # NEW vector serves the same night, not after the next rebuild.
+    # Off = the round-11 staleness-degrades-to-absence cadence.
+    repair_in_place: bool = False
+    # Single-writer posture (same as the dedup serving states): the
+    # nightly leg assumes ONE maintainer per index_path — appends,
+    # repairs, and spec/agg swaps take no cross-writer lock, so two
+    # concurrent nightly runs can interleave list appends with spec
+    # swaps and corrupt the running aggregates. Serve-side readers are
+    # safe at any time (reads recover mid-swap layouts, staleness
+    # degrades to absence). Schedule one maintenance run at a time.
 
 
 def run_ann_maintenance(
@@ -1487,11 +1502,18 @@ def run_ann_maintenance(
       2. append: genuinely-new ids extend the index in O(delta)
          (``append_ivf_index`` — assignment against the standing
          centroids, partitioned append, aggregate fold).
-      3. stale ledger: MODIFIED ids (already indexed — their standing
-         list entry holds the OLD vector) and ``deleted_ids`` append to
-         ``{index_path}/stale_ids`` (compacted past a file cap).
-         ``ann_search`` excludes the ledger at serve time, so stale
-         entries are never served wrong — only absent until rebuild.
+      3. staleness — two modes:
+         * ``repair_in_place`` (reference ``doc_as_upsert`` semantics):
+           MODIFIED ids' vectors are REPLACED in their inverted lists
+           tonight and ``deleted_ids`` evicted (``repair_ivf_index``,
+           partition-local O(stale)); repaired ids also purge from any
+           standing ledger, so serving completeness recovers the same
+           night instead of at the next rebuild.
+         * default (exclude-until-rebuild): modified ids (standing
+           list entry holds the OLD vector) and ``deleted_ids`` append
+           to ``{index_path}/stale_ids`` (compacted past a file cap).
+           ``ann_search`` excludes the ledger at serve time, so stale
+           entries are never served wrong — only absent until rebuild.
       4. triggers: ``needs_rebuild`` = the append's own triggers
          (appended fraction, centroid drift) OR the stale fraction;
          surfaced as a status event, and — with
@@ -1552,7 +1574,7 @@ def run_ann_maintenance(
     # against the delivered vectors' hashes; pre-hash lists fall back
     # to array equality.
     if "vec_hash" in lists.columns:
-        stale_now = (
+        changed = (
             delta.withColumn("__vh", F.xxhash64(acfg.vec_col))
             .join(
                 lists.select(
@@ -1564,7 +1586,7 @@ def run_ann_maintenance(
             .select(acfg.id_col)
         )
     else:
-        stale_now = (
+        changed = (
             delta.join(
                 lists.select(
                     acfg.id_col, F.col(acfg.vec_col).alias("__standing")
@@ -1574,19 +1596,74 @@ def run_ann_maintenance(
             .filter(F.col(acfg.vec_col) != F.col("__standing"))
             .select(acfg.id_col)
         )
-    if deleted_ids is not None:
-        stale_now = stale_now.unionByName(deleted_ids.select(acfg.id_col))
-    n_stale = stale_now.count()
-    if n_stale:
-        # heal a crashed compaction swap before the append (see the
-        # dedup leg: a fresh primary would orphan the __new ids)
-        DD._heal_rel(spark, acfg.index_path, "stale_ids")
-        stale_now.select(F.col(acfg.id_col).alias("id")).write.mode(
-            "append"
-        ).parquet(ledger)
-        _compact_stale_ledger(spark, ledger)
+    rep: dict | None = None
+    n_stale = 0
+    if acfg.repair_in_place:
+        # update-in-place: modified vectors are REPLACED in their
+        # inverted lists tonight (partition-local, O(stale)), deleted
+        # ids evicted — nothing ledgered, serving stays complete. A
+        # changed id that is also deleted this run counts as deleted.
+        # changed is materialized: its plan reads the very list files
+        # the repair evicts, and the ledger purge re-uses it after.
+        changed = changed.localCheckpoint(eager=True)
+        updates = delta.join(changed, [acfg.id_col], "left_semi")
+        if deleted_ids is not None:
+            updates = updates.join(
+                deleted_ids.select(acfg.id_col), [acfg.id_col],
+                "left_anti",
+            )
+        has_deletes = deleted_ids is not None and not deleted_ids.isEmpty()
+        if has_deletes or not updates.isEmpty():
+            rep = SIM.repair_ivf_index(
+                spark, acfg.index_path, updates=updates,
+                deleted_ids=(
+                    deleted_ids.select(acfg.id_col)
+                    if deleted_ids is not None else None
+                ),
+                id_col=acfg.id_col, vec_col=acfg.vec_col, **app_kw,
+            )
+            # the repaired ids are physically correct now: purge them
+            # from any standing ledger (earlier exclude-mode nights or
+            # a crashed repair's conservative entries) so serving
+            # completeness recovers
+            DD._heal_rel(spark, acfg.index_path, "stale_ids")
+            led = DD._try_read_parquet(spark, ledger)
+            if led is not None:
+                touched = changed
+                if deleted_ids is not None:
+                    touched = touched.unionByName(
+                        deleted_ids.select(acfg.id_col)
+                    )
+                (
+                    led.join(
+                        touched.select(F.col(acfg.id_col).alias("id")),
+                        ["id"], "left_anti",
+                    )
+                    .distinct()
+                    .write.mode("overwrite")
+                    .parquet(f"{ledger}__new")
+                )
+                DD._replace_dir(spark, f"{ledger}__new", ledger)
+        DD._release_local_checkpoint(changed)
+    else:
+        stale_now = changed
+        if deleted_ids is not None:
+            stale_now = stale_now.unionByName(
+                deleted_ids.select(acfg.id_col)
+            )
+        n_stale = stale_now.count()
+        if n_stale:
+            # heal a crashed compaction swap before the append (see the
+            # dedup leg: a fresh primary would orphan the __new ids)
+            DD._heal_rel(spark, acfg.index_path, "stale_ids")
+            stale_now.select(F.col(acfg.id_col).alias("id")).write.mode(
+                "append"
+            ).parquet(ledger)
+            _compact_stale_ledger(spark, ledger)
     stale_total = 0
-    needs_rebuild = bool(app["needs_rebuild"])
+    needs_rebuild = bool(app["needs_rebuild"]) or bool(
+        rep and rep["needs_rebuild"]
+    )
     ledger_df = DD._read_rel(spark, acfg.index_path, "stale_ids")
     if ledger_df is not None:
         stale_total = ledger_df.distinct().count()
@@ -1633,6 +1710,9 @@ def run_ann_maintenance(
         "needs_rebuild": int(needs_rebuild),
         "rebuilt": rebuilt,
     }
+    if rep is not None:
+        out["repaired"] = int(rep["reassigned"])
+        out["removed"] = int(rep["removed"])
     if "appended_fraction" in app:
         out["appended_fraction"] = round(app["appended_fraction"], 6)
         out["min_centroid_cos"] = round(app["min_centroid_cos"], 6)

@@ -221,6 +221,97 @@ def test_sync_ann_leg_e2e(spark, tmp_path):
     assert served.isdisjoint(vanished)
 
 
+def test_ann_repair_in_place_serves_new_vector_same_night(spark, tmp_path):
+    """repair_in_place (round-11 verdict #1 — the reference's
+    doc_as_upsert semantics): a MODIFIED id's NEW vector serves the
+    same nightly run, deletions leave the lists physically, nothing is
+    ledgered, and probe-all equals brute force over the corrected
+    corpus."""
+    import os
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=4, n_iter=1,
+        repair_in_place=True,
+    )
+    corpus = _mk_vecs(spark, n=120, seed=4)
+    run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    # one nightly: 5 fresh inserts + 3 modified + 2 deleted
+    fresh = _mk_vecs(spark, n=5, seed=5, id_start=1000)
+    mod = corpus.filter(
+        F.col("chunk_id").isin(["c0", "c1", "c2"])
+    ).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(9.0)).cast("float")),
+    )
+    doomed = corpus.filter(F.col("chunk_id").isin(["c5", "c6"])).select(
+        "chunk_id"
+    )
+    r = run_ann_maintenance(
+        spark, acfg, fresh.unionByName(mod), deleted_ids=doomed
+    )
+    assert r["appended"] == 5
+    assert r["repaired"] == 3 and r["removed"] == 5  # 3 mod + 2 deleted
+    assert r["stale"] == 0 and r["stale_total"] == 0
+    assert not os.path.exists(f"{acfg.index_path}/stale_ids")
+    corrected = (
+        corpus.filter(
+            ~F.col("chunk_id").isin(["c0", "c1", "c2", "c5", "c6"])
+        )
+        .unionByName(mod)
+        .unionByName(fresh)
+    )
+    q = corrected.limit(6)
+    got = ann_search(spark, acfg, q, k=4, n_probe=4)
+    want = SIM.brute_force_topk(
+        corrected, q, k=4, id_col="chunk_id", vec_col="embedding"
+    )
+    assert [tuple(x) for x in got.collect()] == [
+        tuple(x) for x in want.collect()
+    ]
+    # an UNCHANGED re-delivery still repairs nothing
+    r2 = run_ann_maintenance(spark, acfg, corpus.limit(3).filter(
+        ~F.col("chunk_id").isin(["c0", "c1", "c2"])
+    ))
+    assert r2.get("repaired", 0) == 0 and r2["appended"] == 0
+
+
+def test_ann_repair_purges_standing_ledger(spark, tmp_path):
+    """Switching a ledgered index to repair_in_place: a re-delivered
+    modified id that an earlier exclude-mode night ledgered is repaired
+    AND leaves the ledger — serving completeness recovers without a
+    rebuild."""
+    from eea_crawler_spark.operators import similarity as SIM
+
+    base = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=2, n_iter=1,
+        rebuild_stale_fraction=1.0,
+    )
+    corpus = _mk_vecs(spark, n=40, dim=8, seed=10)
+    run_ann_maintenance(spark, base, None, corpus=corpus)
+    mod = corpus.filter(F.col("chunk_id") == "c3").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x * F.lit(-1.0)).cast("float")),
+    )
+    r1 = run_ann_maintenance(spark, base, mod)  # exclude mode: ledgered
+    assert r1["stale_total"] == 1
+    rep_cfg = AnnConfig(
+        index_path=base.index_path, n_clusters=2, n_iter=1,
+        repair_in_place=True,
+    )
+    r2 = run_ann_maintenance(spark, rep_cfg, mod)  # re-delivery repairs
+    assert r2["repaired"] == 1 and r2["stale_total"] == 0
+    got = ann_search(spark, rep_cfg, mod, k=50, n_probe=2)
+    live = corpus.filter(F.col("chunk_id") != "c3").unionByName(mod)
+    want = SIM.brute_force_topk(
+        live, mod, k=50, id_col="chunk_id", vec_col="embedding"
+    )
+    assert [tuple(x) for x in got.collect()] == [
+        tuple(x) for x in want.collect()
+    ]
+
+
 def test_stale_ledger_midswap_crash_never_serves_stale(spark, tmp_path):
     """Round-11 ADVICE (medium): a crash mid-compaction-swap leaves the
     ledger in its __new dir. Serving must STILL exclude the ledgered
