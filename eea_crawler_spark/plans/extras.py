@@ -413,6 +413,41 @@ def ann_ivf_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ann_ivf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(stale) partition-local repair under the gate (round-11
+    verdict #1): build on the standing corpus, append the delta, then
+    REPAIR — modified ids (vec_id % 7 == 3, vector reversed) replaced
+    in place, deleted ids (vec_id % 11 == 5, unless modified) evicted —
+    and serve PROBE-ALL, which must equal exact brute-force cosine
+    top-k over the CORRECTED corpus. The oracle states the corrected
+    corpus in SQL, so the hash check certifies eviction, re-assignment,
+    and the untouched lists end-to-end (the reference's doc_as_upsert
+    update-in-place serving, logstash/pipeline/search_pipeline.conf:
+    19-27; partition-locality is pinned in tests/test_ivf_index.py)."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+    corpus = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    mod = emb.filter(F.col("vec_id") % 7 == 3).withColumn(
+        "embedding", F.reverse("embedding")
+    )
+    doomed = emb.filter(
+        (F.col("vec_id") % 11 == 5) & (F.col("vec_id") % 7 != 3)
+    ).select("vec_id")
+    tmp = tempfile.mkdtemp(prefix="ivf_repair_")
+    try:
+        SIM.build_ivf_index(corpus, tmp, n_clusters=8, n_iter=1)
+        SIM.append_ivf_index(spark, tmp, new)
+        SIM.repair_ivf_index(spark, tmp, updates=mod, deleted_ids=doomed)
+        out = SIM.ivf_topk_state(spark, tmp, queries, k=ANN_K, n_probe=8)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale twin of emb_neardup_pairs: banded hyperplane-LSH
     candidates, exact in-bucket verification (subset of the exact
@@ -621,6 +656,34 @@ SELECT q_id, vec_id, rnk, cos FROM r WHERE rnk <= {ANN_K}
 ORDER BY q_id, rnk, vec_id"""
 
 
+def _ann_repair_sql() -> str:
+    """Exact brute-force cosine top-k over the CORRECTED corpus — the
+    corrections (reverse vec_id%7==3, drop vec_id%11==5 unless
+    modified) stated in SQL, so the hash compare certifies the
+    partition-local repair end-to-end. Queries keep their ORIGINAL
+    vectors (they are external probes; self-matches excluded by id)."""
+    nrm = _DOT_SQL.format(a="embedding", b="embedding")
+    dot = _DOT_SQL.format(a="q.qe", b="e.embedding")
+    return f"""
+WITH src AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE NOT (vec_id % 11 = 5 AND vec_id % 7 <> 3)),
+e AS (SELECT vec_id, embedding, sqrt({nrm}) AS nrm FROM src),
+q AS (SELECT vec_id AS q_id, embedding AS qe, sqrt({nrm}) AS qn
+      FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+scored AS (
+  SELECT q.q_id, e.vec_id, ROUND({dot} / (q.qn * e.nrm), 4) AS cos
+  FROM e, q WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored)
+SELECT q_id, vec_id, rnk, cos FROM r WHERE rnk <= {ANN_K}
+ORDER BY q_id, rnk, vec_id"""
+
+
 def _neardup_sql() -> str:
     nrm = _DOT_SQL.format(a="embedding", b="embedding")
     dot = _DOT_SQL.format(a="a.embedding", b="b.embedding")
@@ -670,6 +733,7 @@ EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": dedup_canonical,
     "dedup_cluster_incr": dedup_cluster_incr,
     "ann_ivf_state": ann_ivf_state,
+    "ann_ivf_repair": ann_ivf_repair,
 }
 
 # Implemented-but-undeclared (pytest-pinned) query builders, importable
@@ -720,6 +784,9 @@ ORDER BY doc_a, doc_b, jaccard""",
     # probe-all through the persisted index ≡ exact brute force — the
     # same SQL twin checks the whole build/append/serve lifecycle
     "ann_ivf_state": _ann_sql(),
+    # probe-all after the partition-local repair == exact brute force
+    # over the corrected corpus (corrections stated in the SQL itself)
+    "ann_ivf_repair": _ann_repair_sql(),
     "emb_neardup_pairs": _neardup_sql(),
     "mm_decode_stub": """
 SELECT doc_id AS media_id,
