@@ -1926,10 +1926,37 @@ def _ivf_cluster_agg(assigned: DataFrame, vec_col: str) -> DataFrame:
     return cnts.join(sums, ["cluster"])
 
 
+def _auto_n_clusters(n: int) -> int:
+    """List count for an IVF index sized from the corpus (round-11
+    verdict #2 — the ``band_planes="auto"`` calculus for the vector
+    index): k ≈ √n balances the two serve-side costs, which meet at
+    that point — the driver-side centroid argmax is O(k·dim) per query
+    and each probed list scan is O(n/k·dim), so total probe work
+    n_probe·n/k + k is minimized near √n (the standard IVF sizing,
+    same rule FAISS documents for IndexIVF).
+
+    Clamps, in order:
+      * k ≤ n/32 — every inverted list keeps ≥~32 members on average;
+        below that the partition-dir + file overhead per list exceeds
+        the rows it holds (tiny corpora degrade toward brute force,
+        which IS the right plan there);
+      * 4 ≤ k ≤ 4096 — the ceiling bounds the partition-directory
+        count and the k×dim driver-side aggregate folds (64 MB at
+        4096×768 float64 sums, still a bounded gate). CROSSOVER: past
+        k=4096 (n ≳ 16M rows per index) the √n rule wants more lists
+        than one partitioned directory should hold — shard the corpus
+        into multiple IVF indexes by id hash and fan the probe, or
+        raise the cap deliberately; the spec records the resolved k
+        either way, so append/serve never re-derive it."""
+    k = int(round(float(np.sqrt(max(1, n)))))
+    k = min(k, max(1, n // 32))
+    return max(4, min(4096, k)) if n >= 128 else max(1, k)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1949,6 +1976,11 @@ def build_ivf_index(
         counts rows added since the last full build (the other rebuild
         trigger).
 
+    ``n_clusters="auto"`` sizes k from the corpus count
+    (``_auto_n_clusters``, ≈√n clamped — see its crossover note); the
+    RESOLVED k is recorded in the spec, so appends and serves never
+    re-derive it (the ``band_planes="auto"`` discipline).
+
     Returns ``{"n", "n_clusters", "dim"}``."""
     spark = corpus.sparkSession
     probe = corpus.agg(
@@ -1962,6 +1994,8 @@ def build_ivf_index(
             f"{probe['dmin']}..{probe['dmax']}"
         )
     dim = int(probe["dmax"] or 0)
+    if n_clusters == "auto":
+        n_clusters = _auto_n_clusters(int(probe["n"]))
     centroids = ivf_centroids(corpus, n_clusters, n_iter, id_col, vec_col)
     assigned = ivf_assign(
         corpus.select(id_col, vec_col), centroids,
@@ -1989,10 +2023,43 @@ def build_ivf_index(
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
-        [(dim, int(n_clusters), int(probe["n"]), 0)],
-        "dim int, n_clusters int, n long, appended long",
+        [(dim, int(n_clusters), int(probe["n"]), 0, 0)],
+        "dim int, n_clusters int, n long, appended long, epoch long",
     ).write.mode("overwrite").parquet(f"{path}/spec")
     return {"n": int(probe["n"]), "n_clusters": int(n_clusters), "dim": dim}
+
+
+def _write_spec_guarded(
+    spark, path: str, spec_at_entry: dict, fields: tuple
+) -> None:
+    """Swap in a maintenance run's new spec with the EPOCH check
+    (round-11 verdict #8): the spec carries a monotonic ``epoch``
+    bumped by every append/repair; a writer re-reads it immediately
+    before its swap and REFUSES when it moved since the run started —
+    two concurrent maintainers interleaving list appends with agg/spec
+    swaps would silently corrupt the running aggregates. Best-effort
+    (a check-to-swap window remains — this is a tripwire for the
+    documented single-writer posture, not a lock); legacy specs
+    without the column count as epoch 0."""
+    from eea_crawler_spark.operators.dedup import _read_rel, _replace_dir
+
+    epoch0 = int(spec_at_entry.get("epoch", 0) or 0)
+    now = _read_rel(spark, path, "spec")
+    row = now.first().asDict() if now is not None else {}
+    if int(row.get("epoch", 0) or 0) != epoch0:
+        raise RuntimeError(
+            f"concurrent IVF index writer detected under {path!r}: the "
+            f"spec epoch moved {epoch0} -> {row.get('epoch')} during "
+            "this maintenance run. The lists/aggregates may now hold "
+            "an interleaved mix of two runs — rebuild the index "
+            "(build_ivf_index) and schedule ONE maintainer per index "
+            "(single-writer posture, see AnnConfig)"
+        )
+    spark.createDataFrame(
+        [(*fields, epoch0 + 1)],
+        "dim int, n_clusters int, n long, appended long, epoch long",
+    ).write.mode("overwrite").parquet(f"{path}/spec__new")
+    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
 
 
 def read_ivf_index(spark, path: str) -> dict:
@@ -2140,11 +2207,10 @@ def append_ivf_index(
     needs_rebuild = (
         frac >= rebuild_append_fraction or min_cos < rebuild_drift_cos
     )
-    spark.createDataFrame(
-        [(dim, int(spec["n_clusters"]), n_new, appended)],
-        "dim int, n_clusters int, n long, appended long",
-    ).write.mode("overwrite").parquet(f"{path}/spec__new")
-    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
+    _write_spec_guarded(
+        spark, path, spec,
+        (dim, int(spec["n_clusters"]), n_new, appended),
+    )
     from eea_crawler_spark.operators.dedup import _release_local_checkpoint
 
     _release_local_checkpoint(assigned)
@@ -2398,11 +2464,10 @@ def repair_ivf_index(
     needs_rebuild = (
         frac >= rebuild_append_fraction or min_cos < rebuild_drift_cos
     )
-    spark.createDataFrame(
-        [(dim, int(spec["n_clusters"]), int(n_total), appended)],
-        "dim int, n_clusters int, n long, appended long",
-    ).write.mode("overwrite").parquet(f"{path}/spec__new")
-    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
+    _write_spec_guarded(
+        spark, path, spec,
+        (dim, int(spec["n_clusters"]), int(n_total), appended),
+    )
     return {
         "removed": int(n_removed),
         "reassigned": n_updates,
@@ -2443,6 +2508,14 @@ def ivf_topk_state(
     vector's neighbors). ``pipeline.ann_search`` passes the stale
     ledger here, so staleness degrades to absence, never to a wrong
     answer.
+
+    The exclusion anti-join takes NO broadcast hint on purpose: a
+    ledger under the rebuild trigger fraction (default 5% of indexed
+    rows) is comfortably inside broadcast range and Spark's size
+    estimate broadcasts it (plan-pinned in tests/test_plan_audit.py);
+    past ~10⁸ ledgered ids — an index overdue for rebuild by orders of
+    magnitude — the estimate falls back to a shuffle join, the correct
+    plan in that regime.
     """
     idx = read_ivf_index(spark, path)
     centroids = idx["centroids"]

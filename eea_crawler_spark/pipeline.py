@@ -1457,7 +1457,10 @@ class AnnConfig:
     index_path: str
     id_col: str = "chunk_id"
     vec_col: str = "embedding"
-    n_clusters: int = 16
+    # "auto" sizes k ≈ √corpus at build/rebuild time (the resolved k is
+    # spec-recorded; see similarity._auto_n_clusters for the clamps and
+    # the k=4096 sharding crossover)
+    n_clusters: int | str = 16
     n_iter: int = 2
     # append-side rebuild triggers (see append_ivf_index): fraction of
     # the index appended since the last build, and the implied-mean

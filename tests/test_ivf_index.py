@@ -347,6 +347,61 @@ def test_ivf_repair_contracts(spark, tmp_path):
     assert r2["removed"] == 0 and r2["touched_clusters"] == 0
 
 
+@pytest.mark.parametrize("n,want_k", [(400, 12), (3200, 57)])
+def test_ivf_auto_n_clusters_recall(spark, tmp_path, n, want_k):
+    """n_clusters="auto" (round-11 verdict #2): k ≈ √n clamped (the
+    band_planes="auto" discipline — resolved k recorded in the spec),
+    and a quarter-probe serve over the auto-sized index holds high
+    recall@k on a clustered corpus at BOTH sizes."""
+    corpus = _mk_vecs(spark, n=n, seed=13)
+    path = str(tmp_path / "auto")
+    meta = SIM.build_ivf_index(corpus, path, n_clusters="auto", n_iter=2)
+    assert meta["n_clusters"] == want_k  # min(round(sqrt(n)), n // 32)
+    assert SIM.read_ivf_index(spark, path)["spec"]["n_clusters"] == want_k
+    queries = corpus.filter(F.col("vec_id") % (n // 8) == 1)
+    n_probe = max(1, want_k // 4)
+    got = SIM.ivf_topk_state(spark, path, queries, k=K, n_probe=n_probe)
+    want = SIM.brute_force_topk(corpus, queries, k=K)
+    got_set = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    want_set = {(r["q_id"], r["vec_id"]) for r in want.collect()}
+    recall = len(got_set & want_set) / len(want_set)
+    assert recall >= 0.9, f"recall {recall} at n={n}, k={want_k}"
+
+
+def test_ivf_auto_n_clusters_clamps():
+    """The sizing rule's clamps directly (no Spark)."""
+    assert SIM._auto_n_clusters(1) == 1
+    assert SIM._auto_n_clusters(100) == 3  # n//32 floor rules tiny corpora
+    assert SIM._auto_n_clusters(1024) == 32
+    assert SIM._auto_n_clusters(1_000_000) == 1000
+    assert SIM._auto_n_clusters(10**10) == 4096  # the sharding crossover
+
+
+def test_ivf_concurrent_writer_refused(spark, tmp_path):
+    """Single-writer tripwire (round-11 verdict #8): the spec epoch
+    bumps on every append/repair; a maintenance run whose entry-time
+    epoch moved before its own spec swap refuses instead of silently
+    mixing two runs' aggregates."""
+    corpus = _mk_vecs(spark, n=100, seed=14)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(corpus, path, n_clusters=4, n_iter=1)
+    spec0 = SIM.read_ivf_index(spark, path)["spec"]
+    assert spec0["epoch"] == 0
+    SIM.append_ivf_index(
+        spark, path, _mk_vecs(spark, n=4, seed=15, id_start=1000)
+    )
+    assert SIM.read_ivf_index(spark, path)["spec"]["epoch"] == 1
+    # simulate the interleave: another writer's swap lands mid-run
+    with pytest.raises(RuntimeError, match="concurrent"):
+        SIM._write_spec_guarded(
+            spark, path, {"epoch": 0}, (DIM, 4, 104, 4)
+        )
+    # repair bumps too
+    mod = _modified(corpus.limit(1))
+    SIM.repair_ivf_index(spark, path, updates=mod)
+    assert SIM.read_ivf_index(spark, path)["spec"]["epoch"] == 2
+
+
 def test_ivf_state_serve_prunes_partitions(spark, built):
     """The scale property the persisted layout buys: the probed lists
     arrive via partition pruning — the scan's PartitionFilters carry

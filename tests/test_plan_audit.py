@@ -253,3 +253,43 @@ def test_with_dedup_flags_join_broadcasts_sidecar(spark, tmp_path):
     # and the defaulting logic holds: unflagged docs are singletons
     row = out.filter(F.col("id") == "d1500").first()
     assert row["cluster_id"] == "d1500" and row["keep"] is True
+
+
+def test_ann_search_exclusion_join_broadcasts_ledger(spark, tmp_path):
+    """The serve-time stale exclusion (round-11 verdict #4): a
+    ledger-sized exclusion set must arrive BROADCAST into the probed
+    lists' anti-join — the lists (fact) side never shuffles on the hot
+    serve path. The operator deliberately takes no broadcast hint
+    (similarity.ivf_topk_state): the ledger is bounded by the rebuild
+    trigger fraction (default 5% of indexed rows), so past broadcast
+    range (~10⁸ ledgered ids — an index overdue for rebuild by two
+    orders of magnitude) Spark's size estimate falls back to a shuffle
+    join, which is the correct plan there. We pin the CURRENT
+    estimate-driven plan, keeping the at-scale fallback available.
+    """
+    import numpy as np
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(5)
+    corpus = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(300)
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(corpus, path, n_clusters=4, n_iter=1)
+    # the real serve path reads the ledger from PARQUET (ann_search) —
+    # file-size stats are what the no-hint estimate keys on
+    spark.createDataFrame(
+        [(i,) for i in range(40)], "vec_id bigint"
+    ).write.parquet(str(tmp_path / "ledger"))
+    excl = spark.read.parquet(str(tmp_path / "ledger"))
+    out = SIM.ivf_topk_state(
+        spark, path, corpus.limit(2), k=3, n_probe=2, exclude_ids=excl
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
