@@ -104,8 +104,10 @@ def main() -> None:
     # ±15% tolerance — a run is only a regression when even its best
     # pass falls outside the band. Update the rolling best when a
     # better window is recorded.
+    # 7.8946 = BENCH_r11 core best (beat the prior 7.94 anchor;
+    # round-11 verdict #5 / round-12 housekeeping)
     rolling_best = float(
-        os.environ.get("SPARK_GRAFT_ROLLING_BEST_CORE_SEC", "7.94")
+        os.environ.get("SPARK_GRAFT_ROLLING_BEST_CORE_SEC", "7.8946")
     )
     band = {
         "core_total_median_sec": total,

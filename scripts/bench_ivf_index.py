@@ -38,7 +38,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default=os.path.join(REPO, ".scale", "neardup768"))
     ap.add_argument("--delta-mod", type=int, default=20)
-    ap.add_argument("--n-clusters", type=int, default=64)
+    ap.add_argument("--n-clusters", default="64",
+                    help="int or 'auto' (k ~= sqrt(n) clamped)")
     ap.add_argument("--n-iter", type=int, default=2)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--n-probe", type=int, default=8)
@@ -57,6 +58,9 @@ def main() -> None:
 
     if os.path.exists(args.work):
         shutil.rmtree(args.work)
+    n_clusters = (
+        "auto" if args.n_clusters == "auto" else int(args.n_clusters)
+    )
     spark = get_spark("ivf-bench", data_dir=None)
     vecs = spark.read.parquet(args.src)
     delta = vecs.filter(F.col("vec_id") % args.delta_mod == 0)
@@ -75,8 +79,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     meta = SIM.build_ivf_index(
-        corpus, args.work, n_clusters=args.n_clusters, n_iter=args.n_iter
+        corpus, args.work, n_clusters=n_clusters, n_iter=args.n_iter
     )
+    out["resolved_n_clusters"] = meta["n_clusters"]
     out["build_sec"] = round(time.perf_counter() - t0, 1)
     print(f"build {out['build_sec']}s {meta}", file=sys.stderr)
 
@@ -105,7 +110,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     full = SIM.ivf_topk_state(
-        spark, args.work, queries, k=args.k, n_probe=args.n_clusters
+        spark, args.work, queries, k=args.k,
+        n_probe=meta["n_clusters"]
     ).collect()
     out["serve_all_sec"] = round(time.perf_counter() - t0, 1)
     got = {(r["q_id"], r["vec_id"]) for r in part}
@@ -113,7 +119,7 @@ def main() -> None:
     out["recall_at_probe"] = round(len(got & want) / max(1, len(want)), 4)
     print(
         f"serve(probe-all) {out['serve_all_sec']}s "
-        f"recall@{args.n_probe}/{args.n_clusters}={out['recall_at_probe']}",
+        f"recall@{args.n_probe}/{meta['n_clusters']}={out['recall_at_probe']}",
         file=sys.stderr,
     )
 
