@@ -1970,18 +1970,47 @@ def append_embedding_state(
     signed.repartition(*part_cols).write.mode("append").partitionBy(
         *part_cols
     ).parquet(f"{path}/signed")
-    new_vecs.select(id_col, vec_col).write.mode("append").parquet(
-        f"{path}/vectors"
+    if "vb" in vecs_rel.columns:
+        # round-12 layout: vectors partitioned by the spec's id-hash
+        # bucket — append with the SAME hash so eviction stays
+        # partition-local (repair_embedding_state)
+        (
+            new_vecs.select(id_col, vec_col)
+            .withColumn(
+                "vb", _SIM._vb_col(id_col, int(spec.get("n_vb") or 64))
+            )
+            .repartition("vb")
+            .write.mode("append")
+            .partitionBy("vb")
+            .parquet(f"{path}/vectors")
+        )
+    else:  # pre-round-12 unpartitioned vectors: plain append
+        new_vecs.select(id_col, vec_col).write.mode("append").parquet(
+            f"{path}/vectors"
+        )
+    _write_embedding_spec(
+        spark, path, spec, int(spec["n"]) + int(probe["n"])
     )
-    spark.createDataFrame(
-        [(
-            spec["dim"], spec["n_bands"], spec["band_planes"],
-            spec["seed"], int(spec["n"]) + int(probe["n"]),
-        )],
-        "dim int, n_bands int, band_planes int, seed int, n long",
-    ).write.mode("overwrite").parquet(f"{path}/spec__new")
-    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
     return int(probe["n"])
+
+
+def _write_embedding_spec(spark, path: str, spec: dict, n: int) -> None:
+    """Swap in the embedding state's spec with an updated row count,
+    preserving the banding params and (when present) the vectors
+    bucket count — one writer for append and repair so the schema
+    never forks."""
+    fields = [
+        spec["dim"], spec["n_bands"], spec["band_planes"],
+        spec["seed"], int(n),
+    ]
+    schema = "dim int, n_bands int, band_planes int, seed int, n long"
+    if spec.get("n_vb") is not None:
+        fields.append(int(spec["n_vb"]))
+        schema += ", n_vb int"
+    spark.createDataFrame([tuple(fields)], schema).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/spec__new")
+    _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
 
 
 def _prefix_relation(arr: DataFrame, threshold: float) -> DataFrame:

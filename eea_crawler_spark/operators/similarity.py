@@ -251,6 +251,19 @@ def brute_force_topk(
 # to force the exact plan at any size.
 NEARDUP_LSH_ESCALATE_BYTES = 2 << 30
 
+# id-hash bucket count for the embedding state's partitioned vectors
+# relation (round 12): 64 dirs keeps per-bucket files chunky at the
+# measured state sizes (1M×768 ≈ 45 MB/bucket) while making eviction
+# touch ≤ |touched ids| dirs. Recorded in the spec (n_vb) so appends
+# and repairs hash identically; raising it is a rebuild-time decision.
+VB_BUCKETS = 64
+
+
+def _vb_col(id_col: str, n_vb: int = VB_BUCKETS):
+    """The stable id→bucket hash every writer of the partitioned
+    vectors relation must share (build, append, repair)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_vb)).cast("int")
+
 
 def _lsh_params_for(threshold: float) -> tuple[int, int]:
     """(n_bands, band_planes) for an escalated near-dup run: pick the
@@ -1271,13 +1284,277 @@ def build_embedding_state(
             .partitionBy("band")
             .parquet(f"{path}/signed")
         )
-    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/vectors"
+    # vectors PARTITIONED by a stable id-hash bucket (round 12): the
+    # wide relation's evictions (repair_embedding_state) then touch
+    # only the buckets holding the modified ids — partition-local, the
+    # IVF-repair discipline. Readers are unaffected (every consumer
+    # selects (id, vec) explicitly); the bucket count rides the spec so
+    # appends/repairs hash identically forever.
+    (
+        corpus.select(id_col, vec_col)
+        .withColumn("vb", _vb_col(id_col))
+        .repartition("vb")
+        .write.mode("overwrite")
+        .partitionBy("vb")
+        .parquet(f"{path}/vectors")
     )
     corpus.sparkSession.createDataFrame(
-        [(dim, n_bands, band_planes, seed, int(probe["n"]))],
-        "dim int, n_bands int, band_planes int, seed int, n long",
+        [(dim, n_bands, band_planes, seed, int(probe["n"]), VB_BUCKETS)],
+        "dim int, n_bands int, band_planes int, seed int, n long, "
+        "n_vb int",
     ).write.mode("overwrite").parquet(f"{path}/spec")
+
+
+def repair_embedding_state(
+    spark,
+    path: str,
+    updates: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """O(stale) update-in-place repair for the embedding dedup serving
+    state — the `repair_ivf_index` discipline applied to the second
+    stateful family (round-11 "What's wrong #2": staleness previously
+    degraded future probes until an O(corpus) rebuild):
+
+      1. locate: the touched ids' OLD vectors read from the vectors
+         relation with PHYSICAL partition pruning (`vb` id-hash dirs —
+         the round-12 layout) — at most |touched| of the spec's `n_vb`
+         buckets scan.
+      2. evict signed rows: the old vectors re-sign (banding is a
+         deterministic per-row function, the append≡rebuild property),
+         giving the EXACT (band, bucket) partitions holding their
+         rows; only those partitions rewrite (dynamic overwrite,
+         emptied dirs deleted). The band-only layout (band_planes >
+         12) rewrites whole band dirs — still id-only rows, so I/O
+         stays ~1 GB/1M×768, never the wide vectors.
+      3. evict vector rows: the same anti-join over only the touched
+         `vb` buckets.
+      4. re-insert: `updates` go through `append_embedding_state`
+         (strictly-new now holds) — so an update id absent from the
+         state is a plain insert (upsert semantics), and the spec's
+         row count lands exactly at n − removed + |updates|.
+
+    After a repair, FUTURE probes compare against the new vectors —
+    the state itself never needs the rebuild cadence for freshness.
+    What repair does NOT fix (documented, unchanged): standing cluster
+    labels stay monotone between rebuilds (`run_dedup_maintenance`
+    docstring) — the pair relation is deliberately not persisted.
+
+    Legacy layouts (unpartitioned vectors / spec without `n_vb`) are
+    REFUSED — rebuild with `build_embedding_state` to adopt the
+    partitioned layout. Retry-idempotent like the IVF repair: eviction
+    re-evicts whatever a crashed attempt appended (their ids are
+    touched), re-insert lands one copy.
+
+    Returns ``{"removed", "reassigned", "n"}``."""
+    from eea_crawler_spark.operators.dedup import (
+        _fs_delete,
+        _heal_rel,
+        _read_rel,
+        _release_local_checkpoint,
+        _try_read_parquet,
+        _write_embedding_spec,
+    )
+
+    _heal_rel(spark, path, "spec")
+    spec_df = _read_rel(spark, path, "spec")
+    if spec_df is None:
+        raise ValueError(f"no spec relation under {path!r} — not an "
+                         "embedding state dir")
+    spec = spec_df.first().asDict()
+    vecs = _try_read_parquet(spark, f"{path}/vectors")
+    if vecs is None or "vb" not in vecs.columns or not spec.get("n_vb"):
+        raise ValueError(
+            "repair_embedding_state needs the round-12 partitioned "
+            "vectors layout (vb id-hash dirs + spec n_vb) — this is a "
+            "legacy state; rebuild it with build_embedding_state"
+        )
+    n_vb = int(spec["n_vb"])
+    dim = int(spec["dim"])
+    if updates is not None:
+        updates = updates.select(id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        probe = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(F.size(vec_col)).alias("dmin"),
+            F.max(F.size(vec_col)).alias("dmax"),
+        ).first()
+        n_updates = int(probe["n"])
+        if n_updates:
+            if probe["nd"] != n_updates:
+                raise ValueError(
+                    "repair_embedding_state updates must be unique per "
+                    "id — duplicate ids make which-vector-wins ambiguous"
+                )
+            if probe["dmin"] != probe["dmax"] or int(probe["dmax"]) != dim:
+                raise ValueError(
+                    f"state holds {dim}-d vectors, updates have "
+                    f"{probe['dmin']}..{probe['dmax']}-d"
+                )
+    else:
+        n_updates = 0
+    if deleted_ids is not None:
+        deleted_ids = deleted_ids.select(id_col).localCheckpoint(
+            eager=True
+        )
+    touched = None
+    if n_updates:
+        touched = updates.select(id_col)
+    if deleted_ids is not None:
+        touched = (
+            deleted_ids if touched is None
+            else touched.unionByName(deleted_ids)
+        )
+    if touched is None:
+        if updates is not None:
+            _release_local_checkpoint(updates)
+        return {"removed": 0, "reassigned": 0, "n": int(spec["n"])}
+    touched = touched.distinct().localCheckpoint(eager=True)
+    # 1. locate the old rows — vb partition pruning bounds the scan
+    vb_vals = sorted(
+        r["vb"]
+        for r in touched.select(
+            _vb_col(id_col, n_vb).alias("vb")
+        ).distinct().collect()
+    )
+    old = (
+        vecs.filter(F.col("vb").isin(vb_vals))
+        .join(touched, [id_col], "left_semi")
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    n_removed = old.count()
+    n_after_evict = int(spec["n"])
+    if n_removed:
+        n_bands, band_planes = int(spec["n_bands"]), int(spec["band_planes"])
+        p_mat = np.asarray(
+            hyperplane_planes(
+                dim, n_planes=n_bands * band_planes, seed=int(spec["seed"])
+            ),
+            dtype=np.float64,
+        )
+        id_type = old.schema[id_col].dataType.simpleString()
+        old_signed = old.mapInPandas(
+            _make_sign_batches(
+                id_col, vec_col, p_mat, n_bands, band_planes,
+                include_vec=False,
+            ),
+            f"{id_col} {id_type}, band int, bucket long",
+        )
+        part_cols = (
+            ["band", "bucket"] if 2 ** band_planes <= 4096 else ["band"]
+        )
+        pairs = {
+            (int(r["band"]), int(r["bucket"]))
+            for r in old_signed.select("band", "bucket").distinct().collect()
+        }
+        signed = spark.read.parquet(f"{path}/signed").withColumns(
+            {"band": F.col("band").cast("int"),
+             "bucket": F.col("bucket").cast("long")}
+        )
+        if part_cols == ["band", "bucket"]:
+            from functools import reduce
+
+            by_band: dict[int, list] = {}
+            for b, k in pairs:
+                by_band.setdefault(b, []).append(k)
+            pred = reduce(
+                lambda a, c: a | c,
+                (
+                    (F.col("band") == b) & F.col("bucket").isin(ks)
+                    for b, ks in by_band.items()
+                ),
+            )
+            touched_parts = pairs
+        else:
+            bands = sorted({b for b, _ in pairs})
+            pred = F.col("band").isin(bands)
+            touched_parts = {(b,) for b in bands}
+        keep = (
+            signed.filter(pred)
+            .join(touched, [id_col], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        survivors = {
+            tuple(int(r[c]) for c in part_cols)
+            for r in keep.select(*part_cols).distinct().collect()
+        }
+        mode_before = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            if survivors:
+                (
+                    keep.repartition(*part_cols)
+                    .write.mode("overwrite")
+                    .partitionBy(*part_cols)
+                    .parquet(f"{path}/signed")
+                )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", mode_before
+            )
+        for part in touched_parts - survivors:
+            sub = "/".join(
+                f"{c}={v}" for c, v in zip(part_cols, part)
+            )
+            _fs_delete(spark, f"{path}/signed/{sub}")
+        spark.catalog.refreshByPath(f"{path}/signed")
+        _release_local_checkpoint(keep)
+        # 3. vector rows leave their (pruned) vb buckets
+        vkeep = (
+            vecs.filter(F.col("vb").isin(vb_vals))
+            .join(touched, [id_col], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        v_survivors = {
+            int(r["vb"]) for r in vkeep.select("vb").distinct().collect()
+        }
+        try:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            if v_survivors:
+                (
+                    vkeep.repartition("vb")
+                    .write.mode("overwrite")
+                    .partitionBy("vb")
+                    .parquet(f"{path}/vectors")
+                )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", mode_before
+            )
+        for vb in set(vb_vals) - v_survivors:
+            _fs_delete(spark, f"{path}/vectors/vb={vb}")
+        spark.catalog.refreshByPath(f"{path}/vectors")
+        _release_local_checkpoint(vkeep)
+        n_after_evict = int(spec["n"]) - n_removed
+        _write_embedding_spec(spark, path, spec, n_after_evict)
+    reassigned = 0
+    if n_updates:
+        from eea_crawler_spark.operators.dedup import (
+            append_embedding_state,
+        )
+
+        reassigned = append_embedding_state(
+            spark, path, updates, id_col=id_col, vec_col=vec_col
+        )
+    for ck in (touched, old, updates, deleted_ids):
+        if ck is not None:
+            _release_local_checkpoint(ck)
+    return {
+        "removed": int(n_removed),
+        "reassigned": int(reassigned),
+        "n": n_after_evict + int(reassigned),
+    }
 
 
 def read_embedding_state(spark, path: str) -> dict:

@@ -1039,6 +1039,18 @@ class DedupConfig:
     # passed to run_dedup_maintenance, rebuild in-line (bootstrap over
     # the corpus, which resets the ledger) instead of only reporting
     rebuild_on_trigger: bool = False
+    # update-in-place state repair (round 12, method="embedding" only):
+    # a MODIFIED doc's serving-state rows are evicted and re-appended
+    # with its NEW vector the same night (repair_embedding_state,
+    # partition-local), and a DELETED doc's rows leave the state — so
+    # future probes always compare against the live corpus. Cluster
+    # labels stay monotone between rebuilds either way (the pair
+    # relation is deliberately not persisted — see the
+    # run_dedup_maintenance docstring), so modified ids still ledger:
+    # with repair on, the rebuild trigger tracks ONLY label-monotonicity
+    # debt, no longer state freshness. Refused for the text methods
+    # (their row-wise relations are not id-partitioned).
+    repair_in_place: bool = False
 
 
 def _dedup_data_col(dcfg: DedupConfig) -> str:
@@ -1224,6 +1236,12 @@ def run_dedup_maintenance(
             print(f"[dedup] {step}: +{now - _t0:.2f}s", file=_sys.stderr)
             _t0 = now
 
+    if dcfg.repair_in_place and dcfg.method != "embedding":
+        raise ValueError(
+            "DedupConfig.repair_in_place requires method='embedding' — "
+            "the text states' row-wise relations are not id-partitioned "
+            "(their modified docs ride the rebuild cadence)"
+        )
     id_type = delta_docs.schema[id_col].dataType.simpleString()
     delta = delta_docs.select(
         id_col, _dedup_data_col(dcfg)
@@ -1236,7 +1254,7 @@ def run_dedup_maintenance(
         return {
             "pairs": 0, "relabeled": 0, "flagged": 0,
             "appended": 0, "stale": 0, "stale_total": 0,
-            "needs_rebuild": 0, "rebuilt": 0,
+            "needs_rebuild": 0, "rebuilt": 0, "repaired": 0,
         }
     state = _read_dedup_state(spark, dcfg)
     # 1. probe (BEFORE any state append — the delta must not see itself)
@@ -1346,10 +1364,15 @@ def run_dedup_maintenance(
         standing_ids = state["keys"].select(F.col("id").alias(id_col))
     stale_total = 0
     needs_rebuild = False
+    n_repaired = 0
+    changed_rows = None
     if dcfg.append_state and standing_ids is not None:
         fresh_docs = delta_docs.join(standing_ids, [id_col], "left_anti")
         n_fresh = fresh_docs.count()
         n_stale = delta.count() - n_fresh
+        # the trigger denominator, counted BEFORE any repair rewrites
+        # the files the lazy standing_ids plan reads
+        n_standing = standing_ids.count()
         if n_fresh and dcfg.method == "embedding":
             n_appended = DD.append_embedding_state(
                 spark, dcfg.state_path, fresh_docs,
@@ -1360,21 +1383,58 @@ def run_dedup_maintenance(
                 spark, dcfg.state_path, fresh_docs,
                 text_col=dcfg.text_col, id_col=id_col,
             )["appended"]
-        # stale ledger → rebuild trigger: MODIFIED (and deleted) docs
-        # leave stale rows in the serving state until a full rebuild
-        # (the documented log-structured cadence). Persist the stale
-        # ids (append-mode, distinct-on-read) and surface the running
-        # fraction so the operator knows WHEN to rebuild instead of
-        # guessing — the leg itself stays O(delta).
         stale_ledger = f"{dcfg.state_path}/stale_ids"
-        stale_now = delta.select(F.col(id_col).alias("id")).join(
-            standing_ids.select(F.col(id_col).alias("id")), ["id"],
-            "left_semi",
-        )
-        if deleted_ids is not None:
-            stale_now = stale_now.unionByName(
-                deleted_ids.select(F.col(id_col).alias("id"))
+        if dcfg.repair_in_place and dcfg.method == "embedding":
+            # update-in-place: CHANGED standing vectors are evicted and
+            # re-appended (partition-local), deleted ids' rows leave
+            # the state — future probes compare against the live
+            # corpus. Only the changed ids ledger (label-monotonicity
+            # debt, see DedupConfig); unchanged re-deliveries and
+            # deletions carry no debt at all.
+            from eea_crawler_spark.operators import similarity as SIM
+
+            vecs_rel = spark.read.parquet(f"{dcfg.state_path}/vectors")
+            changed_rows = (
+                delta.withColumn("__vh", F.xxhash64(dcfg.vec_col))
+                .join(
+                    vecs_rel.select(
+                        id_col,
+                        F.xxhash64(dcfg.vec_col).alias("__sh"),
+                    ),
+                    [id_col],
+                )
+                .filter(F.col("__vh") != F.col("__sh"))
+                .select(id_col, dcfg.vec_col)
+                .localCheckpoint(eager=True)
             )
+            rep = SIM.repair_embedding_state(
+                spark, dcfg.state_path, updates=changed_rows,
+                deleted_ids=(
+                    deleted_ids.select(id_col)
+                    if deleted_ids is not None else None
+                ),
+                id_col=id_col, vec_col=dcfg.vec_col,
+            )
+            n_repaired = int(rep["reassigned"])
+            n_stale = n_repaired
+            # stale_now reads through the checkpoint — released with
+            # the other delta-bounded frames below
+            stale_now = changed_rows.select(F.col(id_col).alias("id"))
+        else:
+            # stale ledger → rebuild trigger: MODIFIED (and deleted)
+            # docs leave stale rows in the serving state until a full
+            # rebuild (the documented log-structured cadence). Persist
+            # the stale ids (append-mode, distinct-on-read) and surface
+            # the running fraction so the operator knows WHEN to
+            # rebuild instead of guessing — the leg stays O(delta).
+            stale_now = delta.select(F.col(id_col).alias("id")).join(
+                standing_ids.select(F.col(id_col).alias("id")), ["id"],
+                "left_semi",
+            )
+            if deleted_ids is not None:
+                stale_now = stale_now.unionByName(
+                    deleted_ids.select(F.col(id_col).alias("id"))
+                )
         if not stale_now.isEmpty():
             # heal a crashed compaction swap BEFORE the append: with
             # the primary missing mid-swap, mode("append") would create
@@ -1393,13 +1453,13 @@ def run_dedup_maintenance(
         ledger_df = DD._read_rel(spark, dcfg.state_path, "stale_ids")
         if ledger_df is not None:
             stale_total = ledger_df.distinct().count()
-            n_standing = standing_ids.count()
             needs_rebuild = (
                 stale_total
                 >= dcfg.rebuild_stale_fraction * max(1, n_standing)
             )
     _mark("state_append")
-    for ck in (delta, pairs, updates, labeled_delta, del_clusters):
+    for ck in (delta, pairs, updates, labeled_delta, del_clusters,
+               changed_rows):
         if ck is not None:
             DD._release_local_checkpoint(ck)
     rebuilt = 0
@@ -1437,6 +1497,7 @@ def run_dedup_maintenance(
         "stale_total": stale_total,
         "needs_rebuild": int(needs_rebuild),
         "rebuilt": rebuilt,
+        "repaired": n_repaired,
     }
 
 

@@ -701,6 +701,251 @@ def test_append_embedding_state_equals_rebuild(spark, tmp_path):
     assert pa == pr and pa
 
 
+def test_repair_embedding_state_equals_rebuild(spark, tmp_path):
+    """Embedding-state update-in-place (round 12): evicting modified
+    ids partition-locally and re-appending their NEW vectors leaves
+    the state relation-by-relation EQUAL to a rebuild over the
+    corrected corpus, deletions included — and a later probe through
+    the repaired state equals the probe through the rebuilt one."""
+    _, corpus = _mk_vecs(spark, n=240, dim=16, seed=6)
+    later = corpus.limit(30).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    mod = corpus.filter(F.col("vec_id") % 17 == 1).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x * F.lit(-1.0)).cast("float")),
+    )
+    doomed = corpus.filter(
+        (F.col("vec_id") % 13 == 2) & (F.col("vec_id") % 17 != 1)
+    ).select("vec_id")
+    p_rep = str(tmp_path / "emb_rep")
+    p_reb = str(tmp_path / "emb_reb")
+    SIM.build_embedding_state(
+        corpus, p_rep, expected_delta_rows=40, threshold=0.9
+    )
+    r = SIM.repair_embedding_state(
+        spark, p_rep, updates=mod, deleted_ids=doomed
+    )
+    n_mod, n_doomed = mod.count(), doomed.count()
+    assert r["reassigned"] == n_mod
+    assert r["removed"] == n_mod + n_doomed
+    corrected = (
+        corpus.join(mod.select("vec_id"), ["vec_id"], "left_anti")
+        .join(doomed, ["vec_id"], "left_anti")
+        .unionByName(mod)
+    )
+    assert r["n"] == corrected.count()
+    SIM.build_embedding_state(
+        corrected, p_reb, expected_delta_rows=40, threshold=0.9
+    )
+    sa = SIM.read_embedding_state(spark, p_rep)
+    sr = SIM.read_embedding_state(spark, p_reb)
+    # spec parity up to the band params derived from n (the repair
+    # keeps the STANDING banding; the rebuild re-derives from the
+    # corrected count) — compare the layout fields that must agree
+    assert sa["spec"]["dim"] == sr["spec"]["dim"]
+    assert sa["spec"]["n"] == sr["spec"]["n"]
+    assert sa["spec"]["n_vb"] == sr["spec"]["n_vb"]
+    ra = sorted(
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in sa["signed"].collect()
+    )
+    # the rebuilt state's banding params may differ (auto from a
+    # different n) — re-sign the corrected corpus under the REPAIRED
+    # state's own params for the exact row-set comparison
+    SIM.build_embedding_state(
+        corrected, str(tmp_path / "emb_same_params"),
+        n_bands=sa["spec"]["n_bands"],
+        band_planes=sa["spec"]["band_planes"],
+        threshold=0.9,
+    )
+    rr = sorted(
+        (r["vec_id"], r["band"], r["bucket"])
+        for r in SIM.read_embedding_state(
+            spark, str(tmp_path / "emb_same_params")
+        )["signed"].collect()
+    )
+    assert ra == rr
+    va = sorted(
+        (r["vec_id"], tuple(round(float(x), 6) for x in r["embedding"]))
+        for r in sa["vectors"].select("vec_id", "embedding").collect()
+    )
+    vr = sorted(
+        (r["vec_id"], tuple(round(float(x), 6) for x in r["embedding"]))
+        for r in sr["vectors"].select("vec_id", "embedding").collect()
+    )
+    assert va == vr
+    pa = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            later, threshold=0.9, against_state=sa
+        ).collect()
+    }
+    pr = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in SIM.neardup_pairs_lsh(
+            later, threshold=0.9, against_state=sr
+        ).collect()
+    }
+    assert pa == pr and pa
+
+
+def test_repair_embedding_state_partition_local(spark, tmp_path):
+    """The O(stale) property is PHYSICAL: repairing one id leaves
+    every untouched vb bucket's files byte-identical, and refuses
+    legacy/duplicate/mis-sized inputs."""
+    import os
+
+    _, corpus = _mk_vecs(spark, n=200, dim=16, seed=7)
+    p = str(tmp_path / "emb")
+    SIM.build_embedding_state(
+        corpus, p, expected_delta_rows=40, threshold=0.9
+    )
+    victim = corpus.limit(1)
+    vb = victim.select(
+        SIM._vb_col("vec_id").alias("vb")
+    ).first()["vb"]
+
+    def _vfiles():
+        out = {}
+        for d in os.listdir(f"{p}/vectors"):
+            if not d.startswith("vb="):
+                continue
+            full = f"{p}/vectors/{d}"
+            out[d] = {
+                (f, os.path.getmtime(f"{full}/{f}"))
+                for f in os.listdir(full) if f.endswith(".parquet")
+            }
+        return out
+
+    before = _vfiles()
+    mod = victim.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(3.0)).cast("float")),
+    )
+    r = SIM.repair_embedding_state(spark, p, updates=mod)
+    assert r["reassigned"] == 1 and r["removed"] == 1
+    after = _vfiles()
+    for d in before:
+        if d != f"vb={vb}":
+            assert after[d] == before[d], f"{d} was rewritten"
+    assert after[f"vb={vb}"] != before[f"vb={vb}"]
+    # refusals: duplicate update ids; dim mismatch; legacy layout
+    with pytest.raises(ValueError, match="unique per id"):
+        SIM.repair_embedding_state(
+            spark, p, updates=mod.unionByName(mod)
+        )
+    bad = spark.createDataFrame(
+        [(0, [0.0] * 17)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="-d"):
+        SIM.repair_embedding_state(spark, p, updates=bad)
+    import shutil
+
+    legacy = str(tmp_path / "legacy")
+    SIM.build_embedding_state(
+        corpus, legacy, expected_delta_rows=40, threshold=0.9
+    )
+    # strip the partitioning: rewrite vectors unpartitioned
+    flat = spark.read.parquet(f"{legacy}/vectors").select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(f"{legacy}/vectors")
+    flat.write.parquet(f"{legacy}/vectors")
+    with pytest.raises(ValueError, match="legacy"):
+        SIM.repair_embedding_state(spark, legacy, updates=mod)
+
+
+def test_dedup_maintenance_embedding_repair_in_place(spark, tmp_path):
+    """The composed leg with DedupConfig.repair_in_place: a modified
+    doc's FUTURE probes compare against its NEW vector (old-vector
+    matches vanish, new-vector matches appear), deletions leave the
+    state, unchanged re-deliveries carry no debt, and text methods
+    refuse the flag."""
+    from eea_crawler_spark.pipeline import (
+        DedupConfig,
+        run_dedup_maintenance,
+    )
+
+    _, corpus = _mk_vecs(spark, n=120, dim=16, seed=8)
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "state"),
+        clusters_path=str(tmp_path / "clusters"),
+        flags_path=str(tmp_path / "flags"),
+        method="embedding",
+        cos_threshold=0.9,
+        expected_delta_rows=20,
+        repair_in_place=True,
+    )
+    from eea_crawler_spark.pipeline import bootstrap_dedup_maintenance
+
+    bootstrap_dedup_maintenance(spark, dcfg, corpus, id_col="vec_id")
+    # pick a doc and re-deliver it ORTHOGONALIZED away from everything
+    victim = corpus.filter(F.col("vec_id") == 1)
+    dim = 16
+    mod = victim.withColumn(
+        "embedding",
+        F.array(
+            *[F.lit(float(1000 * (i == 7))).cast("float")
+              for i in range(dim)]
+        ),
+    )
+    r = run_dedup_maintenance(spark, dcfg, mod, id_col="vec_id")
+    assert r["repaired"] == 1 and r["stale"] == 1
+    # future probe with the victim's OLD vector: no pair with the
+    # victim id at ~1.0 cosine via its old value — the state holds the
+    # NEW vector now, so the old near-identical match is gone
+    probe_old = victim.withColumn("vec_id", F.lit(77777).cast("bigint"))
+    state = SIM.read_embedding_state(spark, dcfg.state_path)
+    pairs_old = {
+        (r["a_id"], r["b_id"])
+        for r in SIM.neardup_pairs_lsh(
+            probe_old, threshold=0.99, against_state=state
+        ).collect()
+    }
+    assert not any(1 in p for p in pairs_old)
+    # and a probe WITH the new vector matches it exactly
+    probe_new = mod.withColumn("vec_id", F.lit(88888).cast("bigint"))
+    pairs_new = {
+        (r["a_id"], r["b_id"])
+        for r in SIM.neardup_pairs_lsh(
+            probe_new, threshold=0.99, against_state=state
+        ).collect()
+    }
+    assert any(1 in p for p in pairs_new)
+    # unchanged re-delivery: nothing repaired, nothing ledgered
+    r2 = run_dedup_maintenance(
+        spark, dcfg, corpus.filter(F.col("vec_id") == 6), id_col="vec_id"
+    )
+    assert r2["repaired"] == 0 and r2["stale"] == 0
+    # deletions leave the state physically
+    r3 = run_dedup_maintenance(
+        spark, dcfg,
+        corpus.filter(F.lit(False)),
+        id_col="vec_id",
+        deleted_ids=corpus.filter(F.col("vec_id") == 11).select("vec_id"),
+    )
+    ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{dcfg.state_path}/vectors")
+        .select("vec_id").collect()
+    }
+    assert 11 not in ids
+    # text methods refuse the flag loudly
+    bad_cfg = DedupConfig(
+        state_path=str(tmp_path / "s2"),
+        clusters_path=str(tmp_path / "c2"),
+        flags_path=str(tmp_path / "f2"),
+        method="ngram",
+        repair_in_place=True,
+    )
+    docs = spark.createDataFrame(
+        [("a", "hello world hello world")], "id string, fulltext string"
+    )
+    with pytest.raises(ValueError, match="repair_in_place"):
+        run_dedup_maintenance(spark, bad_cfg, docs)
+
+
 def test_append_embedding_state_refuses_legacy_layout(spark, tmp_path):
     """A pre-round-10 state (vectors on band rows, no vectors relation)
     must be REFUSED, not silently mixed: appending id-only signed rows
