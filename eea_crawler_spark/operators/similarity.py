@@ -1327,8 +1327,18 @@ def repair_embedding_state(
          giving the EXACT (band, bucket) partitions holding their
          rows; only those partitions rewrite (dynamic overwrite,
          emptied dirs deleted). The band-only layout (band_planes >
-         12) rewrites whole band dirs — still id-only rows, so I/O
-         stays ~1 GB/1M×768, never the wide vectors.
+         12 — what auto banding lands at production corpus sizes)
+         rewrites whole band dirs: still id-only rows, so the wall is
+         ~the build's signed pass (measured 38.6 s at 1M×768 for 10k
+         mods), never the wide vectors. Cost shape by layout: at
+         (band, bucket) layouts the touched-dir count is |mod|×bands
+         and FILE OPS dominate for big modify batches (measured 101 s
+         for 200 mods over a 20k corpus) — the stale trigger stays
+         the arbiter of repair-vs-rebuild there. A tombstone relation
+         honored by the probes would make signed eviction O(stale)
+         proper, at the price of an exclusion join on every probe —
+         deliberately not taken while the measured walls beat the
+         composed rebuild by ~10–30×.
       3. evict vector rows: the same anti-join over only the touched
          `vb` buckets.
       4. re-insert: `updates` go through `append_embedding_state`
