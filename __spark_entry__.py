@@ -5,19 +5,23 @@
 
 ``queries()`` maps every implemented operator from SURVEY.md §2 to a
 ``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` carries the
-DuckDB-equivalent ANSI SQL for the hash-compare gate. 56 declared, 55
-oracle-bearing. Round-10 window rotation (see plans/__init__.py):
-every oracle-bearing query rides inside the gate's 50-slot window —
-including the incremental delta-vs-corpus pair
+DuckDB-equivalent ANSI SQL for the hash-compare gate. 58 declared, 57
+oracle-bearing. Round-12 window rotation (see plans/__init__.py): the
+gate's 50-slot window holds only oracle-bearing queries — including
+the incremental delta-vs-corpus pair
 (``dedup_ngram_delta``/``emb_neardup_delta``, restriction-contract
 oracles), the cluster-resolution pair
-(``dedup_clusters``/``dedup_canonical``, recursive-CTE closure), and
-the O(delta) cluster fold ``dedup_cluster_incr`` (oracle = the FULL
-closure, so the driver checks incremental vs from-scratch). The tail
-(51st–56th) holds five long-stable scalar filters (q1 q3 q4 q5 q16 —
-still oracle-compared by pytest every session) and the by-design
-rows-only ``dedup_minhash_lsh`` (its gated slot is the containment
-invariant ``dedup_minhash_contained``).
+(``dedup_clusters``/``dedup_canonical``, recursive-CTE closure), the
+O(delta) cluster fold ``dedup_cluster_incr`` (oracle = the FULL
+closure), and the persisted IVF index's lifecycle pair
+(``ann_ivf_state`` build→append→serve and ``ann_ivf_repair``
+…→partition-local update-in-place repair, each hash-checked against
+exact brute-force cosine SQL — the repair's over the corrected corpus
+stated in the oracle itself). The tail (51st–58th) holds seven
+long-stable scalar/aggregate queries (q1–q5 q15 q16 — still
+oracle-compared by pytest every session) and the by-design rows-only
+``dedup_minhash_lsh`` (its gated slot is the containment invariant
+``dedup_minhash_contained``).
 """
 
 from __future__ import annotations
