@@ -1051,6 +1051,17 @@ class DedupConfig:
     # debt, no longer state freshness. Refused for the text methods
     # (their row-wise relations are not id-partitioned).
     repair_in_place: bool = False
+    # EXACT label maintenance (round 12): persist the near-dup pair
+    # relation in a keyed table here. With repair_in_place also set
+    # (embedding method), the nightly leg then RECOMPUTES the affected
+    # components from the maintained pair set instead of folding
+    # monotonically — a modified doc LEAVES clusters it no longer
+    # belongs to, clusters split exactly, and the rebuild cadence has
+    # nothing left to track (the ledger stays empty). Cost: the pairs
+    # table (O(near-dup pairs), keyed MERGE per night) and an
+    # affected-components CC per night (delta-bounded). None = the
+    # documented monotone fold.
+    pairs_path: str | None = None
 
 
 def _dedup_data_col(dcfg: DedupConfig) -> str:
@@ -1131,6 +1142,198 @@ def _dedup_probe(delta, state, dcfg: DedupConfig, id_col: str) -> DataFrame:
     raise ValueError(f"unknown dedup method {dcfg.method!r}")
 
 
+def _norm_pairs(pairs: DataFrame) -> DataFrame:
+    """Canonical (doc_a < doc_b) pair rows with a stable merge key —
+    the persisted pair relation's shape. Duplicate emissions (a pair
+    found via both the delta self-join and the state route) collapse
+    here."""
+    a, b = F.least("doc_a", "doc_b"), F.greatest("doc_a", "doc_b")
+    return (
+        pairs.select(a.alias("doc_a"), b.alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+        .withColumn(
+            "pair_key",
+            F.concat_ws(
+                "§",
+                F.col("doc_a").cast("string"),
+                F.col("doc_b").cast("string"),
+            ),
+        )
+    )
+
+
+def _exact_label_maintenance(
+    spark: SparkSession,
+    dcfg: DedupConfig,
+    delta: DataFrame,
+    pairs: DataFrame,
+    deleted_ids: DataFrame | None,
+    rank_source: DataFrame | None,
+    id_col: str,
+    changed_rows: DataFrame | None,
+) -> tuple[int, int]:
+    """The exact-labels nightly step (DedupConfig.pairs_path +
+    repair_in_place): maintain the persisted pair relation, then
+    RECOMPUTE connected components over the affected subgraph only —
+    so cluster membership follows the live corpus exactly (splits
+    included), unlike the monotone fold.
+
+      1. pairs table: rows touching a modified/deleted id are deleted
+         (their relationships were derived from a vector that no
+         longer exists), tonight's probe pairs MERGE in. The probe ran
+         against the ALREADY-REPAIRED state, so every surviving row
+         reflects current vectors.
+      2. affected subgraph: the touched ids' and new pairs' endpoints
+         seed it; every standing cluster containing a seed contributes
+         all its members (an old pair's endpoints share a cluster, so
+         membership closure needs no graph walk — one semi-join).
+      3. recompute: ``connected_components`` over the maintained pairs
+         restricted to the subgraph — delta-bounded, never the corpus
+         graph. Old label rows for the subgraph are deleted, the new
+         components MERGE in, winners re-flag per new cluster, and
+         nodes that lost their last pair (plus never-paired delta
+         docs) become keep=true singletons.
+
+    Returns (relabeled, flagged)."""
+    from eea_crawler_spark.operators import dedup as DD
+
+    stamp = F.current_timestamp()
+    pairs_norm = _norm_pairs(pairs).localCheckpoint(eager=True)
+    touched = None
+    if changed_rows is not None and not changed_rows.isEmpty():
+        touched = changed_rows.select(F.col(id_col).alias("node"))
+    if deleted_ids is not None and not deleted_ids.isEmpty():
+        d = deleted_ids.select(F.col(id_col).alias("node"))
+        touched = d if touched is None else touched.unionByName(d)
+    if touched is not None:
+        touched = touched.distinct().localCheckpoint(eager=True)
+    # 1. maintain the pair relation (evict BEFORE merging tonight's —
+    # the doomed set is computed from the STANDING table)
+    if touched is not None and LK.table_exists(dcfg.pairs_path):
+        std = LK.read_table(spark, dcfg.pairs_path)
+        doomed_pairs = (
+            std.join(
+                touched.withColumnRenamed("node", "doc_a"),
+                ["doc_a"], "left_semi",
+            )
+            .unionByName(
+                std.join(
+                    touched.withColumnRenamed("node", "doc_b"),
+                    ["doc_b"], "left_semi",
+                )
+            )
+            .select("pair_key")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not doomed_pairs.isEmpty():
+            SK.delete_from_index(
+                spark, dcfg.pairs_path, doomed_pairs, key="pair_key",
+                backend=dcfg.state_backend,
+            )
+        DD._release_local_checkpoint(doomed_pairs)
+    if not pairs_norm.isEmpty():
+        SK.upsert_index(
+            spark, dcfg.pairs_path,
+            pairs_norm.withColumn("updated_at", stamp),
+            key="pair_key", order_col="updated_at",
+            backend=dcfg.state_backend, unique_keys=True,
+        )
+    # 2. the affected subgraph
+    seeds = pairs_norm.select(F.col("doc_a").alias("node")).unionByName(
+        pairs_norm.select(F.col("doc_b").alias("node"))
+    )
+    if touched is not None:
+        seeds = seeds.unionByName(touched)
+    seeds = seeds.distinct().localCheckpoint(eager=True)
+    if LK.table_exists(dcfg.clusters_path):
+        labels = LK.read_table(spark, dcfg.clusters_path).select(
+            "node", "cluster_id"
+        )
+    else:
+        id_type = delta.schema[id_col].dataType.simpleString()
+        labels = spark.createDataFrame(
+            [], f"node {id_type}, cluster_id {id_type}"
+        )
+    affected_clusters = (
+        labels.join(seeds, ["node"], "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    old_members = (
+        labels.join(
+            F.broadcast(affected_clusters), ["cluster_id"], "left_semi"
+        )
+        .select("node")
+    )
+    nodes = old_members.unionByName(seeds).distinct().localCheckpoint(
+        eager=True
+    )
+    # 3. recompute components over the maintained pairs, subgraph only
+    sub_pairs = (
+        LK.read_table(spark, dcfg.pairs_path).select("doc_a", "doc_b")
+        .join(nodes.withColumnRenamed("node", "doc_a"), ["doc_a"],
+              "left_semi")
+        if LK.table_exists(dcfg.pairs_path)
+        else pairs_norm.select("doc_a", "doc_b")
+    )
+    new_labels = DD.connected_components(sub_pairs).localCheckpoint(
+        eager=True
+    )
+    n_relabel = new_labels.count()
+    if LK.table_exists(dcfg.clusters_path) and not nodes.isEmpty():
+        SK.delete_from_index(
+            spark, dcfg.clusters_path, nodes, key="node",
+            backend=dcfg.state_backend,
+        )
+    if n_relabel:
+        SK.upsert_index(
+            spark, dcfg.clusters_path,
+            new_labels.withColumn("updated_at", stamp),
+            key="node", order_col="updated_at",
+            backend=dcfg.state_backend, unique_keys=True,
+        )
+    # flags: deleted ids' rows drop; affected members re-flag; nodes
+    # that lost their last pair + never-paired delta docs become
+    # keep=true singletons
+    d_ids = None
+    if deleted_ids is not None and not deleted_ids.isEmpty():
+        d_ids = deleted_ids.select(F.col(id_col).alias("id"))
+        if LK.table_exists(dcfg.flags_path):
+            SK.delete_from_index(
+                spark, dcfg.flags_path, d_ids, key="id",
+                backend=dcfg.state_backend,
+            )
+    flags = _winner_flags(new_labels, dcfg, rank_source, id_col)
+    singles = (
+        nodes.select(F.col("node").alias("id"))
+        .unionByName(delta.select(F.col(id_col).alias("id")))
+        .distinct()
+        .join(
+            new_labels.select(F.col("node").alias("id")), ["id"],
+            "left_anti",
+        )
+    )
+    if d_ids is not None:
+        singles = singles.join(d_ids, ["id"], "left_anti")
+    singles = singles.select(
+        "id", F.col("id").alias("cluster_id"), F.lit(True).alias("keep")
+    )
+    all_flags = flags.unionByName(singles).withColumn("updated_at", stamp)
+    n_flags = all_flags.count()
+    if n_flags:
+        SK.upsert_index(
+            spark, dcfg.flags_path, all_flags, key="id",
+            order_col="updated_at", backend=dcfg.state_backend,
+            unique_keys=True,
+        )
+    for ck in (pairs_norm, touched, seeds, nodes, new_labels):
+        if ck is not None:
+            DD._release_local_checkpoint(ck)
+    return n_relabel, n_flags
+
+
 def _winner_flags(members: DataFrame, dcfg: DedupConfig,
                   rank_source: DataFrame | None, id_col: str) -> DataFrame:
     """keep/drop verdicts for an AFFECTED-cluster member set (bounded,
@@ -1208,12 +1411,25 @@ def run_dedup_maintenance(
 
     MODIFIED docs (ids already in the state): probed with their NEW
     text, so new duplicate relationships are found immediately — but
-    cluster membership is MONOTONE between rebuilds: a doc edited away
-    from its duplicates keeps its standing label until the periodic
-    state rebuild re-derives the pair relation (removing a node from a
-    component would need the persisted pair set, which this design
-    deliberately does not keep). Same cadence as the stale text-state
-    rows; the ``stale`` count in the result is the rebuild trigger.
+    cluster membership is MONOTONE between rebuilds by default: a doc
+    edited away from its duplicates keeps its standing label until the
+    periodic state rebuild re-derives the pair relation (removing a
+    node from a component needs the persisted pair set, which the
+    default design deliberately does not keep). Same cadence as the
+    stale text-state rows; the ``stale`` count in the result is the
+    rebuild trigger.
+
+    EXACT mode (round 12 — ``repair_in_place`` + ``pairs_path``,
+    embedding method): the monotonicity seam closes entirely. The
+    state repairs BEFORE the probe (``repair_embedding_state``), the
+    pair relation persists in a keyed table maintained each night
+    (rows touching modified/deleted ids evicted, tonight's probe pairs
+    merged), and the affected components RECOMPUTE from it
+    (``_exact_label_maintenance``) — a modified doc leaves clusters it
+    no longer belongs to, clusters split and merge exactly, deletions
+    unwind, and every night's labels+flags equal a from-scratch
+    bootstrap over the live corpus (pinned). Nothing ledgers; the
+    rebuild trigger never arms from new nights.
 
     Idempotent: re-running with the same delta yields the same pairs,
     the cluster fold is a no-op (intra-cluster edges contract to
@@ -1242,6 +1458,15 @@ def run_dedup_maintenance(
             "the text states' row-wise relations are not id-partitioned "
             "(their modified docs ride the rebuild cadence)"
         )
+    if dcfg.pairs_path is not None and not (
+        dcfg.repair_in_place and dcfg.method == "embedding"
+    ):
+        raise ValueError(
+            "DedupConfig.pairs_path (exact label maintenance) requires "
+            "repair_in_place and method='embedding' — without the "
+            "pre-probe state repair the persisted pairs would mix old "
+            "and new vectors"
+        )
     id_type = delta_docs.schema[id_col].dataType.simpleString()
     delta = delta_docs.select(
         id_col, _dedup_data_col(dcfg)
@@ -1257,103 +1482,156 @@ def run_dedup_maintenance(
             "needs_rebuild": 0, "rebuilt": 0, "repaired": 0,
         }
     state = _read_dedup_state(spark, dcfg)
-    # 1. probe (BEFORE any state append — the delta must not see itself)
+    exact_mode = (
+        dcfg.repair_in_place
+        and dcfg.pairs_path is not None
+        and dcfg.method == "embedding"
+    )
+    changed_rows = None
+    rep_early: dict | None = None
+    if exact_mode and state.get("vectors") is not None:
+        # exact mode repairs the state BEFORE the probe: changed
+        # vectors replace their state rows and deletions evict, so the
+        # probe (and therefore the persisted pair relation) reflects
+        # ONLY current vectors — including pairs between two docs both
+        # modified tonight
+        from eea_crawler_spark.operators import similarity as SIM
+
+        vecs_rel = spark.read.parquet(f"{dcfg.state_path}/vectors")
+        changed_rows = (
+            delta.withColumn("__vh", F.xxhash64(dcfg.vec_col))
+            .join(
+                vecs_rel.select(
+                    id_col, F.xxhash64(dcfg.vec_col).alias("__sh")
+                ),
+                [id_col],
+            )
+            .filter(F.col("__vh") != F.col("__sh"))
+            .select(id_col, dcfg.vec_col)
+            .localCheckpoint(eager=True)
+        )
+        has_del = deleted_ids is not None and not deleted_ids.isEmpty()
+        if has_del or not changed_rows.isEmpty():
+            rep_early = SIM.repair_embedding_state(
+                spark, dcfg.state_path, updates=changed_rows,
+                deleted_ids=(
+                    deleted_ids.select(id_col)
+                    if deleted_ids is not None else None
+                ),
+                id_col=id_col, vec_col=dcfg.vec_col,
+            )
+            state = _read_dedup_state(spark, dcfg)
+        _mark("state_repair")
+    # 1. probe (BEFORE any state append — the delta must not see itself;
+    # in exact mode the state was REPAIRED first, so re-delivered ids
+    # probe against current vectors — the delta-side id wins the a<b
+    # self-pair exclusion, and duplicate (delta, state) emissions of
+    # the same pair collapse in _norm_pairs)
     pairs = _dedup_probe(delta, state, dcfg, id_col).localCheckpoint(
         eager=True
     )
     n_pairs = pairs.count()
     _mark("probe")
-    # 2. O(delta) label fold
-    if LK.table_exists(dcfg.clusters_path):
-        labels = LK.read_table(spark, dcfg.clusters_path).select(
-            "node", "cluster_id"
+    if exact_mode:
+        n_updates, n_flags = _exact_label_maintenance(
+            spark, dcfg, delta, pairs, deleted_ids, rank_source,
+            id_col, changed_rows,
         )
+        labeled_delta = del_clusters = None
+        updates = None
+        _mark("exact_labels")
     else:
-        labels = spark.createDataFrame(
-            [], f"node {id_type}, cluster_id {id_type}"
-        )
-    if n_pairs:
-        updates = DD.update_connected_components(
-            labels, pairs
-        ).localCheckpoint(eager=True)
-    else:
-        updates = spark.createDataFrame(
-            [], f"node {id_type}, cluster_id {id_type}"
-        )
-    n_updates = updates.count()
-    _mark("cluster_fold")
-    # everything still needed from the PRE-merge label relation is
-    # materialized now (all delta-bounded): the keyed upsert below may
-    # rewrite the table's files under any still-lazy plan over it
-    labeled_delta = (
-        delta.select(F.col(id_col).alias("id"))
-        .join(
-            labels.select(F.col("node").alias("id")), ["id"], "left_semi"
-        )
-        .localCheckpoint(eager=True)
-    )
-    del_clusters = None
-    if deleted_ids is not None:
-        doomed = deleted_ids.select(F.col(id_col).alias("node"))
-        del_clusters = (
-            labels.join(F.broadcast(doomed), ["node"], "left_semi")
-            .select("cluster_id")
-            .distinct()
+        # 2. O(delta) label fold
+        if LK.table_exists(dcfg.clusters_path):
+            labels = LK.read_table(spark, dcfg.clusters_path).select(
+                "node", "cluster_id"
+            )
+        else:
+            labels = spark.createDataFrame(
+                [], f"node {id_type}, cluster_id {id_type}"
+            )
+        if n_pairs:
+            updates = DD.update_connected_components(
+                labels, pairs
+            ).localCheckpoint(eager=True)
+        else:
+            updates = spark.createDataFrame(
+                [], f"node {id_type}, cluster_id {id_type}"
+            )
+        n_updates = updates.count()
+        _mark("cluster_fold")
+        # everything still needed from the PRE-merge label relation is
+        # materialized now (all delta-bounded): the keyed upsert below may
+        # rewrite the table's files under any still-lazy plan over it
+        labeled_delta = (
+            delta.select(F.col(id_col).alias("id"))
+            .join(
+                labels.select(F.col("node").alias("id")), ["id"], "left_semi"
+            )
             .localCheckpoint(eager=True)
         )
-    stamp = F.current_timestamp()
-    if n_updates:
-        SK.upsert_index(
-            spark, dcfg.clusters_path,
-            updates.withColumn("updated_at", stamp),
-            key="node", order_col="updated_at",
-            backend=dcfg.state_backend, unique_keys=True,
-        )
-    # 2b. deletions: drop label/flag rows; their clusters join the
-    # winner recompute below
-    if deleted_ids is not None:
+        del_clusters = None
+        if deleted_ids is not None:
+            doomed = deleted_ids.select(F.col(id_col).alias("node"))
+            del_clusters = (
+                labels.join(F.broadcast(doomed), ["node"], "left_semi")
+                .select("cluster_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        stamp = F.current_timestamp()
+        if n_updates:
+            SK.upsert_index(
+                spark, dcfg.clusters_path,
+                updates.withColumn("updated_at", stamp),
+                key="node", order_col="updated_at",
+                backend=dcfg.state_backend, unique_keys=True,
+            )
+        # 2b. deletions: drop label/flag rows; their clusters join the
+        # winner recompute below
+        if deleted_ids is not None:
+            if LK.table_exists(dcfg.clusters_path):
+                SK.delete_from_index(
+                    spark, dcfg.clusters_path, doomed,
+                    key="node", backend=dcfg.state_backend,
+                )
+            if LK.table_exists(dcfg.flags_path):
+                SK.delete_from_index(
+                    spark, dcfg.flags_path,
+                    doomed.withColumnRenamed("node", "id"),
+                    key="id", backend=dcfg.state_backend,
+                )
+        # 3. canonical flags for affected clusters + delta singletons
+        affected = updates.select("cluster_id").distinct()
+        if del_clusters is not None:
+            affected = affected.unionByName(del_clusters).distinct()
         if LK.table_exists(dcfg.clusters_path):
-            SK.delete_from_index(
-                spark, dcfg.clusters_path, doomed,
-                key="node", backend=dcfg.state_backend,
+            merged_labels = LK.read_table(spark, dcfg.clusters_path).select(
+                "node", "cluster_id"
             )
-        if LK.table_exists(dcfg.flags_path):
-            SK.delete_from_index(
-                spark, dcfg.flags_path,
-                doomed.withColumnRenamed("node", "id"),
-                key="id", backend=dcfg.state_backend,
+        else:
+            merged_labels = labels
+        members = merged_labels.join(
+            F.broadcast(affected), ["cluster_id"], "left_semi"
+        )
+        flags = _winner_flags(members, dcfg, rank_source, id_col)
+        singles = (
+            delta.select(F.col(id_col).alias("id"))
+            .join(updates.select(F.col("node").alias("id")), ["id"], "left_anti")
+            .join(labeled_delta, ["id"], "left_anti")
+            .select(
+                "id", F.col("id").alias("cluster_id"), F.lit(True).alias("keep")
             )
-    # 3. canonical flags for affected clusters + delta singletons
-    affected = updates.select("cluster_id").distinct()
-    if del_clusters is not None:
-        affected = affected.unionByName(del_clusters).distinct()
-    if LK.table_exists(dcfg.clusters_path):
-        merged_labels = LK.read_table(spark, dcfg.clusters_path).select(
-            "node", "cluster_id"
         )
-    else:
-        merged_labels = labels
-    members = merged_labels.join(
-        F.broadcast(affected), ["cluster_id"], "left_semi"
-    )
-    flags = _winner_flags(members, dcfg, rank_source, id_col)
-    singles = (
-        delta.select(F.col(id_col).alias("id"))
-        .join(updates.select(F.col("node").alias("id")), ["id"], "left_anti")
-        .join(labeled_delta, ["id"], "left_anti")
-        .select(
-            "id", F.col("id").alias("cluster_id"), F.lit(True).alias("keep")
-        )
-    )
-    all_flags = flags.unionByName(singles).withColumn("updated_at", stamp)
-    n_flags = all_flags.count()
-    if n_flags:
-        SK.upsert_index(
-            spark, dcfg.flags_path, all_flags, key="id",
-            order_col="updated_at", backend=dcfg.state_backend,
-            unique_keys=True,
-        )
-    _mark("canonical_flags")
+        all_flags = flags.unionByName(singles).withColumn("updated_at", stamp)
+        n_flags = all_flags.count()
+        if n_flags:
+            SK.upsert_index(
+                spark, dcfg.flags_path, all_flags, key="id",
+                order_col="updated_at", backend=dcfg.state_backend,
+                unique_keys=True,
+            )
+        _mark("canonical_flags")
     # 4. self-sustaining state: append the genuinely-new docs
     n_appended = n_stale = 0
     standing_ids = None
@@ -1364,8 +1642,7 @@ def run_dedup_maintenance(
         standing_ids = state["keys"].select(F.col("id").alias(id_col))
     stale_total = 0
     needs_rebuild = False
-    n_repaired = 0
-    changed_rows = None
+    n_repaired = int(rep_early["reassigned"]) if rep_early else 0
     if dcfg.append_state and standing_ids is not None:
         fresh_docs = delta_docs.join(standing_ids, [id_col], "left_anti")
         n_fresh = fresh_docs.count()
@@ -1384,7 +1661,14 @@ def run_dedup_maintenance(
                 text_col=dcfg.text_col, id_col=id_col,
             )["appended"]
         stale_ledger = f"{dcfg.state_path}/stale_ids"
-        if dcfg.repair_in_place and dcfg.method == "embedding":
+        if exact_mode:
+            # exact mode: the state was repaired BEFORE the probe and
+            # the labels recomputed from the maintained pair relation —
+            # no staleness of any kind survives the night, so nothing
+            # ledgers and the rebuild trigger never arms
+            n_stale = n_repaired
+            stale_now = spark.createDataFrame([], "id string")
+        elif dcfg.repair_in_place and dcfg.method == "embedding":
             # update-in-place: CHANGED standing vectors are evicted and
             # re-appended (partition-local), deleted ids' rows leave
             # the state — future probes compare against the live
@@ -1929,6 +2213,18 @@ def bootstrap_dedup_maintenance(
     labels = DD.connected_components(pairs).localCheckpoint(eager=True)
     n_labeled = labels.count()
     stamp = F.current_timestamp()
+    if dcfg.pairs_path is not None:
+        # exact-label mode: the pair relation persists so nightly
+        # repairs can recompute affected components. REPLACE semantics:
+        # a rebuild derives the complete live pair set, and stale rows
+        # from a previous life of the table must not survive it.
+        DD._fs_delete(spark, dcfg.pairs_path)
+        SK.upsert_index(
+            spark, dcfg.pairs_path,
+            _norm_pairs(pairs).withColumn("updated_at", stamp),
+            key="pair_key", order_col="updated_at",
+            backend=dcfg.state_backend, unique_keys=True,
+        )
     SK.upsert_index(
         spark, dcfg.clusters_path,
         labels.withColumn("updated_at", stamp),

@@ -946,6 +946,178 @@ def test_dedup_maintenance_embedding_repair_in_place(spark, tmp_path):
         run_dedup_maintenance(spark, bad_cfg, docs)
 
 
+def _labels_and_flags(spark, dcfg):
+    from eea_crawler_spark.sinks import lakehouse as LK
+
+    labels = {
+        r["node"]: r["cluster_id"]
+        for r in LK.read_table(spark, dcfg.clusters_path)
+        .select("node", "cluster_id").collect()
+    } if LK.table_exists(dcfg.clusters_path) else {}
+    flags = {
+        r["id"]: (r["cluster_id"], r["keep"])
+        for r in LK.read_table(spark, dcfg.flags_path)
+        .select("id", "cluster_id", "keep").collect()
+    }
+    return labels, flags
+
+
+def test_exact_label_maintenance_matches_scratch(spark, tmp_path):
+    """THE exact-labels pin (round 12, closing the monotonicity seam):
+    with pairs_path + repair_in_place, every night's labels AND flags
+    equal a from-scratch bootstrap over the live corpus — through a
+    SPLIT (a chain's middle doc modified away), a MERGE (a fresh doc
+    bridging two clusters), and a deletion. Cluster ids are component
+    minima in both paths, so the compare is direct."""
+    from eea_crawler_spark.pipeline import (
+        DedupConfig,
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    dim = 8
+
+    def vec(*parts):
+        v = np.zeros(dim)
+        for i, w in parts:
+            v[i] = w
+        n = np.linalg.norm(v)
+        return [float(x) for x in v / n]
+
+    # chain 1-2-3 (cos(1,2)=cos(2,3)≈0.71, cos(1,3)=0), clique 10-11-12,
+    # far singletons 20, 21
+    rows = [
+        (1, vec((0, 1.0))),
+        (2, vec((0, 1.0), (1, 1.0))),
+        (3, vec((1, 1.0))),
+        (10, vec((2, 1.0))),
+        (11, vec((2, 1.0), (3, 0.1))),
+        (12, vec((2, 1.0), (4, 0.1))),
+        (20, vec((5, 1.0))),
+        (21, vec((6, 1.0))),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+    def cfg(base):
+        return DedupConfig(
+            state_path=str(base / "state"),
+            clusters_path=str(base / "clusters"),
+            flags_path=str(base / "flags"),
+            pairs_path=str(base / "pairs"),
+            method="embedding",
+            cos_threshold=0.7,
+            expected_delta_rows=4,
+            repair_in_place=True,
+        )
+
+    inc = cfg(tmp_path / "inc")
+    bootstrap_dedup_maintenance(spark, inc, corpus, id_col="vec_id")
+    scratch_n = 0
+
+    def check(live_rows):
+        nonlocal scratch_n
+        scratch_n += 1
+        scr = cfg(tmp_path / f"scr{scratch_n}")
+        live = spark.createDataFrame(
+            live_rows, "vec_id bigint, embedding array<float>"
+        )
+        bootstrap_dedup_maintenance(spark, scr, live, id_col="vec_id")
+        got_l, got_f = _labels_and_flags(spark, inc)
+        want_l, want_f = _labels_and_flags(spark, scr)
+        assert got_l == want_l
+        assert got_f == want_f
+
+    base_rows = {r[0]: r for r in rows}
+    check(list(base_rows.values()))  # bootstrap parity
+
+    # night 1: SPLIT — the chain's middle doc modified away
+    mod2 = (2, vec((7, 1.0)))
+    delta = spark.createDataFrame(
+        [mod2], "vec_id bigint, embedding array<float>"
+    )
+    r1 = run_dedup_maintenance(spark, inc, delta, id_col="vec_id")
+    assert r1["repaired"] == 1 and r1["stale_total"] == 0
+    base_rows[2] = mod2
+    check(list(base_rows.values()))
+    # 1 and 3 must have become singletons (the split the monotone fold
+    # cannot produce)
+    got_l, got_f = _labels_and_flags(spark, inc)
+    assert 1 not in got_l and 3 not in got_l
+    assert got_f[1] == (1, True) and got_f[3] == (3, True)
+
+    # night 2: MERGE — a fresh doc bridges doc 1 and doc 20
+    bridge = (30, vec((0, 1.0), (5, 1.0)))
+    r2 = run_dedup_maintenance(
+        spark, inc,
+        spark.createDataFrame(
+            [bridge], "vec_id bigint, embedding array<float>"
+        ),
+        id_col="vec_id",
+    )
+    assert r2["appended"] == 1
+    base_rows[30] = bridge
+    check(list(base_rows.values()))
+    got_l, _ = _labels_and_flags(spark, inc)
+    assert got_l[1] == got_l[20] == got_l[30] == 1
+
+    # night 3: DELETE the bridge — the merge must unwind exactly
+    r3 = run_dedup_maintenance(
+        spark, inc,
+        spark.createDataFrame([], "vec_id bigint, embedding array<float>"),
+        id_col="vec_id",
+        deleted_ids=spark.createDataFrame([(30,)], "vec_id bigint"),
+    )
+    del base_rows[30]
+    check(list(base_rows.values()))
+    got_l, got_f = _labels_and_flags(spark, inc)
+    assert 30 not in got_l and 30 not in got_f
+    assert 1 not in got_l and 20 not in got_l  # singletons again
+
+    # night 4: idempotent re-delivery of an unchanged doc — no-ops
+    r4 = run_dedup_maintenance(
+        spark, inc,
+        spark.createDataFrame(
+            [base_rows[10]], "vec_id bigint, embedding array<float>"
+        ),
+        id_col="vec_id",
+    )
+    assert r4["repaired"] == 0 and r4["stale_total"] == 0
+    check(list(base_rows.values()))
+
+
+def test_pairs_path_config_refusals(spark, tmp_path):
+    from eea_crawler_spark.pipeline import DedupConfig, run_dedup_maintenance
+
+    docs = spark.createDataFrame(
+        [("a", "hello world")], "id string, fulltext string"
+    )
+    bad = DedupConfig(
+        state_path=str(tmp_path / "s"),
+        clusters_path=str(tmp_path / "c"),
+        flags_path=str(tmp_path / "f"),
+        pairs_path=str(tmp_path / "p"),
+        method="ngram",
+    )
+    with pytest.raises(ValueError, match="pairs_path"):
+        run_dedup_maintenance(spark, bad, docs)
+    bad2 = DedupConfig(
+        state_path=str(tmp_path / "s2"),
+        clusters_path=str(tmp_path / "c2"),
+        flags_path=str(tmp_path / "f2"),
+        pairs_path=str(tmp_path / "p2"),
+        method="embedding",  # but repair_in_place off
+    )
+    with pytest.raises(ValueError, match="pairs_path"):
+        run_dedup_maintenance(
+            spark, bad2,
+            spark.createDataFrame(
+                [], "id string, embedding array<float>"
+            ).limit(0),
+        )
+
+
 def test_append_embedding_state_refuses_legacy_layout(spark, tmp_path):
     """A pre-round-10 state (vectors on band rows, no vectors relation)
     must be REFUSED, not silently mixed: appending id-only signed rows
