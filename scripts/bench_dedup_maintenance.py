@@ -52,6 +52,12 @@ def main() -> None:
     )
     ap.add_argument("--cos-threshold", type=float, default=0.9)
     ap.add_argument(
+        "--exact", action="store_true",
+        help="embedding method only: exact-label mode (repair_in_place"
+        " + pairs_path) - adds a modified-docs repair night measuring"
+        " the affected-component recompute wall",
+    )
+    ap.add_argument(
         "--rebuild-leg", action="store_true",
         help="after the nightly legs, run a modified-docs night sized "
         "past the stale trigger with rebuild_on_trigger: measures the "
@@ -104,6 +110,11 @@ def main() -> None:
         cos_threshold=args.cos_threshold,
         expected_delta_rows=n_delta if emb_mode else None,
         state_backend="mor",
+        repair_in_place=bool(args.exact and emb_mode),
+        pairs_path=(
+            os.path.join(args.work, "pairs")
+            if args.exact and emb_mode else None
+        ),
     )
     out: dict = {
         "sf_dir": args.sf_dir,
@@ -133,6 +144,26 @@ def main() -> None:
     night2 = run_dedup_maintenance(spark, dcfg, empty, id_col=id_col)
     out["nightly_empty_sec"] = round(time.perf_counter() - t0, 1)
     out["nightly_empty"] = night2
+
+    if args.exact and emb_mode:
+        # exact-mode repair night: ~n_delta standing docs re-delivered
+        # MODIFIED (reversed vectors) - state repair + pair eviction +
+        # affected-component recompute, the wall that replaces the
+        # rebuild cadence entirely
+        mod = (
+            corpus.filter(F.col(id_col) % args.delta_mod == 1)
+            .withColumn("embedding", F.reverse("embedding"))
+            .localCheckpoint(eager=True)
+        )
+        out["repair_rows"] = mod.count()
+        t0 = time.perf_counter()
+        rep_night = run_dedup_maintenance(spark, dcfg, mod, id_col=id_col)
+        out["nightly_repair_sec"] = round(time.perf_counter() - t0, 1)
+        out["nightly_repair"] = rep_night
+        print(
+            f"nightly_repair {out['nightly_repair_sec']}s {rep_night}",
+            file=sys.stderr,
+        )
 
     if args.rebuild_leg:
         # night 3: a MODIFIED slice sized just past the stale trigger
