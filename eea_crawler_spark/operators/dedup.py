@@ -48,6 +48,20 @@ RESCORE_BROADCAST_MAX_BYTES = 64 << 20
 _PREFIX_BUILD_BYTES_PER_ROW = 80
 _SHJ_BUILD_TARGET_BYTES = 32 << 20
 
+# Text-state row-wise relations partition by an id-hash bucket (round
+# 13 — the embedding state's VB_BUCKETS discipline, similarity.py:259):
+# repair_text_dedup_state's evictions then touch ≤ |touched ids| dirs
+# instead of rewriting corpus-sized relations. Recorded in the spec
+# (n_tb) so appends/repairs hash identically forever.
+TB_BUCKETS = 64
+
+
+def _tb_col(n_tb: int = TB_BUCKETS):
+    """The stable id→bucket hash every writer of a partitioned text-
+    state relation must share (build, append, repair). Row-wise
+    relations all name their key column ``id``."""
+    return F.pmod(F.xxhash64(F.col("id")), F.lit(n_tb)).cast("int")
+
 
 def _prefix_shj_parts(arr: DataFrame, threshold: float) -> int:
     """Partition floor for a prefix-relation SHJ build side: estimated
@@ -1548,25 +1562,56 @@ def build_text_dedup_state(
     relation pins its blocks in executor storage for the SESSION's
     lifetime, and a 5M-doc build measurably starved a later query's
     shuffled-hash build (the round-8 checkpoint-pinning failure class).
+
+    Layout (round 13): every row-wise relation is PARTITIONED by an
+    id-hash bucket column ``tb`` (the embedding state's ``vb``
+    discipline) so ``repair_text_dedup_state`` can evict a modified
+    doc's rows with physical partition pruning instead of an
+    O(corpus) rewrite; ``keys`` also carries ``text_hash``
+    (xxhash64 of the raw text) so the nightly leg detects genuinely-
+    changed re-deliveries without comparing texts. Readers
+    (``read_text_dedup_state*``) drop both columns, so every probe
+    sees the legacy schema unchanged.
     """
     spark = docs.sparkSession
-    shingle_arrays(docs, text_col, id_col, n).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/arrays")
-    arr = spark.read.parquet(f"{path}/arrays")
-    _signatures_from_arrays(arr, num_hashes).write.mode("overwrite").parquet(
-        f"{path}/sigs"
+    (
+        shingle_arrays(docs, text_col, id_col, n)
+        .withColumn("tb", _tb_col())
+        .repartition("tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(f"{path}/arrays")
+    )
+    arr = spark.read.parquet(f"{path}/arrays").select("id", "g")
+    (
+        _signatures_from_arrays(arr, num_hashes)
+        .withColumn("tb", _tb_col())
+        .repartition("tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(f"{path}/sigs")
     )
     # exact-dedup keys and SimHash band relation: the other two family
     # members' serving relations (prefix_dedup(against_keys=...) /
     # simhash_pairs(against_bands=...)); both deterministic functions
     # of the text, independent of threshold/max_df
-    docs.select(
-        F.col(id_col).alias("id"),
-        F.substring(clean_html(F.col(text_col)), 1, key_len).alias("key"),
-    ).write.mode("overwrite").parquet(f"{path}/keys")
-    simhash_bands(docs, text_col, id_col).write.mode("overwrite").parquet(
-        f"{path}/simhash"
+    (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.substring(
+                clean_html(F.col(text_col)), 1, key_len
+            ).alias("key"),
+            F.xxhash64(F.col(text_col)).alias("text_hash"),
+        )
+        .withColumn("tb", _tb_col())
+        .repartition("tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(f"{path}/keys")
+    )
+    (
+        simhash_bands(docs, text_col, id_col)
+        .withColumn("tb", _tb_col())
+        .repartition("tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(f"{path}/simhash")
     )
     # the spec is written UNCONDITIONALLY: key_len guards the exact-
     # prefix probe even for states built without a threshold (a
@@ -1576,19 +1621,26 @@ def build_text_dedup_state(
         [(
             n, num_hashes,
             None if threshold is None else float(threshold),
-            max_df, bands, key_len,
+            max_df, bands, key_len, TB_BUCKETS,
         )],
         "n int, num_hashes int, threshold double, max_df int, "
-        "bands int, key_len int",
+        "bands int, key_len int, n_tb int",
     ).write.mode("overwrite").parquet(f"{path}/spec")
     if threshold is None:
         return
     # MinHash band relation: a deterministic function of the persisted
     # signatures, stored so the delta probe's corpus side pays zero
     # per-run band hashing (bands recorded in the spec)
-    _band_relation(
-        spark.read.parquet(f"{path}/sigs"), num_hashes, bands
-    ).write.mode("overwrite").parquet(f"{path}/bands")
+    (
+        _band_relation(
+            spark.read.parquet(f"{path}/sigs").select("id", "sig"),
+            num_hashes, bands,
+        )
+        .withColumn("tb", _tb_col())
+        .repartition("tb")
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(f"{path}/bands")
+    )
     pre = _prefix_relation(arr, threshold)
     pre.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
@@ -1767,10 +1819,29 @@ def append_text_dedup_state(
     n, num_hashes = spec["n"], spec["num_hashes"]
     threshold, max_df = spec["threshold"], spec["max_df"]
     bands, key_len = spec["bands"], spec["key_len"]
-    delta_keys = new_docs.select(
+    # round-13 partitioned layout: appends land INSIDE the tb id-hash
+    # dirs (and keys carry the text_hash change fingerprint) so the
+    # whole state stays repairable; legacy states append flat
+    n_tb = spec.get("n_tb")
+
+    def _append_rows(df: DataFrame, rel: str) -> None:
+        if n_tb:
+            (
+                df.withColumn("tb", _tb_col(int(n_tb)))
+                .repartition("tb")
+                .write.mode("append").partitionBy("tb")
+                .parquet(f"{path}/{rel}")
+            )
+        else:
+            df.write.mode("append").parquet(f"{path}/{rel}")
+
+    key_cols = [
         F.col(id_col).alias("id"),
         F.substring(clean_html(F.col(text_col)), 1, key_len).alias("key"),
-    ).localCheckpoint(eager=True)
+    ]
+    if n_tb:
+        key_cols.append(F.xxhash64(F.col(text_col)).alias("text_hash"))
+    delta_keys = new_docs.select(*key_cols).localCheckpoint(eager=True)
     n_delta = delta_keys.count()
     if n_delta == 0:
         return {"appended": 0, "tipped": 0}
@@ -1868,17 +1939,13 @@ def append_text_dedup_state(
     # window (keys present, arrays absent): detectable by the same
     # raise, and a keys-only id is inert for every probe except the
     # prefix method's exact-key lookup.
-    delta_keys.write.mode("append").parquet(f"{path}/keys")
-    arr_new.write.mode("append").parquet(f"{path}/arrays")
-    sig_new.write.mode("append").parquet(f"{path}/sigs")
-    simhash_bands(new_docs, text_col, id_col).write.mode("append").parquet(
-        f"{path}/simhash"
-    )
+    _append_rows(delta_keys, "keys")
+    _append_rows(arr_new, "arrays")
+    _append_rows(sig_new, "sigs")
+    _append_rows(simhash_bands(new_docs, text_col, id_col), "simhash")
     if threshold is not None:
         if "bands" in state:
-            _band_relation(sig_new, num_hashes, bands).write.mode(
-                "append"
-            ).parquet(f"{path}/bands")
+            _append_rows(_band_relation(sig_new, num_hashes, bands), "bands")
         # 3. swap the merged aggregates in
         _replace_dir(spark, f"{path}/prefix_df__new", f"{path}/prefix_df")
         if max_df is not None and "hp0" in state:
@@ -1887,6 +1954,294 @@ def append_text_dedup_state(
     for ck in (delta_keys, arr_new, sig_new):
         _release_local_checkpoint(ck)
     return {"appended": n_delta, "tipped": n_tipped}
+
+
+def _evict_tb_rows(
+    spark, path: str, rel: str, touched: DataFrame, tb_vals: list
+) -> int:
+    """Partition-local eviction of the ``touched`` ids' rows from one
+    ``tb``-partitioned text-state relation: only the touched id-hash
+    buckets rewrite (dynamic partition overwrite), a bucket emptied
+    entirely is deleted, untouched buckets' files are never opened.
+    Returns the number of rows removed. The repair_embedding_state
+    vectors-eviction discipline (similarity.py:1521-1548) applied to
+    the five row-wise text relations."""
+    raw = _try_read_parquet(spark, f"{path}/{rel}")
+    if raw is None:
+        return 0
+    sub = raw.filter(F.col("tb").isin(tb_vals))
+    keep = sub.join(touched, ["id"], "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_removed = sub.count() - keep.count()
+    if n_removed == 0:
+        _release_local_checkpoint(keep)
+        return 0
+    survivors = {
+        int(r["tb"]) for r in keep.select("tb").distinct().collect()
+    }
+    mode_before = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        if survivors:
+            (
+                keep.repartition("tb")
+                .write.mode("overwrite")
+                .partitionBy("tb")
+                .parquet(f"{path}/{rel}")
+            )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", mode_before
+        )
+    for t in set(tb_vals) - survivors:
+        _fs_delete(spark, f"{path}/{rel}/tb={t}")
+    spark.catalog.refreshByPath(f"{path}/{rel}")
+    _release_local_checkpoint(keep)
+    return n_removed
+
+
+def repair_text_dedup_state(
+    spark,
+    path: str,
+    updates: DataFrame | None = None,
+    deleted_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """O(stale) update-in-place repair for the TEXT dedup serving
+    state (round-12 verdict #1) — the `repair_embedding_state` /
+    `repair_ivf_index` discipline applied to the last stateful family
+    still riding the rebuild cadence for modified docs. The
+    reference's serving surface updates text docs in place exactly as
+    it does vectors (doc_as_upsert over the full doc,
+    logstash/pipeline/search_pipeline.conf:19-27):
+
+      1. evict: the touched ids' rows leave all five row-wise
+         relations (arrays, sigs, keys, simhash, bands) with PHYSICAL
+         partition pruning — the round-13 ``tb`` id-hash layout means
+         at most |touched| of the spec's ``n_tb`` buckets rewrite per
+         relation (`_evict_tb_rows`).
+      2. heal the aggregates by RECOMPUTE, not decrement: the affected
+         shingles (the evicted docs' prefix entries) are written to a
+         durable ``repair_pending`` ledger BEFORE any eviction; their
+         ``prefix_df`` rows are then recomputed FROM the post-evict
+         arrays (one codegen prefix pass, aggregation restricted to
+         the affected set), and every id owning an entry in an
+         affected shingle gets its ``hp0`` row recomputed against the
+         merged hot set. Standing rows outside the affected set never
+         change — and because the recompute reads only what is on
+         disk, a RETRY after any crash point is exactly idempotent
+         (the `repair_ivf_index` step-4 discipline). The ledger
+         clears only after both aggregates swap; a later repair call
+         — even with an empty delta — finishes a crashed one's
+         aggregate heal first.
+      3. re-insert: ``updates`` go through `append_text_dedup_state`
+         (strictly-new now holds), which re-derives their rows and
+         MERGES their counts — so an update id absent from the state
+         is a plain insert (upsert semantics), and tipping from the
+         new text is the append's own logic.
+
+    Cost shape at scale: evictions are O(touched buckets); the
+    aggregate heal pays one column-pruned scan of the arrays relation
+    (no text reprocessing, no corpus shuffle — the aggregation is
+    restricted to the affected shingles) plus an hp0 recompute bounded
+    by Σ df over affected shingles (touching a corpus-hot boilerplate
+    shingle recomputes every doc holding it — the same honest bound as
+    the append's tipped correction). Still O(stale)-dominated for the
+    doc-edit shape and ~10×+ cheaper than the build it replaces;
+    the stale-fraction trigger remains the repair-vs-rebuild arbiter.
+
+    After a repair, FUTURE probes compare against the new text. Labels
+    stay monotone unless the pipeline's exact-labels mode maintains
+    them (`DedupConfig.pairs_path` — round 13 lifts its
+    embedding-only restriction).
+
+    Legacy layouts (flat row-wise relations / spec without ``n_tb``)
+    are REFUSED — rebuild with `build_text_dedup_state` to adopt the
+    partitioned layout.
+
+    Returns ``{"removed", "reassigned", "tipped"}`` (docs evicted,
+    docs re-inserted, shingles the re-insert tipped hot)."""
+    for rel in ("prefix_df", "hp0", "spec", "repair_pending"):
+        _heal_rel(spark, path, rel)
+    spec_df = _read_rel(spark, path, "spec")
+    if spec_df is None:
+        raise ValueError(
+            f"no spec relation under {path!r} — not a text dedup "
+            "state dir"
+        )
+    spec = spec_df.first().asDict()
+    keys_raw = _try_read_parquet(spark, f"{path}/keys")
+    if (
+        not spec.get("n_tb")
+        or keys_raw is None
+        or "tb" not in keys_raw.columns
+    ):
+        raise ValueError(
+            "repair_text_dedup_state needs the round-13 partitioned "
+            "layout (tb id-hash dirs + spec n_tb) — this is a legacy "
+            "state; rebuild it with build_text_dedup_state"
+        )
+    n_tb = int(spec["n_tb"])
+    threshold = spec["threshold"]
+    max_df = spec["max_df"]
+    if updates is not None:
+        updates = updates.select(id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        probe = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).first()
+        n_updates = int(probe["n"])
+        if n_updates and probe["nd"] != n_updates:
+            raise ValueError(
+                "repair_text_dedup_state updates must be unique per "
+                "id — duplicate ids make which-text-wins ambiguous"
+            )
+    else:
+        n_updates = 0
+    if deleted_ids is not None:
+        deleted_ids = deleted_ids.select(id_col).localCheckpoint(
+            eager=True
+        )
+    touched = None
+    if n_updates:
+        touched = updates.select(F.col(id_col).alias("id"))
+    if deleted_ids is not None:
+        d = deleted_ids.select(F.col(id_col).alias("id"))
+        touched = d if touched is None else touched.unionByName(d)
+    pending0 = _read_rel(spark, path, "repair_pending")
+    if touched is None and pending0 is None:
+        if updates is not None:
+            _release_local_checkpoint(updates)
+        return {"removed": 0, "reassigned": 0, "tipped": 0}
+    n_removed = 0
+    if touched is not None:
+        touched = touched.distinct().localCheckpoint(eager=True)
+        tb_vals = sorted(
+            r["tb"]
+            for r in touched.select(
+                _tb_col(n_tb).alias("tb")
+            ).distinct().collect()
+        )
+        if threshold is not None:
+            # durable affected-shingle ledger BEFORE any eviction —
+            # the crash-exactness anchor: whatever happens later, a
+            # retry knows exactly which prefix_df/hp0 rows to
+            # recompute from disk
+            arrays_raw = spark.read.parquet(f"{path}/arrays")
+            old_arr = (
+                arrays_raw.filter(F.col("tb").isin(tb_vals))
+                .join(touched, ["id"], "left_semi")
+                .select("id", "g")
+            )
+            aff = _prefix_relation(old_arr, threshold).select(
+                "shingle"
+            ).distinct()
+            if pending0 is not None:
+                aff = aff.unionByName(
+                    pending0.select("shingle")
+                ).distinct()
+            aff.write.mode("overwrite").parquet(
+                f"{path}/repair_pending__new"
+            )
+            _replace_dir(
+                spark, f"{path}/repair_pending__new",
+                f"{path}/repair_pending",
+            )
+        # partition-local evictions; keys LAST so a crash mid-evict
+        # leaves the id detectable as "present" (append's clash check
+        # and the pipeline's change detection both read keys)
+        for rel in ("arrays", "sigs", "simhash", "bands", "keys"):
+            removed = _evict_tb_rows(spark, path, rel, touched, tb_vals)
+            if rel == "keys":
+                n_removed = removed
+    # aggregate heal — recompute from what is actually on disk,
+    # restricted to the ledgered affected shingles
+    if threshold is not None:
+        aff_now = _read_rel(spark, path, "repair_pending")
+        if aff_now is not None and not aff_now.isEmpty():
+            aff_ck = aff_now.select("shingle").distinct().localCheckpoint(
+                eager=True
+            )
+            arrays_now = spark.read.parquet(f"{path}/arrays").select(
+                "id", "g"
+            )
+            pre_now = _prefix_relation(arrays_now, threshold)
+            pre_aff = (
+                pre_now.join(aff_ck, ["shingle"], "left_semi")
+                .select("id", "shingle")
+                .localCheckpoint(eager=True)
+            )
+            fresh_df = pre_aff.groupBy("shingle").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+            old_df = _read_rel(spark, path, "prefix_df").select(
+                "shingle", "df"
+            )
+            (
+                old_df.join(aff_ck, ["shingle"], "left_anti")
+                .unionByName(fresh_df)
+                .write.mode("overwrite")
+                .parquet(f"{path}/prefix_df__new")
+            )
+            hp0_rel = _read_rel(spark, path, "hp0")
+            if max_df is not None and hp0_rel is not None:
+                merged_hot = (
+                    spark.read.parquet(f"{path}/prefix_df__new")
+                    .filter(F.col("df") > max_df)
+                    .select("shingle")
+                )
+                aff_ids = pre_aff.select("id").distinct()
+                if touched is not None:
+                    aff_ids = aff_ids.unionByName(touched).distinct()
+                aff_ids = aff_ids.localCheckpoint(eager=True)
+                hp_re = (
+                    pre_now.join(aff_ids, ["id"], "left_semi")
+                    .join(
+                        F.broadcast(merged_hot), ["shingle"], "left_semi"
+                    )
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("hp"))
+                )
+                (
+                    hp0_rel.select("id", "hp")
+                    .join(aff_ids, ["id"], "left_anti")
+                    .unionByName(hp_re)
+                    .write.mode("overwrite")
+                    .parquet(f"{path}/hp0__new")
+                )
+                _release_local_checkpoint(aff_ids)
+            _replace_dir(
+                spark, f"{path}/prefix_df__new", f"{path}/prefix_df"
+            )
+            if max_df is not None and hp0_rel is not None:
+                _replace_dir(spark, f"{path}/hp0__new", f"{path}/hp0")
+            _release_local_checkpoint(pre_aff)
+            _release_local_checkpoint(aff_ck)
+        # both aggregates consistent with the row relations again —
+        # the crash ledger clears
+        _fs_delete(spark, f"{path}/repair_pending")
+    reassigned = tipped = 0
+    if n_updates:
+        app = append_text_dedup_state(
+            spark, path, updates, text_col=text_col, id_col=id_col
+        )
+        reassigned, tipped = app["appended"], app["tipped"]
+    for ck in (touched, updates, deleted_ids):
+        if ck is not None:
+            _release_local_checkpoint(ck)
+    return {
+        "removed": int(n_removed),
+        "reassigned": int(reassigned),
+        "tipped": int(tipped),
+    }
 
 
 def append_embedding_state(
@@ -2034,9 +2389,18 @@ def read_text_dedup_state(spark, path: str):
     returns ``(arrays, sigs)`` ready to pass as ``against_arrays`` /
     ``against_sigs``."""
     return (
-        spark.read.parquet(f"{path}/arrays"),
-        spark.read.parquet(f"{path}/sigs"),
+        _drop_layout_cols(spark.read.parquet(f"{path}/arrays")),
+        _drop_layout_cols(spark.read.parquet(f"{path}/sigs")),
     )
+
+
+def _drop_layout_cols(df: DataFrame) -> DataFrame:
+    """Strip the round-13 physical-layout columns (``tb`` id-hash
+    partition dirs, ``text_hash`` change fingerprint) from a text-state
+    relation so probes see the legacy schema — the layout is a storage
+    concern only the build/append/repair writers touch."""
+    drop = [c for c in ("tb", "text_hash") if c in df.columns]
+    return df.drop(*drop) if drop else df
 
 
 def read_text_dedup_state_full(spark, path: str) -> dict:
@@ -2053,8 +2417,8 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
     relation absent and the probes would fall back to the slow
     stateless path."""
     state: dict = {
-        "arrays": spark.read.parquet(f"{path}/arrays"),
-        "sigs": spark.read.parquet(f"{path}/sigs"),
+        "arrays": _drop_layout_cols(spark.read.parquet(f"{path}/arrays")),
+        "sigs": _drop_layout_cols(spark.read.parquet(f"{path}/sigs")),
     }
     # _read_rel (not a bare read): the swapped aggregates may sit in
     # their __new dir after a mid-swap crash — recover instead of
@@ -2062,7 +2426,7 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
     for rel in ("prefix", "prefix_df", "hp0", "bands", "keys", "simhash"):
         df = _read_rel(spark, path, rel)
         if df is not None:
-            state[rel] = df
+            state[rel] = _drop_layout_cols(df)
     spec_df = _read_rel(spark, path, "spec")
     if spec_df is not None:
         state["spec"] = spec_df.first().asDict()

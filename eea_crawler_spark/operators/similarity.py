@@ -1348,9 +1348,12 @@ def repair_embedding_state(
 
     After a repair, FUTURE probes compare against the new vectors —
     the state itself never needs the rebuild cadence for freshness.
-    What repair does NOT fix (documented, unchanged): standing cluster
-    labels stay monotone between rebuilds (`run_dedup_maintenance`
-    docstring) — the pair relation is deliberately not persisted.
+    What repair does NOT fix by itself: standing cluster labels stay
+    monotone between rebuilds (`run_dedup_maintenance` docstring)
+    UNLESS the pipeline layer's exact-labels mode is on
+    (`DedupConfig.pairs_path` + `_exact_label_maintenance`, which
+    persists the pair relation and recomputes affected components) —
+    the repair itself never touches labels either way.
 
     Legacy layouts (unpartitioned vectors / spec without `n_vb`) are
     REFUSED — rebuild with `build_embedding_state` to adopt the
@@ -1546,7 +1549,15 @@ def repair_embedding_state(
             _fs_delete(spark, f"{path}/vectors/vb={vb}")
         spark.catalog.refreshByPath(f"{path}/vectors")
         _release_local_checkpoint(vkeep)
-        n_after_evict = int(spec["n"]) - n_removed
+    # Recompute the row count FROM the vectors relation rather than
+    # decrementing spec.n by this run's removals (round-12 ADVICE): on
+    # a retry after a crash between the eviction and the spec swap the
+    # touched ids are already gone, n_removed = 0, and the decrement
+    # would never land — spec.n would overcount forever. A parquet
+    # count() is a footer-only scan, so this self-heal is cheap.
+    vecs_now = _try_read_parquet(spark, f"{path}/vectors")
+    n_after_evict = int(vecs_now.count()) if vecs_now is not None else 0
+    if n_after_evict != int(spec["n"]):
         _write_embedding_spec(spark, path, spec, n_after_evict)
     reassigned = 0
     if n_updates:
@@ -2518,6 +2529,9 @@ def repair_ivf_index(
     vec_col: str = "embedding",
     rebuild_append_fraction: float = IVF_REBUILD_APPEND_FRACTION,
     rebuild_drift_cos: float = IVF_REBUILD_DRIFT_COS,
+    scatter_cluster_fraction: float = 0.5,
+    scatter_drift_arm: float = 0.5,
+    abort_on_prefer_rebuild: bool = False,
 ) -> dict:
     """O(stale) partition-local index repair (round-11 verdict #1) —
     the update-in-place serving semantics of the reference's
@@ -2545,8 +2559,25 @@ def repair_ivf_index(
     Cost is O(touched partitions): ≤ min(|touched ids|, n_clusters)
     inverted lists rewrite, plus the one narrow id-column scan in
     step 1. Degenerate case — stale ids spread over ALL clusters —
-    costs one full list rewrite, comparable to the rebuild it avoids;
-    the appended-fraction trigger fires long before that matters.
+    costs one full list rewrite, comparable to the rebuild it avoids.
+
+    Repair-vs-rebuild arbiter (round-12 verdict #3): the crossover
+    calculus is measured at 1M×768 — scattered repair 31–36 s vs
+    rebuild 51–81 s, so repair wins STANDALONE even in the worst
+    scatter; but when the drift trigger is also about to fire, the
+    rebuild pays ~1.5–2.6× the repair and resets the append/drift debt
+    the repair cannot, so one rebuild replaces repair + imminent
+    rebuild. The hint ``prefer_rebuild`` therefore fires only on the
+    conjunction: |touched clusters| ≥ ``scatter_cluster_fraction`` ×
+    n_clusters (the repair degenerates to a full list rewrite) AND the
+    projected post-repair appended fraction ≥ ``scatter_drift_arm`` ×
+    ``rebuild_append_fraction`` (the trigger is near arming). With
+    ``abort_on_prefer_rebuild`` the repair then RETURNS WITHOUT
+    touching the index (``aborted=1``, ``needs_rebuild=1``) — safe
+    only for callers that keep the touched ids ledgered for serve-time
+    exclusion (run_ann_maintenance writes them before invoking) and
+    will rebuild promptly; the pipeline requests the abort only when
+    it can rebuild in-line.
 
     Crash discipline: partition commits land one at a time, so a crash
     mid-repair leaves some touched ids evicted and others standing —
@@ -2573,6 +2604,16 @@ def repair_ivf_index(
     idx = read_ivf_index(spark, path)
     spec = idx["spec"]
     dim = int(spec["dim"])
+    if "vec_hash" not in idx["lists"].columns:
+        # round-12 ADVICE: appending vec_hash rows into a pre-vec_hash
+        # lists relation mixes parquet schemas, making the nightly
+        # leg's '"vec_hash" in lists.columns' detection depend on which
+        # file footer Spark samples — refuse the legacy layout outright
+        # (the repair_embedding_state discipline)
+        raise ValueError(
+            "repair_ivf_index needs a vec_hash-bearing lists layout — "
+            "this is a legacy index; rebuild it with build_ivf_index"
+        )
     if updates is not None:
         # materialize FIRST: the caller's updates/deleted plans may
         # derive from the very lists this repair rewrites (the nightly
@@ -2621,6 +2662,7 @@ def repair_ivf_index(
             "appended_fraction":
                 float(spec["appended"]) / max(1, spec["n"]),
             "min_centroid_cos": 1.0, "needs_rebuild": 0,
+            "prefer_rebuild": 0,
         }
     touched = touched.distinct().localCheckpoint(eager=True)
     # 1. the narrow locate scan: (id, cluster) only — column pruning
@@ -2633,6 +2675,30 @@ def repair_ivf_index(
         .distinct()
         .collect()
     )
+    # the arbiter (docstring calculus): evaluated on the locate scan's
+    # output, BEFORE any eviction, so an abort leaves the index
+    # untouched byte-for-byte
+    n_clusters = int(spec["n_clusters"])
+    projected_frac = (int(spec["appended"]) + n_updates) / max(
+        1, int(spec["n"])
+    )
+    prefer_rebuild = (
+        len(removal_clusters)
+        >= scatter_cluster_fraction * n_clusters
+        and projected_frac >= scatter_drift_arm * rebuild_append_fraction
+    )
+    if prefer_rebuild and abort_on_prefer_rebuild:
+        for ck in (touched, updates, deleted_ids):
+            if ck is not None:
+                _release_local_checkpoint(ck)
+        return {
+            "removed": 0, "reassigned": 0,
+            "touched_clusters": len(removal_clusters),
+            "appended_fraction":
+                float(spec["appended"]) / max(1, spec["n"]),
+            "min_centroid_cos": 1.0,
+            "needs_rebuild": 1, "prefer_rebuild": 1, "aborted": 1,
+        }
     n_removed = 0
     if removal_clusters:
         keep = (
@@ -2761,7 +2827,8 @@ def repair_ivf_index(
         "touched_clusters": len(affected),
         "appended_fraction": frac,
         "min_centroid_cos": min_cos,
-        "needs_rebuild": int(needs_rebuild),
+        "needs_rebuild": int(needs_rebuild or prefer_rebuild),
+        "prefer_rebuild": int(prefer_rebuild),
     }
 
 

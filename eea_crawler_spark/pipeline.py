@@ -1039,28 +1039,28 @@ class DedupConfig:
     # passed to run_dedup_maintenance, rebuild in-line (bootstrap over
     # the corpus, which resets the ledger) instead of only reporting
     rebuild_on_trigger: bool = False
-    # update-in-place state repair (round 12, method="embedding" only):
-    # a MODIFIED doc's serving-state rows are evicted and re-appended
-    # with its NEW vector the same night (repair_embedding_state,
-    # partition-local), and a DELETED doc's rows leave the state — so
-    # future probes always compare against the live corpus. Cluster
-    # labels stay monotone between rebuilds either way (the pair
-    # relation is deliberately not persisted — see the
-    # run_dedup_maintenance docstring), so modified ids still ledger:
-    # with repair on, the rebuild trigger tracks ONLY label-monotonicity
-    # debt, no longer state freshness. Refused for the text methods
-    # (their row-wise relations are not id-partitioned).
+    # update-in-place state repair (round 12 embedding, round 13 every
+    # text method): a MODIFIED doc's serving-state rows are evicted and
+    # re-appended with its NEW content the same night
+    # (repair_embedding_state / repair_text_dedup_state, both
+    # partition-local over id-hash dirs), and a DELETED doc's rows
+    # leave the state — so future probes always compare against the
+    # live corpus. Cluster labels stay monotone between rebuilds unless
+    # pairs_path maintains them, so modified ids still ledger: with
+    # repair on, the rebuild trigger tracks ONLY label-monotonicity
+    # debt, no longer state freshness. Text states built before round
+    # 13 (no tb dirs / keys.text_hash) are refused — rebuild them.
     repair_in_place: bool = False
-    # EXACT label maintenance (round 12): persist the near-dup pair
-    # relation in a keyed table here. With repair_in_place also set
-    # (embedding method), the nightly leg then RECOMPUTES the affected
-    # components from the maintained pair set instead of folding
-    # monotonically — a modified doc LEAVES clusters it no longer
-    # belongs to, clusters split exactly, and the rebuild cadence has
-    # nothing left to track (the ledger stays empty). Cost: the pairs
-    # table (O(near-dup pairs), keyed MERGE per night) and an
-    # affected-components CC per night (delta-bounded). None = the
-    # documented monotone fold.
+    # EXACT label maintenance (round 12; round 13 lifts the
+    # embedding-only restriction): persist the near-dup pair relation
+    # in a keyed table here. With repair_in_place also set, the
+    # nightly leg then RECOMPUTES the affected components from the
+    # maintained pair set instead of folding monotonically — a
+    # modified doc LEAVES clusters it no longer belongs to, clusters
+    # split exactly, and the rebuild cadence has nothing left to track
+    # (the ledger stays empty). Cost: the pairs table (O(near-dup
+    # pairs), keyed MERGE per night) and an affected-components CC per
+    # night (delta-bounded). None = the documented monotone fold.
     pairs_path: str | None = None
 
 
@@ -1142,6 +1142,82 @@ def _dedup_probe(delta, state, dcfg: DedupConfig, id_col: str) -> DataFrame:
     raise ValueError(f"unknown dedup method {dcfg.method!r}")
 
 
+def _detect_changed_rows(
+    spark: SparkSession,
+    dcfg: DedupConfig,
+    delta: DataFrame,
+    deleted_ids: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """Standing ids re-delivered with genuinely DIFFERENT content —
+    the repair-mode precision filter (a doc edit re-delivers many
+    unchanged rows; repairing them would be wasted rewrites and, in
+    ledger terms, wasted debt). The comparison is fingerprint-vs-
+    fingerprint: the embedding state's vectors relation hashes its
+    stored vector, the round-13 text layout stores ``text_hash`` on
+    the keys relation — either way a narrow (id, hash) scan, never
+    the wide content column. A changed id that is ALSO deleted this
+    run counts as deleted (round-12 ADVICE): the anti-join keeps the
+    repair from re-inserting a doomed row."""
+    data_col = _dedup_data_col(dcfg)
+    if dcfg.method == "embedding":
+        standing = spark.read.parquet(
+            f"{dcfg.state_path}/vectors"
+        ).select(id_col, F.xxhash64(dcfg.vec_col).alias("__sh"))
+    else:
+        keys_raw = spark.read.parquet(f"{dcfg.state_path}/keys")
+        if "text_hash" not in keys_raw.columns:
+            raise ValueError(
+                "repair_in_place over a text method needs the "
+                "round-13 state layout (keys.text_hash + tb id-hash "
+                "dirs) — rebuild the state with build_text_dedup_state"
+            )
+        standing = keys_raw.select(
+            F.col("id").alias(id_col),
+            F.col("text_hash").alias("__sh"),
+        )
+    changed = (
+        delta.withColumn("__vh", F.xxhash64(data_col))
+        .join(standing, [id_col])
+        .filter(F.col("__vh") != F.col("__sh"))
+        .select(id_col, data_col)
+    )
+    if deleted_ids is not None:
+        changed = changed.join(
+            deleted_ids.select(id_col), [id_col], "left_anti"
+        )
+    return changed.localCheckpoint(eager=True)
+
+
+def _repair_state_in_place(
+    spark: SparkSession,
+    dcfg: DedupConfig,
+    changed_rows: DataFrame,
+    deleted_ids: DataFrame | None,
+    id_col: str,
+) -> dict:
+    """Method dispatch for the update-in-place state repair:
+    ``repair_embedding_state`` for vectors, ``repair_text_dedup_state``
+    (round 13) for every text method — same contract either way
+    (partition-local evict, upsert re-insert, retry-idempotent)."""
+    del_df = (
+        deleted_ids.select(id_col) if deleted_ids is not None else None
+    )
+    if dcfg.method == "embedding":
+        from eea_crawler_spark.operators import similarity as SIM
+
+        return SIM.repair_embedding_state(
+            spark, dcfg.state_path, updates=changed_rows,
+            deleted_ids=del_df, id_col=id_col, vec_col=dcfg.vec_col,
+        )
+    from eea_crawler_spark.operators import dedup as DD
+
+    return DD.repair_text_dedup_state(
+        spark, dcfg.state_path, updates=changed_rows,
+        deleted_ids=del_df, text_col=dcfg.text_col, id_col=id_col,
+    )
+
+
 def _norm_pairs(pairs: DataFrame) -> DataFrame:
     """Canonical (doc_a < doc_b) pair rows with a stable merge key —
     the persisted pair relation's shape. Duplicate emissions (a pair
@@ -1153,9 +1229,15 @@ def _norm_pairs(pairs: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
         .withColumn(
+            # length-prefixed encoding, not a delimiter join (round-12
+            # ADVICE): with concat_ws('§'), ids containing '§' collide
+            # ('a§b'+'c' vs 'a'+'b§c') and corrupt the keyed
+            # eviction/merge. The doc_a length prefix makes the
+            # boundary unambiguous for ANY id contents.
             "pair_key",
-            F.concat_ws(
-                "§",
+            F.concat(
+                F.length(F.col("doc_a").cast("string")).cast("string"),
+                F.lit(":"),
                 F.col("doc_a").cast("string"),
                 F.col("doc_b").cast("string"),
             ),
@@ -1419,9 +1501,10 @@ def run_dedup_maintenance(
     stale text-state rows; the ``stale`` count in the result is the
     rebuild trigger.
 
-    EXACT mode (round 12 — ``repair_in_place`` + ``pairs_path``,
-    embedding method): the monotonicity seam closes entirely. The
-    state repairs BEFORE the probe (``repair_embedding_state``), the
+    EXACT mode (round 12; round 13 extends it to the text methods —
+    ``repair_in_place`` + ``pairs_path``): the monotonicity seam
+    closes entirely. The state repairs BEFORE the probe
+    (``repair_embedding_state`` / ``repair_text_dedup_state``), the
     pair relation persists in a keyed table maintained each night
     (rows touching modified/deleted ids evicted, tonight's probe pairs
     merged), and the affected components RECOMPUTE from it
@@ -1452,20 +1535,11 @@ def run_dedup_maintenance(
             print(f"[dedup] {step}: +{now - _t0:.2f}s", file=_sys.stderr)
             _t0 = now
 
-    if dcfg.repair_in_place and dcfg.method != "embedding":
-        raise ValueError(
-            "DedupConfig.repair_in_place requires method='embedding' — "
-            "the text states' row-wise relations are not id-partitioned "
-            "(their modified docs ride the rebuild cadence)"
-        )
-    if dcfg.pairs_path is not None and not (
-        dcfg.repair_in_place and dcfg.method == "embedding"
-    ):
+    if dcfg.pairs_path is not None and not dcfg.repair_in_place:
         raise ValueError(
             "DedupConfig.pairs_path (exact label maintenance) requires "
-            "repair_in_place and method='embedding' — without the "
-            "pre-probe state repair the persisted pairs would mix old "
-            "and new vectors"
+            "repair_in_place — without the pre-probe state repair the "
+            "persisted pairs would mix old and new content"
         )
     id_type = delta_docs.schema[id_col].dataType.simpleString()
     delta = delta_docs.select(
@@ -1482,43 +1556,28 @@ def run_dedup_maintenance(
             "needs_rebuild": 0, "rebuilt": 0, "repaired": 0,
         }
     state = _read_dedup_state(spark, dcfg)
-    exact_mode = (
-        dcfg.repair_in_place
-        and dcfg.pairs_path is not None
-        and dcfg.method == "embedding"
+    exact_mode = dcfg.repair_in_place and dcfg.pairs_path is not None
+    state_present = (
+        state.get("vectors") is not None
+        if dcfg.method == "embedding"
+        else "keys" in state
     )
     changed_rows = None
     rep_early: dict | None = None
-    if exact_mode and state.get("vectors") is not None:
+    if exact_mode and state_present:
         # exact mode repairs the state BEFORE the probe: changed
-        # vectors replace their state rows and deletions evict, so the
+        # content replaces its state rows and deletions evict, so the
         # probe (and therefore the persisted pair relation) reflects
-        # ONLY current vectors — including pairs between two docs both
-        # modified tonight
-        from eea_crawler_spark.operators import similarity as SIM
-
-        vecs_rel = spark.read.parquet(f"{dcfg.state_path}/vectors")
-        changed_rows = (
-            delta.withColumn("__vh", F.xxhash64(dcfg.vec_col))
-            .join(
-                vecs_rel.select(
-                    id_col, F.xxhash64(dcfg.vec_col).alias("__sh")
-                ),
-                [id_col],
-            )
-            .filter(F.col("__vh") != F.col("__sh"))
-            .select(id_col, dcfg.vec_col)
-            .localCheckpoint(eager=True)
+        # ONLY current content — including pairs between two docs both
+        # modified tonight. Method dispatch (round 13: text too) lives
+        # in _detect_changed_rows/_repair_state_in_place.
+        changed_rows = _detect_changed_rows(
+            spark, dcfg, delta, deleted_ids, id_col
         )
         has_del = deleted_ids is not None and not deleted_ids.isEmpty()
         if has_del or not changed_rows.isEmpty():
-            rep_early = SIM.repair_embedding_state(
-                spark, dcfg.state_path, updates=changed_rows,
-                deleted_ids=(
-                    deleted_ids.select(id_col)
-                    if deleted_ids is not None else None
-                ),
-                id_col=id_col, vec_col=dcfg.vec_col,
+            rep_early = _repair_state_in_place(
+                spark, dcfg, changed_rows, deleted_ids, id_col
             )
             state = _read_dedup_state(spark, dcfg)
         _mark("state_repair")
@@ -1645,6 +1704,15 @@ def run_dedup_maintenance(
     n_repaired = int(rep_early["reassigned"]) if rep_early else 0
     if dcfg.append_state and standing_ids is not None:
         fresh_docs = delta_docs.join(standing_ids, [id_col], "left_anti")
+        # a delta doc that is ALSO deleted this run never appends: in
+        # exact mode the state was repaired (deleted ids evicted) and
+        # re-read before this point, so the doomed id would otherwise
+        # look "genuinely new" here and re-enter the state (round-12
+        # ADVICE, the changed-and-deleted rule)
+        if deleted_ids is not None:
+            fresh_docs = fresh_docs.join(
+                deleted_ids.select(id_col), [id_col], "left_anti"
+            )
         n_fresh = fresh_docs.count()
         n_stale = delta.count() - n_fresh
         # the trigger denominator, counted BEFORE any repair rewrites
@@ -1668,36 +1736,19 @@ def run_dedup_maintenance(
             # ledgers and the rebuild trigger never arms
             n_stale = n_repaired
             stale_now = spark.createDataFrame([], "id string")
-        elif dcfg.repair_in_place and dcfg.method == "embedding":
-            # update-in-place: CHANGED standing vectors are evicted and
+        elif dcfg.repair_in_place:
+            # update-in-place: CHANGED standing content is evicted and
             # re-appended (partition-local), deleted ids' rows leave
             # the state — future probes compare against the live
             # corpus. Only the changed ids ledger (label-monotonicity
             # debt, see DedupConfig); unchanged re-deliveries and
-            # deletions carry no debt at all.
-            from eea_crawler_spark.operators import similarity as SIM
-
-            vecs_rel = spark.read.parquet(f"{dcfg.state_path}/vectors")
-            changed_rows = (
-                delta.withColumn("__vh", F.xxhash64(dcfg.vec_col))
-                .join(
-                    vecs_rel.select(
-                        id_col,
-                        F.xxhash64(dcfg.vec_col).alias("__sh"),
-                    ),
-                    [id_col],
-                )
-                .filter(F.col("__vh") != F.col("__sh"))
-                .select(id_col, dcfg.vec_col)
-                .localCheckpoint(eager=True)
+            # deletions carry no debt at all. Round 13: the same leg
+            # serves the text methods through repair_text_dedup_state.
+            changed_rows = _detect_changed_rows(
+                spark, dcfg, delta, deleted_ids, id_col
             )
-            rep = SIM.repair_embedding_state(
-                spark, dcfg.state_path, updates=changed_rows,
-                deleted_ids=(
-                    deleted_ids.select(id_col)
-                    if deleted_ids is not None else None
-                ),
-                id_col=id_col, vec_col=dcfg.vec_col,
+            rep = _repair_state_in_place(
+                spark, dcfg, changed_rows, deleted_ids, id_col
             )
             n_repaired = int(rep["reassigned"])
             n_stale = n_repaired
@@ -1962,36 +2013,70 @@ def run_ann_maintenance(
             )
         has_deletes = deleted_ids is not None and not deleted_ids.isEmpty()
         if has_deletes or not updates.isEmpty():
+            touched = changed
+            if deleted_ids is not None:
+                touched = touched.unionByName(
+                    deleted_ids.select(acfg.id_col)
+                )
+            # ledger the touched ids BEFORE the repair runs (round-12
+            # ADVICE): repair_ivf_index's crash discipline requires the
+            # ids excluded at serve time until the repair RETURNS — a
+            # crash mid-repair otherwise leaves some ids standing with
+            # OLD vectors and no ledger entry, and ann_search serves
+            # stale neighbors. The post-repair purge below removes them
+            # again on success, so steady state is unchanged.
+            DD._heal_rel(spark, acfg.index_path, "stale_ids")
+            touched.select(F.col(acfg.id_col).alias("id")).write.mode(
+                "append"
+            ).parquet(ledger)
             rep = SIM.repair_ivf_index(
                 spark, acfg.index_path, updates=updates,
                 deleted_ids=(
                     deleted_ids.select(acfg.id_col)
                     if deleted_ids is not None else None
                 ),
-                id_col=acfg.id_col, vec_col=acfg.vec_col, **app_kw,
+                id_col=acfg.id_col, vec_col=acfg.vec_col,
+                # repair-vs-rebuild arbiter (round-12 verdict #3): let
+                # the repair abort on the scatter-plus-armed-drift
+                # shape ONLY when this leg can rebuild in-line right
+                # after — the touched ids were just ledgered above, so
+                # an abort serves them as absent, never stale, until
+                # the rebuild below re-indexes them
+                abort_on_prefer_rebuild=(
+                    acfg.rebuild_on_trigger and corpus is not None
+                ),
+                **app_kw,
             )
             # the repaired ids are physically correct now: purge them
-            # from any standing ledger (earlier exclude-mode nights or
-            # a crashed repair's conservative entries) so serving
-            # completeness recovers
+            # from any standing ledger (the pre-repair entries just
+            # written, earlier exclude-mode nights, or a crashed
+            # repair's conservative entries) so serving completeness
+            # recovers; a ledger purged to EMPTY is deleted outright —
+            # "no ledger dir" stays the nothing-is-stale invariant.
+            # An ABORTED repair skips the purge: its ids are still
+            # stale on disk and must stay excluded until the rebuild.
             DD._heal_rel(spark, acfg.index_path, "stale_ids")
             led = DD._try_read_parquet(spark, ledger)
+            if rep.get("aborted"):
+                led = None
             if led is not None:
-                touched = changed
-                if deleted_ids is not None:
-                    touched = touched.unionByName(
-                        deleted_ids.select(acfg.id_col)
-                    )
-                (
+                led_purged = (
                     led.join(
                         touched.select(F.col(acfg.id_col).alias("id")),
                         ["id"], "left_anti",
                     )
                     .distinct()
-                    .write.mode("overwrite")
-                    .parquet(f"{ledger}__new")
+                    .localCheckpoint(eager=True)
                 )
-                DD._replace_dir(spark, f"{ledger}__new", ledger)
+                if led_purged.isEmpty():
+                    DD._fs_delete(spark, ledger)
+                    spark.catalog.refreshByPath(ledger)
+                else:
+                    led_purged.write.mode("overwrite").parquet(
+                        f"{ledger}__new"
+                    )
+                    DD._replace_dir(spark, f"{ledger}__new", ledger)
+                DD._release_local_checkpoint(led_purged)
         DD._release_local_checkpoint(changed)
     else:
         stale_now = changed
@@ -2061,6 +2146,8 @@ def run_ann_maintenance(
     if rep is not None:
         out["repaired"] = int(rep["reassigned"])
         out["removed"] = int(rep["removed"])
+        if rep.get("prefer_rebuild"):
+            out["prefer_rebuild"] = 1
     if "appended_fraction" in app:
         out["appended_fraction"] = round(app["appended_fraction"], 6)
         out["min_centroid_cos"] = round(app["min_centroid_cos"], 6)

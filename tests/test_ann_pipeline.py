@@ -312,6 +312,106 @@ def test_ann_repair_purges_standing_ledger(spark, tmp_path):
     ]
 
 
+def test_ann_repair_crash_leaves_touched_ids_ledgered(
+    spark, tmp_path, monkeypatch
+):
+    """round-12 ADVICE (medium): repair_ivf_index's crash discipline
+    requires the touched ids LEDGERED for serve-time exclusion until
+    the repair returns. The nightly leg must write them to stale_ids
+    BEFORE invoking the repair — a crash mid-repair then leaves the
+    possibly-stale ids excluded from serving (never-a-wrong-answer),
+    and a successful retry purges them again."""
+    import os
+
+    from eea_crawler_spark.operators import similarity as SIM
+
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=2, n_iter=1,
+        repair_in_place=True, rebuild_stale_fraction=1.0,
+    )
+    corpus = _mk_vecs(spark, n=40, dim=8, seed=11)
+    run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    mod = corpus.filter(F.col("chunk_id") == "c2").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(7.0)).cast("float")),
+    )
+    real_repair = SIM.repair_ivf_index
+
+    def crash_repair(*a, **kw):
+        raise RuntimeError("crash mid-repair")
+
+    monkeypatch.setattr(SIM, "repair_ivf_index", crash_repair)
+    with pytest.raises(RuntimeError, match="mid-repair"):
+        run_ann_maintenance(spark, acfg, mod)
+    # the pre-repair ledger write landed: c2 is excluded from serving
+    led = {
+        r["id"]
+        for r in spark.read.parquet(
+            f"{acfg.index_path}/stale_ids"
+        ).collect()
+    }
+    assert "c2" in led
+    served = {
+        r["chunk_id"]
+        for r in ann_search(spark, acfg, corpus.limit(3), k=50,
+                            n_probe=2).collect()
+    }
+    assert "c2" not in served
+    # successful retry: repaired, ledger purged back to absent, the
+    # NEW vector serves
+    monkeypatch.setattr(SIM, "repair_ivf_index", real_repair)
+    r = run_ann_maintenance(spark, acfg, mod)
+    assert r["repaired"] == 1 and r["stale_total"] == 0
+    assert not os.path.exists(f"{acfg.index_path}/stale_ids")
+    live = corpus.filter(F.col("chunk_id") != "c2").unionByName(mod)
+    got = ann_search(spark, acfg, mod, k=50, n_probe=2)
+    want = SIM.brute_force_topk(
+        live, mod, k=50, id_col="chunk_id", vec_col="embedding"
+    )
+    assert [tuple(x) for x in got.collect()] == [
+        tuple(x) for x in want.collect()
+    ]
+
+
+def test_ann_repair_scatter_escalates_to_rebuild(spark, tmp_path):
+    """The pipeline honors the repair's prefer_rebuild hint (round-12
+    verdict #3): on the scatter-plus-armed-drift shape with
+    rebuild_on_trigger and a corpus available, the repair aborts
+    untouched and the in-line rebuild takes over — one rebuild instead
+    of a full-list-rewrite repair plus an imminent trigger rebuild —
+    and serving equals brute force over the corrected corpus."""
+    from eea_crawler_spark.operators import similarity as SIM
+
+    acfg = AnnConfig(
+        index_path=str(tmp_path / "ivf"), n_clusters=4, n_iter=1,
+        repair_in_place=True, rebuild_on_trigger=True,
+        rebuild_stale_fraction=1.0,
+    )
+    corpus = _mk_vecs(spark, n=120, seed=12)
+    run_ann_maintenance(spark, acfg, None, corpus=corpus)
+    mod = corpus.filter(
+        F.col("chunk_id").isin([f"c{i}" for i in range(30)])
+    ).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(9.0)).cast("float")),
+    )
+    corrected = corpus.join(
+        mod.select("chunk_id"), ["chunk_id"], "left_anti"
+    ).unionByName(mod)
+    r = run_ann_maintenance(spark, acfg, mod, corpus=corrected)
+    assert r.get("prefer_rebuild") == 1
+    assert r["rebuilt"] == 1 and r["repaired"] == 0
+    assert r["stale_total"] == 0 and r["needs_rebuild"] == 0
+    q = corrected.limit(5)
+    got = ann_search(spark, acfg, q, k=4, n_probe=4)
+    want = SIM.brute_force_topk(
+        corrected, q, k=4, id_col="chunk_id", vec_col="embedding"
+    )
+    assert [tuple(x) for x in got.collect()] == [
+        tuple(x) for x in want.collect()
+    ]
+
+
 def test_stale_ledger_midswap_crash_never_serves_stale(spark, tmp_path):
     """Round-11 ADVICE (medium): a crash mid-compaction-swap leaves the
     ledger in its __new dir. Serving must STILL exclude the ledgered

@@ -931,8 +931,14 @@ def test_dedup_maintenance_embedding_repair_in_place(spark, tmp_path):
         .select("vec_id").collect()
     }
     assert 11 not in ids
-    # text methods refuse the flag loudly
-    bad_cfg = DedupConfig(
+    # round 13: text methods take the flag too — but a LEGACY state
+    # layout (keys without text_hash) refuses loudly instead of
+    # silently missing changes
+    import shutil
+
+    from eea_crawler_spark.pipeline import bootstrap_dedup_maintenance as BS
+
+    legacy_cfg = DedupConfig(
         state_path=str(tmp_path / "s2"),
         clusters_path=str(tmp_path / "c2"),
         flags_path=str(tmp_path / "f2"),
@@ -940,10 +946,482 @@ def test_dedup_maintenance_embedding_repair_in_place(spark, tmp_path):
         repair_in_place=True,
     )
     docs = spark.createDataFrame(
-        [("a", "hello world hello world")], "id string, fulltext string"
+        [(f"d{i}", f"some words {i} " * 10) for i in range(6)],
+        "id string, fulltext string",
     )
-    with pytest.raises(ValueError, match="repair_in_place"):
-        run_dedup_maintenance(spark, bad_cfg, docs)
+    BS(spark, legacy_cfg, docs)
+    flat_keys = spark.read.parquet(
+        f"{legacy_cfg.state_path}/keys"
+    ).select("id", "key").localCheckpoint(eager=True)
+    shutil.rmtree(f"{legacy_cfg.state_path}/keys")
+    flat_keys.write.parquet(f"{legacy_cfg.state_path}/keys")
+    with pytest.raises(ValueError, match="round-13"):
+        run_dedup_maintenance(
+            spark, legacy_cfg,
+            docs.limit(1).withColumn("fulltext", F.lit("edited body")),
+        )
+
+
+@pytest.mark.parametrize("exact_mode", [False, True])
+def test_dedup_repair_changed_and_deleted_counts_as_deleted(
+    spark, tmp_path, exact_mode
+):
+    """round-12 ADVICE: a doc present in BOTH the delta (changed
+    vector) and deleted_ids must count as DELETED — without the
+    anti-join the repair evicts the row then RE-INSERTS it via
+    updates, silently undoing the deletion. Pinned for both the
+    repair mode and the exact-labels mode (the two call sites)."""
+    from eea_crawler_spark.pipeline import (
+        DedupConfig,
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    _, corpus = _mk_vecs(spark, n=120, dim=16, seed=9)
+    sub = str(tmp_path / ("exact" if exact_mode else "repair"))
+    dcfg = DedupConfig(
+        state_path=f"{sub}/state",
+        clusters_path=f"{sub}/clusters",
+        flags_path=f"{sub}/flags",
+        method="embedding",
+        cos_threshold=0.9,
+        expected_delta_rows=20,
+        repair_in_place=True,
+        pairs_path=f"{sub}/pairs" if exact_mode else None,
+    )
+    bootstrap_dedup_maintenance(spark, dcfg, corpus, id_col="vec_id")
+    victim = corpus.filter(F.col("vec_id") == 3)
+    mod = victim.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: (x + F.lit(5.0)).cast("float")),
+    )
+    r = run_dedup_maintenance(
+        spark, dcfg, mod, id_col="vec_id",
+        deleted_ids=victim.select("vec_id"),
+    )
+    ids = {
+        row["vec_id"]
+        for row in spark.read.parquet(f"{dcfg.state_path}/vectors")
+        .select("vec_id").collect()
+    }
+    assert 3 not in ids, "deleted id was re-inserted by the repair"
+    assert r["repaired"] == 0
+
+
+def test_repair_embedding_spec_n_self_heals_after_crash(
+    spark, tmp_path, monkeypatch
+):
+    """round-12 ADVICE: on a retry after a crash between the vector
+    eviction and the spec swap, the touched ids are already evicted
+    (n_removed = 0) — the spec row count must be RECOMPUTED from the
+    vectors relation, not decremented by this run's removals, or it
+    overcounts forever."""
+    from eea_crawler_spark.operators import dedup as DD
+
+    _, corpus = _mk_vecs(spark, n=160, dim=16, seed=10)
+    n0 = corpus.count()
+    p = str(tmp_path / "emb")
+    SIM.build_embedding_state(
+        corpus, p, expected_delta_rows=40, threshold=0.9
+    )
+    doomed = corpus.filter(F.col("vec_id") % 11 == 4).select("vec_id")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    real_write = DD._write_embedding_spec
+
+    def crash_write(*a, **kw):
+        raise RuntimeError("crash before the spec swap")
+
+    monkeypatch.setattr(DD, "_write_embedding_spec", crash_write)
+    with pytest.raises(RuntimeError, match="spec swap"):
+        SIM.repair_embedding_state(spark, p, deleted_ids=doomed)
+    monkeypatch.setattr(DD, "_write_embedding_spec", real_write)
+    # the crash left the rows evicted but the spec stale (overcounts)
+    assert SIM.read_embedding_state(spark, p)["spec"]["n"] == n0
+    r = SIM.repair_embedding_state(spark, p, deleted_ids=doomed)
+    assert r["removed"] == 0  # retry finds nothing left to evict
+    assert r["n"] == n0 - n_doomed
+    st = SIM.read_embedding_state(spark, p)
+    assert st["spec"]["n"] == n0 - n_doomed
+    assert st["vectors"].count() == n0 - n_doomed
+
+
+def test_norm_pairs_key_is_collision_proof(spark):
+    """round-12 ADVICE: concat_ws('§') pair keys collide for ids
+    containing the delimiter ('a§b'+'c' vs 'a'+'b§c'), corrupting the
+    keyed eviction/merge of the persisted pair relation. The
+    length-prefixed key keeps distinct pairs distinct."""
+    from eea_crawler_spark.pipeline import _norm_pairs
+
+    pairs = spark.createDataFrame(
+        [("a§b", "c"), ("a", "b§c")],
+        "doc_a string, doc_b string",
+    )
+    rows = _norm_pairs(pairs).collect()
+    assert len(rows) == 2
+    assert len({r["pair_key"] for r in rows}) == 2
+
+
+def _text_state_rows(spark, path):
+    """Every text-state relation as comparable row sets (the readers
+    drop the round-13 layout columns, so repaired and rebuilt states
+    compare schema-identically)."""
+    st = DD.read_text_dedup_state_full(spark, path)
+    out = {
+        "arrays": sorted(
+            (r["id"], tuple(r["g"])) for r in st["arrays"].collect()
+        ),
+        "sigs": sorted(
+            (r["id"], tuple(r["sig"])) for r in st["sigs"].collect()
+        ),
+        "keys": sorted(
+            (r["id"], r["key"]) for r in st["keys"].collect()
+        ),
+        "simhash": sorted(
+            tuple(r) for r in st["simhash"].collect()
+        ),
+    }
+    for rel in ("bands", "prefix_df", "hp0"):
+        if rel in st:
+            out[rel] = sorted(tuple(r) for r in st[rel].collect())
+    return out
+
+
+def test_repair_text_dedup_state_equals_rebuild(spark, tmp_path):
+    """THE text-repair pin (round-12 verdict #1): evicting modified/
+    deleted ids partition-locally, healing the prefix statistics by
+    restricted recompute, and re-appending the new texts leaves the
+    state relation-by-relation EQUAL to a rebuild over the corrected
+    corpus — and a later probe through the repaired state equals the
+    probe through the rebuilt one."""
+    new, corpus = _mk_docs(spark, n_docs=120, seed=3)
+    mod = corpus.filter(F.col("doc_id") % 17 == 1).withColumn(
+        "text",
+        F.concat(F.lit("entirely different edited words now "),
+                 F.col("text")),
+    )
+    doomed = corpus.filter(
+        (F.col("doc_id") % 13 == 2) & (F.col("doc_id") % 17 != 1)
+    ).select("doc_id")
+    p_rep = str(tmp_path / "rep")
+    p_reb = str(tmp_path / "reb")
+    DD.build_text_dedup_state(
+        corpus, p_rep, threshold=THRESH, max_df=20
+    )
+    r = DD.repair_text_dedup_state(
+        spark, p_rep, updates=mod, deleted_ids=doomed
+    )
+    n_mod, n_doom = mod.count(), doomed.count()
+    assert n_mod and n_doom
+    assert r["reassigned"] == n_mod
+    assert r["removed"] == n_mod + n_doom
+    corrected = (
+        corpus.join(mod.select("doc_id"), ["doc_id"], "left_anti")
+        .join(doomed, ["doc_id"], "left_anti")
+        .unionByName(mod)
+    )
+    DD.build_text_dedup_state(
+        corrected, p_reb, threshold=THRESH, max_df=20
+    )
+    assert _text_state_rows(spark, p_rep) == _text_state_rows(
+        spark, p_reb
+    )
+    probe = new.limit(10)
+    pa = _pairset(DD.ngram_jaccard_pairs(
+        probe, threshold=THRESH, max_df=20,
+        against_state=DD.read_text_dedup_state_full(spark, p_rep),
+    ))
+    pb = _pairset(DD.ngram_jaccard_pairs(
+        probe, threshold=THRESH, max_df=20,
+        against_state=DD.read_text_dedup_state_full(spark, p_reb),
+    ))
+    assert pa == pb and pa
+
+
+def test_repair_text_dedup_state_partition_local(spark, tmp_path):
+    """The O(stale) property is PHYSICAL: repairing one id leaves
+    every untouched tb bucket's files byte-identical across all five
+    row-wise relations, and duplicate/legacy inputs are refused."""
+    import os
+    import shutil
+
+    _, corpus = _mk_docs(spark, n_docs=120, seed=5)
+    p = str(tmp_path / "state")
+    DD.build_text_dedup_state(corpus, p, threshold=THRESH, max_df=20)
+    victim = corpus.limit(1)
+    vtb = victim.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(DD.TB_BUCKETS))
+        .cast("int").alias("tb")
+    ).first()["tb"]
+    rels = ("arrays", "sigs", "keys", "simhash", "bands")
+
+    def _files(rel):
+        out = {}
+        base = f"{p}/{rel}"
+        for d in os.listdir(base):
+            if not d.startswith("tb="):
+                continue
+            out[d] = {
+                (f, os.path.getmtime(f"{base}/{d}/{f}"))
+                for f in os.listdir(f"{base}/{d}")
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = {rel: _files(rel) for rel in rels}
+    mod = victim.withColumn(
+        "text", F.concat(F.lit("brand new words "), F.col("text"))
+    )
+    r = DD.repair_text_dedup_state(spark, p, updates=mod)
+    assert r["removed"] == 1 and r["reassigned"] == 1
+    for rel in rels:
+        after = _files(rel)
+        for d in before[rel]:
+            if d != f"tb={vtb}":
+                assert after.get(d) == before[rel][d], (
+                    f"{rel}/{d} was rewritten"
+                )
+        assert after.get(f"tb={vtb}") != before[rel].get(f"tb={vtb}")
+    with pytest.raises(ValueError, match="unique per id"):
+        DD.repair_text_dedup_state(
+            spark, p, updates=mod.unionByName(mod)
+        )
+    legacy = str(tmp_path / "legacy")
+    DD.build_text_dedup_state(corpus, legacy, threshold=THRESH)
+    flat = spark.read.parquet(f"{legacy}/keys").select(
+        "id", "key"
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(f"{legacy}/keys")
+    flat.write.parquet(f"{legacy}/keys")
+    with pytest.raises(ValueError, match="legacy"):
+        DD.repair_text_dedup_state(spark, legacy, updates=mod)
+
+
+def test_repair_text_crash_retry_heals_aggregates(
+    spark, tmp_path, monkeypatch
+):
+    """Crash discipline: a crash between the row evictions and the
+    aggregate swap leaves the durable ``repair_pending`` shingle
+    ledger in place; BOTH recovery paths heal exactly — a repair
+    retried with the same updates, or a later repair with an EMPTY
+    delta (the heal-only path) followed by the re-insert."""
+    _, corpus = _mk_docs(spark, n_docs=120, seed=7)
+    mod = corpus.filter(F.col("doc_id") % 19 == 1).withColumn(
+        "text", F.concat(F.lit("fresh replacement body "), F.col("text"))
+    )
+    n_mod = mod.count()
+    assert n_mod
+    corrected = corpus.join(
+        mod.select("doc_id"), ["doc_id"], "left_anti"
+    ).unionByName(mod)
+    p_reb = str(tmp_path / "reb")
+    DD.build_text_dedup_state(corrected, p_reb, threshold=THRESH, max_df=20)
+    want = _text_state_rows(spark, p_reb)
+    evicted_only = str(tmp_path / "evicted_reb")
+    DD.build_text_dedup_state(
+        corpus.join(mod.select("doc_id"), ["doc_id"], "left_anti"),
+        evicted_only, threshold=THRESH, max_df=20,
+    )
+    real_replace = DD._replace_dir
+
+    def crash_replace(spark_, tmp, dst):
+        if dst.endswith("/prefix_df"):
+            raise RuntimeError("crash before the aggregate swap")
+        return real_replace(spark_, tmp, dst)
+
+    for path_name, heal_then_insert in (("a", False), ("b", True)):
+        p = str(tmp_path / path_name)
+        DD.build_text_dedup_state(corpus, p, threshold=THRESH, max_df=20)
+        monkeypatch.setattr(DD, "_replace_dir", crash_replace)
+        with pytest.raises(RuntimeError, match="aggregate swap"):
+            DD.repair_text_dedup_state(spark, p, updates=mod)
+        monkeypatch.setattr(DD, "_replace_dir", real_replace)
+        assert DD._read_rel(spark, p, "repair_pending") is not None
+        if heal_then_insert:
+            # heal-only pass: empty delta consumes the pending ledger
+            r0 = DD.repair_text_dedup_state(spark, p)
+            assert r0 == {"removed": 0, "reassigned": 0, "tipped": 0}
+            assert DD._read_rel(spark, p, "repair_pending") is None
+            assert _text_state_rows(spark, p) == _text_state_rows(
+                spark, evicted_only
+            )
+            app = DD.append_text_dedup_state(spark, p, mod)
+            assert app["appended"] == n_mod
+        else:
+            r = DD.repair_text_dedup_state(spark, p, updates=mod)
+            assert r["removed"] == 0 and r["reassigned"] == n_mod
+            assert DD._read_rel(spark, p, "repair_pending") is None
+        assert _text_state_rows(spark, p) == want
+
+
+def test_dedup_maintenance_text_repair_in_place(spark, tmp_path):
+    """The composed leg with repair_in_place over a TEXT method
+    (round 13): a modified doc's FUTURE probes compare against its NEW
+    text, deletions leave the state physically, and unchanged
+    re-deliveries carry no debt — the
+    test_dedup_maintenance_embedding_repair_in_place contract on the
+    ngram family."""
+    from eea_crawler_spark.pipeline import (
+        DedupConfig,
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    _, corpus = _mk_docs(spark, n_docs=120, seed=8)
+    dcfg = DedupConfig(
+        state_path=str(tmp_path / "state"),
+        clusters_path=str(tmp_path / "clusters"),
+        flags_path=str(tmp_path / "flags"),
+        method="ngram",
+        text_col="text",
+        threshold=THRESH,
+        max_df=20,
+        repair_in_place=True,
+    )
+    bootstrap_dedup_maintenance(spark, dcfg, corpus, id_col="doc_id")
+    victim_id = 1  # doc_id 1 sits in corpus (%5 != 0)
+    victim = corpus.filter(F.col("doc_id") == victim_id)
+    mod = victim.withColumn(
+        "text",
+        F.concat_ws(
+            " ", *[F.lit(f"zz{i}") for i in range(80)]
+        ),
+    )
+    r = run_dedup_maintenance(spark, dcfg, mod, id_col="doc_id")
+    assert r["repaired"] == 1 and r["stale"] == 1
+    state = DD.read_text_dedup_state_full(spark, dcfg.state_path)
+    # a future probe with the victim's OLD text no longer pairs with
+    # it at ~1.0 jaccard; a probe with the NEW text does
+    probe_old = victim.withColumn("doc_id", F.lit(77777).cast("bigint"))
+    pairs_old = _pairset(DD.ngram_jaccard_pairs(
+        probe_old, threshold=THRESH, max_df=20, against_state=state,
+    ))
+    assert not any(victim_id in p for p in pairs_old)
+    probe_new = mod.withColumn("doc_id", F.lit(88888).cast("bigint"))
+    pairs_new = _pairset(DD.ngram_jaccard_pairs(
+        probe_new, threshold=THRESH, max_df=20, against_state=state,
+    ))
+    assert any(victim_id in p for p in pairs_new)
+    # unchanged re-delivery: nothing repaired, nothing ledgered
+    r2 = run_dedup_maintenance(
+        spark, dcfg, corpus.filter(F.col("doc_id") == 6),
+        id_col="doc_id",
+    )
+    assert r2["repaired"] == 0 and r2["stale"] == 0
+    # deletion leaves the state physically
+    run_dedup_maintenance(
+        spark, dcfg, corpus.filter(F.lit(False)), id_col="doc_id",
+        deleted_ids=corpus.filter(F.col("doc_id") == 11).select("doc_id"),
+    )
+    ids = {
+        row["id"]
+        for row in DD.read_text_dedup_state_full(
+            spark, dcfg.state_path
+        )["keys"].select("id").collect()
+    }
+    assert 11 not in ids
+
+
+def test_exact_label_maintenance_text_matches_scratch(spark, tmp_path):
+    """The exact-labels pin on a TEXT method (round 13): with
+    pairs_path + repair_in_place + method='ngram', every night's
+    labels AND flags equal a from-scratch bootstrap over the live
+    corpus — split, merge, and delete, the same arc as the embedding
+    twin."""
+    from eea_crawler_spark.pipeline import (
+        DedupConfig,
+        bootstrap_dedup_maintenance,
+        run_dedup_maintenance,
+    )
+
+    def blk(k):
+        return [f"b{k}w{j}" for j in range(30)]
+
+    def doc(*blocks):
+        return " ".join(w for k in blocks for w in blk(k))
+
+    # chain 1-2-3 (adjacent J≈0.32, ends J=0), clique 10-11-12
+    # (pairwise J≈0.93), far singletons 20, 21
+    rows = [
+        (1, doc("A", "B")),
+        (2, doc("B", "C")),
+        (3, doc("C", "D")),
+        (10, doc("E", "F")),
+        (11, doc("E", "F") + " extraone"),
+        (12, doc("E", "F") + " extratwo"),
+        (20, doc("G", "H")),
+        (21, doc("I", "J")),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def cfg(base):
+        return DedupConfig(
+            state_path=str(base / "state"),
+            clusters_path=str(base / "clusters"),
+            flags_path=str(base / "flags"),
+            pairs_path=str(base / "pairs"),
+            method="ngram",
+            text_col="text",
+            threshold=0.3,
+            repair_in_place=True,
+        )
+
+    inc = cfg(tmp_path / "inc")
+    bootstrap_dedup_maintenance(spark, inc, corpus, id_col="doc_id")
+    scratch_n = 0
+
+    def check(live_rows):
+        nonlocal scratch_n
+        scratch_n += 1
+        scr = cfg(tmp_path / f"scr{scratch_n}")
+        live = spark.createDataFrame(
+            live_rows, "doc_id bigint, text string"
+        )
+        bootstrap_dedup_maintenance(spark, scr, live, id_col="doc_id")
+        got_l, got_f = _labels_and_flags(spark, inc)
+        want_l, want_f = _labels_and_flags(spark, scr)
+        assert got_l == want_l
+        assert got_f == want_f
+
+    base_rows = {r[0]: r for r in rows}
+    check(list(base_rows.values()))
+
+    # night 1: SPLIT — the chain's middle doc modified away
+    mod2 = (2, doc("Z", "W"))
+    r1 = run_dedup_maintenance(
+        spark, inc,
+        spark.createDataFrame([mod2], "doc_id bigint, text string"),
+        id_col="doc_id",
+    )
+    assert r1["repaired"] == 1 and r1["stale_total"] == 0
+    base_rows[2] = mod2
+    check(list(base_rows.values()))
+    got_l, got_f = _labels_and_flags(spark, inc)
+    assert 1 not in got_l and 3 not in got_l
+    assert got_f[1] == (1, True) and got_f[3] == (3, True)
+
+    # night 2: MERGE — a fresh doc bridges doc 1 and doc 20
+    bridge = (30, doc("A", "G"))
+    r2 = run_dedup_maintenance(
+        spark, inc,
+        spark.createDataFrame([bridge], "doc_id bigint, text string"),
+        id_col="doc_id",
+    )
+    assert r2["appended"] == 1
+    base_rows[30] = bridge
+    check(list(base_rows.values()))
+    got_l, _ = _labels_and_flags(spark, inc)
+    assert got_l[1] == got_l[20] == got_l[30] == 1
+
+    # night 3: DELETE the bridge — the merge must unwind exactly
+    run_dedup_maintenance(
+        spark, inc,
+        spark.createDataFrame([], "doc_id bigint, text string"),
+        id_col="doc_id",
+        deleted_ids=spark.createDataFrame([(30,)], "doc_id bigint"),
+    )
+    del base_rows[30]
+    check(list(base_rows.values()))
 
 
 def _labels_and_flags(spark, dcfg):
@@ -1227,11 +1705,15 @@ def test_append_text_retry_after_partial_crash_is_detected(spark, tmp_path):
     new, corpus = _mk_docs(spark, n_docs=60)
     p = str(tmp_path / "crashy")
     DD.build_text_dedup_state(corpus, p, threshold=THRESH, max_df=20)
-    # simulate the narrowest crash: the keys append landed, nothing else
+    # simulate the narrowest crash: the keys append landed (in the
+    # round-13 partitioned layout the real append writes), nothing else
     delta_keys = new.select(
         F.col("doc_id").alias("id"),
         F.substring(DD.clean_html(F.col("text")), 1, 20).alias("key"),
-    )
-    delta_keys.write.mode("append").parquet(f"{p}/keys")
+        F.xxhash64(F.col("text")).alias("text_hash"),
+    ).withColumn("tb", DD._tb_col())
+    delta_keys.repartition("tb").write.mode("append").partitionBy(
+        "tb"
+    ).parquet(f"{p}/keys")
     with pytest.raises(ValueError, match="strictly-NEW"):
         DD.append_text_dedup_state(spark, p, new)

@@ -337,7 +337,7 @@ def test_ivf_repair_contracts(spark, tmp_path):
     assert r == {
         "removed": 0, "reassigned": 0, "touched_clusters": 0,
         "appended_fraction": 0.0, "min_centroid_cos": 1.0,
-        "needs_rebuild": 0,
+        "needs_rebuild": 0, "prefer_rebuild": 0,
     }
     # deleting ids absent from the index: no-op eviction
     r2 = SIM.repair_ivf_index(
@@ -345,6 +345,99 @@ def test_ivf_repair_contracts(spark, tmp_path):
         deleted_ids=spark.createDataFrame([(777777,)], "vec_id bigint"),
     )
     assert r2["removed"] == 0 and r2["touched_clusters"] == 0
+
+
+def test_ivf_repair_scatter_arbiter(spark, tmp_path):
+    """Repair-vs-rebuild arbiter (round-12 verdict #3): the
+    prefer_rebuild hint fires exactly on the conjunction — touched
+    clusters ≥ half of n_clusters AND projected appended fraction past
+    half the rebuild trigger — and with abort_on_prefer_rebuild the
+    index is left untouched byte-for-byte for the caller's in-line
+    rebuild."""
+    base = _mk_vecs(spark, n=120, seed=7)
+    scatter = _modified(base.limit(30))  # spreads over all clusters
+
+    def _fresh(path):
+        SIM.build_ivf_index(base, str(path), n_clusters=4, n_iter=2)
+        return str(path)
+
+    # 1. scatter WITHOUT armed drift (appended=0, projected 30/120=0.25
+    # >= 0.125 arm — actually armed; use few mods for the unarmed leg)
+    p1 = _fresh(tmp_path / "unarmed")
+    few = _modified(base.limit(8))  # projected 8/120 < 0.125
+    r1 = SIM.repair_ivf_index(spark, p1, updates=few)
+    assert r1["prefer_rebuild"] == 0 and "aborted" not in r1
+    # 2. scatter WITH armed drift: hint fires, repair still exact
+    p2 = _fresh(tmp_path / "armed")
+    r2 = SIM.repair_ivf_index(spark, p2, updates=scatter)
+    assert r2["touched_clusters"] >= 2  # genuinely scattered
+    assert r2["prefer_rebuild"] == 1 and r2["needs_rebuild"] == 1
+    corrected = base.join(
+        scatter.select("vec_id"), ["vec_id"], "left_anti"
+    ).unionByName(scatter)
+    q = base.limit(5)
+    got = SIM.ivf_topk_state(spark, p2, q, k=K, n_probe=4)
+    want = SIM.brute_force_topk(corrected, q, k=K)
+    assert _rows(got) == _rows(want)
+    # 3. same shape with the abort: index untouched byte-for-byte
+    p3 = _fresh(tmp_path / "aborted")
+    import os
+
+    def _tree(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                full = os.path.join(root, f)
+                out[full] = os.path.getmtime(full)
+        return out
+
+    before = _tree(p3)
+    r3 = SIM.repair_ivf_index(
+        spark, p3, updates=scatter, abort_on_prefer_rebuild=True
+    )
+    assert r3["aborted"] == 1 and r3["prefer_rebuild"] == 1
+    assert r3["removed"] == 0 and r3["reassigned"] == 0
+    assert _tree(p3) == before
+    # serving still reflects the ORIGINAL corpus exactly
+    got0 = SIM.ivf_topk_state(spark, p3, q, k=K, n_probe=4)
+    want0 = SIM.brute_force_topk(base, q, k=K)
+    assert _rows(got0) == _rows(want0)
+    # 4. clustered mods with armed drift: no scatter, no hint
+    p4 = _fresh(tmp_path / "clustered")
+    one_blob = base.filter(F.col("vec_id") % 8 == 0).limit(20)
+    near = one_blob.withColumn(
+        "embedding",
+        F.transform(
+            "embedding", lambda x: (x + F.lit(0.01)).cast("float")
+        ),
+    )  # projected 20/120 >= 0.125, but same-blob ids stay clustered
+    r4 = SIM.repair_ivf_index(spark, p4, updates=near)
+    if r4["touched_clusters"] < 2:  # the blob landed in one list
+        assert r4["prefer_rebuild"] == 0
+
+
+def test_ivf_repair_refuses_legacy_lists_layout(spark, tmp_path):
+    """round-12 ADVICE: repairing a pre-vec_hash lists relation would
+    append vec_hash-bearing rows into it, mixing parquet schemas —
+    so the nightly leg's '"vec_hash" in lists.columns' detection would
+    depend on which footer Spark samples. Legacy layouts are refused
+    (the repair_embedding_state discipline)."""
+    import shutil
+
+    base, path = _repair_fixture(spark, tmp_path, n_clusters=4)
+    # strip vec_hash: rewrite the lists without it, same partitioning
+    legacy = (
+        spark.read.parquet(f"{path}/lists")
+        .select("vec_id", "embedding", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(f"{path}/lists")
+    legacy.repartition("cluster").write.partitionBy("cluster").parquet(
+        f"{path}/lists"
+    )
+    spark.catalog.refreshByPath(f"{path}/lists")
+    with pytest.raises(ValueError, match="legacy"):
+        SIM.repair_ivf_index(spark, path, updates=_modified(base.limit(1)))
 
 
 @pytest.mark.parametrize("n,want_k", [(400, 12), (3200, 57)])
