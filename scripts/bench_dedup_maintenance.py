@@ -53,9 +53,15 @@ def main() -> None:
     ap.add_argument("--cos-threshold", type=float, default=0.9)
     ap.add_argument(
         "--exact", action="store_true",
-        help="embedding method only: exact-label mode (repair_in_place"
-        " + pairs_path) - adds a modified-docs repair night measuring"
-        " the affected-component recompute wall",
+        help="exact-label mode (repair_in_place + pairs_path; round 13:"
+        " any method) - adds a modified-docs repair night measuring the"
+        " state repair + affected-component recompute wall",
+    )
+    ap.add_argument(
+        "--repair", action="store_true",
+        help="repair_in_place WITHOUT exact labels (monotone fold +"
+        " stale ledger) - same modified-docs repair night, isolating"
+        " the state-repair wall from the label recompute",
     )
     ap.add_argument(
         "--rebuild-leg", action="store_true",
@@ -110,10 +116,9 @@ def main() -> None:
         cos_threshold=args.cos_threshold,
         expected_delta_rows=n_delta if emb_mode else None,
         state_backend="mor",
-        repair_in_place=bool(args.exact and emb_mode),
+        repair_in_place=bool(args.exact or args.repair),
         pairs_path=(
-            os.path.join(args.work, "pairs")
-            if args.exact and emb_mode else None
+            os.path.join(args.work, "pairs") if args.exact else None
         ),
     )
     out: dict = {
@@ -145,16 +150,19 @@ def main() -> None:
     out["nightly_empty_sec"] = round(time.perf_counter() - t0, 1)
     out["nightly_empty"] = night2
 
-    if args.exact and emb_mode:
-        # exact-mode repair night: ~n_delta standing docs re-delivered
-        # MODIFIED (reversed vectors) - state repair + pair eviction +
-        # affected-component recompute, the wall that replaces the
-        # rebuild cadence entirely
-        mod = (
-            corpus.filter(F.col(id_col) % args.delta_mod == 1)
-            .withColumn("embedding", F.reverse("embedding"))
-            .localCheckpoint(eager=True)
-        )
+    if args.exact or args.repair:
+        # repair night: ~n_delta standing docs re-delivered MODIFIED
+        # (reversed vectors / token-prefixed texts) - state repair (+
+        # in exact mode pair eviction + affected-component recompute),
+        # the wall that replaces the rebuild cadence entirely
+        mod = corpus.filter(F.col(id_col) % args.delta_mod == 1)
+        if emb_mode:
+            mod = mod.withColumn("embedding", F.reverse("embedding"))
+        else:
+            mod = mod.withColumn(
+                "text", F.concat(F.lit("edited-tok "), F.col("text"))
+            )
+        mod = mod.localCheckpoint(eager=True)
         out["repair_rows"] = mod.count()
         t0 = time.perf_counter()
         rep_night = run_dedup_maintenance(spark, dcfg, mod, id_col=id_col)
