@@ -194,6 +194,18 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-Xms{_mem} -XX:+AlwaysPreTouch",
         )
+    # profiling hook (scripts/profile_query.py): per-job wall breakdown
+    # needs the event log; never set in bench/driver runs
+    _evt = os.environ.get("SPARK_GRAFT_EVENT_LOG_DIR")
+    if _evt:
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", f"file://{_evt}")
+            # plain-text JSON so the profiler can parse without a
+            # zstd module (Spark 4 compresses rolling logs by default)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
