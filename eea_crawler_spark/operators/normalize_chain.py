@@ -184,9 +184,25 @@ def _is_array(df: DataFrame, name: str) -> bool:
 
 def parse_raw(df: DataFrame) -> DataFrame:
     """T1 flatten: parse raw_value and lift nested fields to dotted
-    top-level columns (simplify_elements, normalizers.py:219-236)."""
-    p = F.from_json(F.col("raw_value"), RAW_VALUE_DDL)
-    return df.select(
+    top-level columns (simplify_elements, normalizers.py:219-236).
+
+    The parsed struct is materialized by an INNER projection (round-13
+    optimization, guide §1.2/§4): referencing
+    ``from_json(raw_value)[field]`` once per lifted column lets
+    Catalyst's per-field schema pruning (OptimizeCsvJsonExprs) rewrite
+    each access into its OWN ``from_json`` with a one-field schema —
+    the declared-query plan showed seven full JSON parses of
+    ``raw_value`` per row, and the production proplist lifts ~25
+    fields. The alias is non-cheap and referenced by every lifted
+    column, so CollapseProject keeps the boundary and the document
+    parses exactly once; field extraction from the materialized struct
+    is codegen struct access. Same trick as shingle_arrays' inner
+    ``split`` materialization."""
+    inner = df.select(
+        "*", F.from_json(F.col("raw_value"), RAW_VALUE_DDL).alias("__p")
+    )
+    p = F.col("__p")
+    return inner.select(
         "id",
         "doc_type",
         "site_id",
