@@ -562,6 +562,7 @@ def ngram_jaccard_pairs(
     against: DataFrame | None = None,
     against_arrays: DataFrame | None = None,
     against_state: dict | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -591,6 +592,16 @@ def ngram_jaccard_pairs(
     touches corpus text at all (``against`` may then be omitted) and
     skips the two corpus-wide statistic shuffles — see
     ``_ngram_jaccard_pairs_delta``.
+
+    ``arrays`` (capped self-join only): a CHECKPOINTED
+    ``shingle_arrays(df, text_col, id_col, n)`` relation the caller
+    already materialized — composite queries that run several dedup
+    legs over the SAME corpus (the minhash-containment invariant, the
+    incremental-cluster fold) otherwise re-shingle the full corpus
+    once per leg (guide §1.2: don't compute things twice). The caller
+    owns the contract that it was produced by ``shingle_arrays`` with
+    these exact (text_col, id_col, n) over this exact ``df``, and owns
+    the checkpoint's release.
     """
     if against is not None or against_state is not None:
         return _ngram_jaccard_pairs_delta(
@@ -623,8 +634,12 @@ def ngram_jaccard_pairs(
         # would need a document-frequency join plus a per-doc re-sort
         # (two extra full-relation shuffles) to prune somewhat harder.
         # All consumers read the one checkpointed array relation.
-        arr = shingle_arrays(df, text_col, id_col, n).localCheckpoint(
-            eager=True
+        arr = (
+            arrays
+            if arrays is not None
+            else shingle_arrays(df, text_col, id_col, n).localCheckpoint(
+                eager=True
+            )
         )
         base = arr.select("id", "g", F.size("g").alias("n")).filter(
             F.col("n") > 0
@@ -1265,8 +1280,16 @@ def minhash_lsh_pairs(
     against_arrays: DataFrame | None = None,
     against_sigs: DataFrame | None = None,
     against_state: dict | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    ``arrays`` (self-join only): a CHECKPOINTED
+    ``shingle_arrays(df, text_col, id_col, n)`` relation the caller
+    already materialized (same contract as ``ngram_jaccard_pairs``):
+    signatures derive from it instead of re-shingling, and the exact
+    verify leg semi-joins it on the candidate ids instead of
+    re-scanning and re-shingling the corpus text.
 
     Plan: signatures (narrow) → band hashes → explode → self-join on
     (band_idx, band_hash) → distinct candidates → exact Jaccard on the
@@ -1302,7 +1325,9 @@ def minhash_lsh_pairs(
     # (_signatures_from_arrays), zero shuffle; the verify leg
     # re-shingles only the candidate docs.
     sigs = _signatures_from_arrays(
-        shingle_arrays(df, text_col, id_col, n), num_hashes
+        arrays if arrays is not None
+        else shingle_arrays(df, text_col, id_col, n),
+        num_hashes,
     ).localCheckpoint(eager=True)
     banded = _wide_by(
         _band_relation(sigs, num_hashes, bands), "band_idx", "band_hash"
@@ -1346,10 +1371,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # checkpointed: consumed twice (both pair-join sides) and
-    # candidate-volume-sized by construction
-    arrs_cand = shingle_arrays(
-        df.join(cand_ids, [id_col], "left_semi"), text_col, id_col, n
-    ).localCheckpoint(eager=True)
+    # candidate-volume-sized by construction. With a caller-supplied
+    # array relation the candidate arrays are a semi-join of it — no
+    # second pass over the corpus text at all.
+    if arrays is not None:
+        arrs_cand = arrays.join(
+            cand_ids.withColumnRenamed(id_col, "id"), ["id"], "left_semi"
+        ).localCheckpoint(eager=True)
+    else:
+        arrs_cand = shingle_arrays(
+            df.join(cand_ids, [id_col], "left_semi"), text_col, id_col, n
+        ).localCheckpoint(eager=True)
     exact = _pair_jaccard_arrays(arrs_cand, cand)
     return (
         est.join(exact, ["doc_a", "doc_b"])
@@ -1617,7 +1649,8 @@ def build_text_dedup_state(
     # prefix probe even for states built without a threshold (a
     # threshold-free state used to omit it, leaving prefix_dedup
     # unable to detect a key-length mismatch — round-9 ADVICE)
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(
             n, num_hashes,
             None if threshold is None else float(threshold),
@@ -1656,6 +1689,23 @@ def build_text_dedup_state(
         ).agg(F.count(F.lit(1)).alias("hp")).write.mode(
             "overwrite"
         ).parquet(f"{path}/hp0")
+
+
+def _tiny_df(spark, rows, schema) -> DataFrame:
+    """A driver-list DataFrame in ONE partition — for the k-row spec /
+    centroid / aggregate relations every state writer persists.
+
+    ``createDataFrame(list)`` parallelizes into ``defaultParallelism``
+    pickled-Python slices: written directly that is 32 task commits for
+    one row (measured ~0.5 s per write at local[32]); ``coalesce(1)``
+    on it is WORSE — the single task then executes all 32 parent
+    slices' Python-worker roundtrips sequentially (measured ~5 s). One
+    explicit slice = one Python roundtrip, one write task, one file —
+    the layout a k-row relation should have anyway (guide §6), with
+    identical row semantics (same pickled-Python ingestion path)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 def _hadoop_fs(spark, path: str):
@@ -2362,7 +2412,7 @@ def _write_embedding_spec(spark, path: str, spec: dict, n: int) -> None:
     if spec.get("n_vb") is not None:
         fields.append(int(spec["n_vb"]))
         schema += ", n_vb int"
-    spark.createDataFrame([tuple(fields)], schema).write.mode(
+    _tiny_df(spark, [tuple(fields)], schema).write.mode(
         "overwrite"
     ).parquet(f"{path}/spec__new")
     _replace_dir(spark, f"{path}/spec__new", f"{path}/spec")
@@ -2860,7 +2910,18 @@ def connected_components(
             F.col("u").alias("node"), F.col("v").alias("cluster_id")
         ).schema
         _release_local_checkpoint(edges)
-        return (
+        # BROADCAST hint (round-13 optimization, guide §3.1): the
+        # driver-path result is ≤ 2·driver_max_pairs rows of plain ids
+        # (~2 MB at the 64k default) — bounded BY CONSTRUCTION, so
+        # consumers that join it against a corpus (canonical_docs'
+        # docs⋈labels) should never shuffle the corpus for it. A
+        # createDataFrame is RDD-backed (unknown stats, default size =
+        # Long.Max), so without the hint the static planner picked a
+        # SortMergeJoin — an Exchange+Sort of the whole docs table. The
+        # distributed path below stays unhinted: its output can be
+        # corpus-scale and AQE (on at the scales that take that path)
+        # picks the strategy from runtime sizes.
+        return F.broadcast(
             pairs.sparkSession.createDataFrame(labels, out_schema)
             .orderBy("node", "cluster_id")
         )

@@ -48,6 +48,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+# single-slice driver-list DataFrames for the k-row spec/centroid/agg
+# writes (see _tiny_df's docstring; dedup has no module-level import of
+# this module, so the import is cycle-free)
+from eea_crawler_spark.operators.dedup import _tiny_df
+
 # neardup_pairs plan gate: below, the corpus matrix is collected and
 # broadcast (zero shuffle, one matmul per batch) — bounded by
 # spark.driver.maxResultSize and driver memory, so the gate sits well
@@ -1298,7 +1303,8 @@ def build_embedding_state(
         .partitionBy("vb")
         .parquet(f"{path}/vectors")
     )
-    corpus.sparkSession.createDataFrame(
+    _tiny_df(
+        corpus.sparkSession,
         [(dim, n_bands, band_planes, seed, int(probe["n"]), VB_BUCKETS)],
         "dim int, n_bands int, band_planes int, seed int, n long, "
         "n_vb int",
@@ -2208,20 +2214,32 @@ def _ivf_cluster_agg(assigned: DataFrame, vec_col: str) -> DataFrame:
     partials = assigned.select("cluster", vec_col).mapInPandas(
         _partials, "cluster int, cnt long, sums array<double>"
     )
-    cnts = partials.groupBy("cluster").agg(F.sum("cnt").alias("cnt"))
-    sums = (
-        partials.select("cluster", F.posexplode("sums").alias("pos", "v"))
+    # ONE aggregation tree for cnt AND sums (round-13 optimization,
+    # guide §1.2): the previous cnts⨝sums formulation referenced
+    # ``partials`` twice, and Spark re-executes the subtree per branch
+    # — the corpus-wide mapInPandas pass ran TWICE (plus a join) for
+    # one pair of numbers. Exploded per (cluster, pos), each partial
+    # row contributes its cnt exactly once per position, so
+    # SUM(cnt) within any (cluster, pos) group IS the cluster's total
+    # count (identical across pos — MAX picks the common value).
+    # Integer-exact; the float sums take the same per-(cluster,pos)
+    # SUM as before.
+    return (
+        partials.select(
+            "cluster", "cnt", F.posexplode("sums").alias("pos", "v")
+        )
         .groupBy("cluster", "pos")
-        .agg(F.sum("v").alias("v"))
+        .agg(F.sum("v").alias("v"), F.sum("cnt").alias("c"))
         .groupBy("cluster")
         .agg(
+            F.max("c").alias("cnt"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "v"))),
                 lambda s: s["v"],
-            ).alias("sums")
+            ).alias("sums"),
         )
+        .select("cluster", "cnt", "sums")
     )
-    return cnts.join(sums, ["cluster"])
 
 
 def _auto_n_clusters(n: int) -> int:
@@ -2313,14 +2331,16 @@ def build_ivf_index(
     lists = spark.read.parquet(f"{path}/lists").withColumn(
         "cluster", F.col("cluster").cast("int")
     )
-    _ivf_cluster_agg(lists, vec_col).write.mode("overwrite").parquet(
+    _ivf_cluster_agg(lists, vec_col).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/agg"
     )
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(dim, int(n_clusters), int(probe["n"]), 0, 0)],
         "dim int, n_clusters int, n long, appended long, epoch long",
     ).write.mode("overwrite").parquet(f"{path}/spec")
@@ -2353,7 +2373,8 @@ def _write_spec_guarded(
             "(build_ivf_index) and schedule ONE maintainer per index "
             "(single-writer posture, see AnnConfig)"
         )
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(*fields, epoch0 + 1)],
         "dim int, n_clusters int, n long, appended long, epoch long",
     ).write.mode("overwrite").parquet(f"{path}/spec__new")
@@ -2481,7 +2502,8 @@ def append_ivf_index(
         oc, osum = o_agg.get(c, (0, np.zeros(dim)))
         dc, dsum = d_agg.get(c, (0, np.zeros(dim)))
         merged[c] = (int(oc) + int(dc), osum + dsum)
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [
             (int(c), int(cnt), [float(x) for x in sums])
             for c, (cnt, sums) in sorted(merged.items())
@@ -2666,15 +2688,20 @@ def repair_ivf_index(
         }
     touched = touched.distinct().localCheckpoint(eager=True)
     # 1. the narrow locate scan: (id, cluster) only — column pruning
-    # keeps the wide vectors out of this full-lists pass
-    removal_clusters = sorted(
-        r["cluster"]
-        for r in idx["lists"]
+    # keeps the wide vectors out of this full-lists pass. The per-
+    # cluster tally rides the same job (round-13): its total IS the
+    # eviction count (every located row's id is touched, so every
+    # located row is evicted), replacing the separate
+    # n_before/keep.count() passes over the touched partitions.
+    _located = (
+        idx["lists"]
         .join(touched, [id_col], "left_semi")
-        .select("cluster")
-        .distinct()
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
+    removal_clusters = sorted(int(r["cluster"]) for r in _located)
+    n_located = sum(int(r["c"]) for r in _located)
     # the arbiter (docstring calculus): evaluated on the locate scan's
     # output, BEFORE any eviction, so an abort leaves the index
     # untouched byte-for-byte
@@ -2714,12 +2741,7 @@ def repair_ivf_index(
             r["cluster"]
             for r in keep.select("cluster").distinct().collect()
         }
-        n_before = (
-            idx["lists"]
-            .filter(F.col("cluster").isin(removal_clusters))
-            .count()
-        )
-        n_removed = n_before - keep.count()
+        n_removed = n_located
         mode_before = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
         )
@@ -2788,7 +2810,8 @@ def repair_ivf_index(
         else standing_agg.unionByName(fresh_agg)
     )
     merged_rows = merged_agg.collect()  # bounded: k rows of dim floats
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [
             (int(r["cluster"]), int(r["cnt"]),
              [float(x) for x in r["sums"]])

@@ -247,11 +247,19 @@ def dedup_minhash_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     (schema included) against the oracle. Recall itself stays pinned in
     pytest (randomized corpora, test_extras_oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    mh = DD.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    # one shingle pass serves both legs (round-13 optimization, guide
+    # §1.2): the MinHash leg and the exact n-gram leg each shingled the
+    # full corpus (and MinHash's verify re-shingled the candidates) —
+    # three text passes for one invariant. Shared checkpointed arrays
+    # cut that to one; both operators are pinned output-identical with
+    # and without `arrays` (test_extras_oracle).
+    arr = DD.shingle_arrays(docs).localCheckpoint(eager=True)
+    mh = DD.minhash_lsh_pairs(
+        docs, threshold=JACCARD_THRESHOLD, arrays=arr
+    ).select("doc_a", "doc_b", "jaccard")
     exact = DD.ngram_jaccard_pairs(
-        docs, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
+        docs, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
+        arrays=arr,
     ).select("doc_a", "doc_b")
     return mh.join(exact, ["doc_a", "doc_b"], "left_anti").orderBy(
         "doc_a", "doc_b", "jaccard"
@@ -321,8 +329,15 @@ def dedup_cluster_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % DELTA_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DELTA_MOD != 0)
+    # the corpus shingle arrays feed BOTH legs (round-13 optimization,
+    # guide §1.2): the standing-pairs self-join and the delta probe's
+    # against-side each shingled the corpus — `arrays`/`against_arrays`
+    # share one checkpointed pass, exactly how the nightly pipeline
+    # hands the probe its persisted arrays relation
+    corpus_arr = DD.shingle_arrays(corpus).localCheckpoint(eager=True)
     base_pairs = DD.ngram_jaccard_pairs(
-        corpus, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF
+        corpus, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
+        arrays=corpus_arr,
     )
     labels = DD.connected_components(base_pairs).localCheckpoint(eager=True)
     # checkpoint the probe's pairs: the fold consumes its input twice
@@ -331,7 +346,7 @@ def dedup_cluster_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run_dedup_maintenance
     delta_pairs = DD.ngram_jaccard_pairs(
         new, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
-        against=corpus,
+        against=corpus, against_arrays=corpus_arr,
     ).localCheckpoint(eager=True)
     updates = DD.update_connected_components(labels, delta_pairs)
     merged = labels.join(
