@@ -1759,7 +1759,9 @@ def _replace_dir(spark, tmp: str, dst: str) -> None:
         fs.delete(opath, True)
 
 
-def _read_rel(spark, path: str, rel: str) -> DataFrame | None:
+def _read_rel(
+    spark, path: str, rel: str, schema: str | None = None
+) -> DataFrame | None:
     """Read a state relation with crash recovery: ``{path}/{rel}``
     first, falling back to ``{path}/{rel}__new`` when the primary is
     missing — the mid-swap ``_replace_dir`` window (old renamed aside,
@@ -1770,10 +1772,13 @@ def _read_rel(spark, path: str, rel: str) -> DataFrame | None:
     Deliberately non-mutating: a concurrent writer may be mid-swap, and
     a reader renaming ``__new`` into place under it would make the
     writer's own rename fail. WRITERS heal eagerly instead
-    (``_heal_rel`` — single-writer posture makes that race-free)."""
-    df = _try_read_parquet(spark, f"{path}/{rel}")
+    (``_heal_rel`` — single-writer posture makes that race-free).
+
+    ``schema``: see ``_try_read_parquet`` — fixed-layout relations pass
+    their DDL to skip the per-read schema-inference job."""
+    df = _try_read_parquet(spark, f"{path}/{rel}", schema)
     if df is None:
-        df = _try_read_parquet(spark, f"{path}/{rel}__new")
+        df = _try_read_parquet(spark, f"{path}/{rel}__new", schema)
     return df
 
 
@@ -2483,14 +2488,28 @@ def read_text_dedup_state_full(spark, path: str) -> dict:
     return state
 
 
-def _try_read_parquet(spark, path: str) -> DataFrame | None:
+def _try_read_parquet(
+    spark, path: str, schema: str | None = None
+) -> DataFrame | None:
     """Read a parquet relation, or None when the path does not exist —
     on whatever filesystem the path's scheme resolves to (the read goes
-    through Hadoop's FileSystem, so HDFS/S3 behave like local)."""
+    through Hadoop's FileSystem, so HDFS/S3 behave like local).
+
+    ``schema``: DDL string for relations whose layout is FIXED by their
+    writer (the IVF spec/agg/centroids) — an explicit schema skips the
+    footer-reading schema-inference job Spark otherwise launches per
+    read (round-13: the persisted-lifecycle queries spent ~15 × ~25 ms
+    jobs plus their scheduling gaps on re-inferring one-row specs).
+    Missing-path behavior is identical (the file listing still runs and
+    raises), and a legacy file missing a newer column reads as null —
+    exactly what the ``row.get(...) or 0`` legacy handling expects."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(path)
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None

@@ -2179,6 +2179,19 @@ def ivf_assign(
     return corpus.mapInPandas(_assign_batches, out_schema)
 
 
+# Fixed layouts of the IVF index's bounded relations (writers below are
+# the only producers). Passing them explicitly to every read skips the
+# schema-inference job Spark launches per spark.read.parquet — the
+# persisted-lifecycle queries re-read these one-row/k-row relations
+# ~10× per maintenance pass (round-13; legacy files missing ``epoch``
+# read it as null, which the ``or 0`` handling already expects). The
+# LISTS relation deliberately stays schema-inferred: its id column type
+# is caller-defined and the legacy-layout detection ('"vec_hash" in
+# lists.columns') depends on the file footers.
+IVF_SPEC_SCHEMA = "dim int, n_clusters int, n long, appended long, epoch long"
+IVF_AGG_SCHEMA = "cluster int, cnt long, sums array<double>"
+IVF_CENTROIDS_SCHEMA = "cluster int, centroid array<double>"
+
 # Rebuild triggers for the persisted IVF serving index (append_ivf_index):
 # flag once appends-since-build pass this fraction of the indexed rows…
 IVF_REBUILD_APPEND_FRACTION = 0.25
@@ -2362,7 +2375,7 @@ def _write_spec_guarded(
     from eea_crawler_spark.operators.dedup import _read_rel, _replace_dir
 
     epoch0 = int(spec_at_entry.get("epoch", 0) or 0)
-    now = _read_rel(spark, path, "spec")
+    now = _read_rel(spark, path, "spec", IVF_SPEC_SCHEMA)
     row = now.first().asDict() if now is not None else {}
     if int(row.get("epoch", 0) or 0) != epoch0:
         raise RuntimeError(
@@ -2388,14 +2401,18 @@ def read_ivf_index(spark, path: str) -> dict:
     dir — same crash-recovery discipline as the dedup states)."""
     from eea_crawler_spark.operators.dedup import _read_rel
 
-    spec_df = _read_rel(spark, path, "spec")
+    spec_df = _read_rel(spark, path, "spec", IVF_SPEC_SCHEMA)
     if spec_df is None:
         raise ValueError(f"no spec relation under {path!r} — not an "
                          "IVF index dir")
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent_rows = (
+        spark.read.schema(IVF_CENTROIDS_SCHEMA)
+        .parquet(f"{path}/centroids")
+        .collect()
+    )
     by_id = {r["cluster"]: list(r["centroid"]) for r in cent_rows}
     centroids = [by_id[i] for i in range(len(by_id))]
-    agg = _read_rel(spark, path, "agg")
+    agg = _read_rel(spark, path, "agg", IVF_AGG_SCHEMA)
     return {
         "lists": spark.read.parquet(f"{path}/lists").withColumn(
             "cluster", F.col("cluster").cast("int")

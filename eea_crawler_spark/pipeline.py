@@ -2101,7 +2101,9 @@ def run_ann_maintenance(
     if ledger_df is not None:
         stale_total = ledger_df.distinct().count()
         n_indexed = int(
-            DD._read_rel(spark, acfg.index_path, "spec").first()["n"]
+            DD._read_rel(
+                spark, acfg.index_path, "spec", SIM.IVF_SPEC_SCHEMA
+            ).first()["n"]
         )
         needs_rebuild = needs_rebuild or (
             stale_total

@@ -261,8 +261,14 @@ def dedup_minhash_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
         arrays=arr,
     ).select("doc_a", "doc_b")
-    return mh.join(exact, ["doc_a", "doc_b"], "left_anti").orderBy(
-        "doc_a", "doc_b", "jaccard"
+    # single-pass global sort (the ngram_jaccard_pairs discipline):
+    # orderBy's range-partition sampling would execute the two-leg
+    # anti-join TWICE just to order a result that is empty-by-invariant
+    # (violations would be a handful of rows at any scale)
+    return (
+        mh.join(exact, ["doc_a", "doc_b"], "left_anti")
+        .repartition(1)
+        .sortWithinPartitions("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -352,7 +358,13 @@ def dedup_cluster_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = labels.join(
         updates.select("node"), ["node"], "left_anti"
     ).unionByName(updates)
-    return merged.orderBy("node", "cluster_id")
+    # single-pass global sort: labels hold only PAIRED docs (the
+    # near-dup shortlist class, ngram_jaccard_pairs' own final-sort
+    # shape), and orderBy's range-partition sampling would execute the
+    # un-checkpointed fold (anti-join + update joins) twice
+    return merged.repartition(1).sortWithinPartitions(
+        "node", "cluster_id"
+    )
 
 
 def emb_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
