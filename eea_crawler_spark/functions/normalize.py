@@ -30,20 +30,30 @@ from pyspark.sql import functions as F
 
 
 def map_literal(mapping: dict[str, str]) -> Column:
-    """A MapType literal for in-plan lookups (constant-folded by Catalyst)."""
+    """A MapType literal for in-plan lookups (constant-folded by Catalyst).
+
+    Built from two one-call ARRAY literals, not per-entry ``F.lit``s:
+    plan CONSTRUCTION is py4j-bound (round-13 — the normalize chain's
+    build spent 1.4 s in ~9k py4j roundtrips, half of them these map
+    entries), and ``F.lit(list)`` ships the whole list in one command.
+    ``map_from_arrays(lit, lit)`` folds to the same map literal
+    ``create_map`` folded to; lookups are unchanged."""
     if not mapping:
         return F.map_from_arrays(
             F.array().cast("array<string>"), F.array().cast("array<string>")
         )
-    return F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
+    return F.map_from_arrays(
+        F.lit(list(mapping.keys())), F.lit(list(mapping.values()))
+    )
 
 
 # ---- T2/T3 black/white value maps (normalizers.py:14-51) ----------------
 
 
 def black_map_array(col: Column, blacklist: list[str]) -> Column:
-    """Drop blacklisted values from an array field (normalizers.py:14-31)."""
-    return F.array_except(col, F.array(*[F.lit(v) for v in blacklist]))
+    """Drop blacklisted values from an array field (normalizers.py:14-31).
+    One-call list literal — see ``map_literal`` on py4j-bound builds."""
+    return F.array_except(col, F.lit(list(blacklist)))
 
 
 def black_map_scalar(col: Column, blacklist: list[str]) -> Column:
@@ -58,7 +68,7 @@ def white_map_array(col: Column, whitelist: list[str]) -> Column:
     the whitelist-filtered input, which for deduped inputs (T7 runs in
     the same chain) is equivalent.
     """
-    return F.array_intersect(col, F.array(*[F.lit(v) for v in whitelist]))
+    return F.array_intersect(col, F.lit(list(whitelist)))
 
 
 def white_map_scalar(col: Column, whitelist: list[str]) -> Column:
@@ -68,14 +78,24 @@ def white_map_scalar(col: Column, whitelist: list[str]) -> Column:
 # ---- T4 normObj global value rewrite (normalizers.py:54-73) -------------
 
 
-def norm_obj_array(col: Column, mapping: dict[str, str]) -> Column:
-    """Rewrite every array element through the map, identity fallback."""
-    m = map_literal(mapping)
+def norm_obj_array(
+    col: Column, mapping: dict[str, str] | Column
+) -> Column:
+    """Rewrite every array element through the map, identity fallback.
+
+    ``mapping`` may be a prebuilt ``map_literal`` Column: T4 applies the
+    SAME map to every string-ish column (~65 at the production config),
+    and re-building the literal per column multiplied the py4j build
+    cost for identical expressions (round-13; Columns are immutable
+    expression trees — sharing one across a projection is sound)."""
+    m = mapping if isinstance(mapping, Column) else map_literal(mapping)
     return F.transform(col, lambda x: F.coalesce(m[x], x))
 
 
-def norm_obj_scalar(col: Column, mapping: dict[str, str]) -> Column:
-    m = map_literal(mapping)
+def norm_obj_scalar(
+    col: Column, mapping: dict[str, str] | Column
+) -> Column:
+    m = mapping if isinstance(mapping, Column) else map_literal(mapping)
     return F.coalesce(m[col], col)
 
 
@@ -229,9 +249,9 @@ def ct_by_path_rules(
     specific rule first (find_ct_by_rules semantics).
     """
     ordered = sorted(rules, key=lambda r: len(r[0]), reverse=True)
-    expr = F.array(*[F.lit(v) for v in fallback])
+    expr = F.lit(list(fallback)) if fallback else F.array()
     for pattern, cts in reversed(ordered):
-        lit_cts = F.array(*[F.lit(v) for v in cts])
+        lit_cts = F.lit(list(cts)) if cts else F.array()
         if pattern.endswith("*"):
             cond = path.startswith(pattern[:-1])
         else:

@@ -99,7 +99,7 @@ def marker_hits_of_tokens(toks: Column, words: tuple[str, ...]) -> Column:
     row — callers that score several marker sets (langid: 5 languages)
     should split once in an inner projection and pass the array."""
     return F.size(
-        F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        F.array_intersect(toks, F.lit(list(words)))
     )
 
 

@@ -266,14 +266,18 @@ def _apply_norm_obj(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     if not cfg.norm_obj:
         return df
     out: dict[str, Column] = {}
+    # ONE map literal shared by every column's lookup (round-13): the
+    # expression tree is immutable, and rebuilding it per column paid
+    # ~2 py4j roundtrips per map entry per column at plan-build time
+    m = N.map_literal(cfg.norm_obj)
     for f_spec in df.schema.fields:
         c = F.col(f"`{f_spec.name}`")
         if isinstance(f_spec.dataType, T.StringType):
-            out[f_spec.name] = N.norm_obj_scalar(c, cfg.norm_obj)
+            out[f_spec.name] = N.norm_obj_scalar(c, m)
         elif isinstance(f_spec.dataType, T.ArrayType) and isinstance(
             f_spec.dataType.elementType, T.StringType
         ):
-            out[f_spec.name] = N.norm_obj_array(c, cfg.norm_obj)
+            out[f_spec.name] = N.norm_obj_array(c, m)
     return df.withColumns(out)
 
 
@@ -305,7 +309,7 @@ def _default_lit(default, col_type: T.DataType | None = None) -> Column:
         lit = (
             F.array().cast("array<string>")
             if not default
-            else F.array(*[F.lit(v) for v in default])
+            else F.lit(list(default))
         )
         return lit.cast(col_type) if isinstance(col_type, T.ArrayType) else lit
     lit = F.lit(default)

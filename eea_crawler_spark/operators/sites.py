@@ -217,9 +217,7 @@ def site_sdi(df: DataFrame) -> DataFrame:
         out = out.withColumn("years", years_from_ranges(F.col("temporal_ranges")))
     if "th_eea_topics" in cols:
         topics = F.transform(F.col("th_eea_topics"), lambda t: t["title"])
-        m = F.create_map(
-            *[F.lit(x) for kv in SDI_TOPIC_REWRITES.items() for x in kv]
-        )
+        m = _map_lit(SDI_TOPIC_REWRITES)
         out = out.withColumn(
             "sdi_topics", F.transform(topics, lambda t: F.coalesce(m[t], t))
         )
@@ -355,9 +353,7 @@ def site_climate(df: DataFrame) -> DataFrame:
             F.col("doc_type").isin(CCA_SEARCH_PORTAL_TYPES),
         )
     if "update_frequency" in cols:
-        m = F.create_map(
-            *[F.lit(x) for kv in UPDATE_FREQUENCY.items() for x in kv]
-        )
+        m = _map_lit(UPDATE_FREQUENCY)
         out = out.withColumn(
             "update_frequency_label",
             F.coalesce(m[F.col("update_frequency")], F.col("update_frequency")),
@@ -405,7 +401,7 @@ def site_eionet(df: DataFrame) -> DataFrame:
     expr = topic
     for seg_name, terms in EIONET_TOPICS.items():
         cond = (F.element_at(parts, 1) == "etcs") & (F.element_at(parts, 2) == seg_name)
-        expr = F.when(cond, F.array(*[F.lit(t) for t in terms])).otherwise(expr)
+        expr = F.when(cond, F.lit(list(terms))).otherwise(expr)
     out = _with(df, cluster_name=F.lit("etc"), topic=expr)
     if {"publication_date", "issued"} <= set(df.columns):
         # publication_date wins over the chain's issued (site_eionet.py:41)
@@ -585,7 +581,7 @@ def site_wise_freshwater(df: DataFrame) -> DataFrame:
         )
         excluded = F.arrays_overlap(
             F.col("objectProvides"),
-            F.array(*[F.lit(t) for t in WF_EXCLUDED_TYPES]),
+            F.lit(list(WF_EXCLUDED_TYPES)),
         )
         out = out.withColumn(
             "exclude_from_globalsearch",
@@ -1001,7 +997,9 @@ FISE_UPDATE_FREQUENCY = {
 
 
 def _map_lit(m: dict[str, str]) -> Column:
-    return F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
+    # one-call list literals: plan construction is py4j-bound (see
+    # functions.normalize.map_literal) and folds to the same map
+    return F.map_from_arrays(F.lit(list(m.keys())), F.lit(list(m.values())))
 
 
 FISE_CATALOGUE_API = "https://sdi.eea.europa.eu/catalogue/fise/api/records/"
