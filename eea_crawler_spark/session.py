@@ -175,6 +175,15 @@ def get_spark(
         # Python DataSource scans (sources/plone_datasource) prune
         # partitions and push the quick-mode date predicate remotely
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # PySpark wraps every public DataFrame/Column call with an
+        # error-context capture that costs up to four py4j roundtrips
+        # per call (getActiveSession, a conf read, origin set + clear)
+        # plus a Python stack walk. Measured on the normalize chain:
+        # plan BUILD 2.0 s → 1.1 s with the capture off (guide §1 —
+        # driver time is part of query wall time at bench SF). The only
+        # loss is the user-code file:line decoration on error messages;
+        # errors themselves are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # local-mode has ONE JVM shared by all task threads: its heap is
         # the entire cluster's execution+storage memory. Size it fixed
