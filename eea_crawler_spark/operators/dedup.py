@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -63,15 +63,24 @@ def _tb_col(n_tb: int = TB_BUCKETS):
     return F.pmod(F.xxhash64(F.col("id")), F.lit(n_tb)).cast("int")
 
 
-def _prefix_shj_parts(arr: DataFrame, threshold: float) -> int:
+def _prefix_shj_parts(
+    arr: DataFrame, threshold: float, stats: tuple[int, int] | None = None
+) -> int:
     """Partition floor for a prefix-relation SHJ build side: estimated
     prefix rows (Σ ⌊(1-t)·|g|⌋+1 over the build relation) × the
-    build's bytes-per-row, divided into ~32 MB tasks."""
-    stats = arr.agg(
-        F.count(F.lit(1)).alias("c"),
-        F.coalesce(F.sum(F.size("g")), F.lit(0)).alias("s"),
-    ).first()
-    prefix_rows = int((1.0 - threshold) * int(stats["s"])) + int(stats["c"])
+    build's bytes-per-row, divided into ~32 MB tasks.
+
+    ``stats``: a known-exact (rows, Σ|g|) pair — the checkpoint-time
+    observation (see ``ck_shingle_arrays``) — replacing the separate
+    aggregate probe job this function otherwise runs (round-13, guide
+    §1.2: the statistic rides the materialization that happens anyway)."""
+    if stats is None:
+        row = arr.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.size("g")), F.lit(0)).alias("s"),
+        ).first()
+        stats = (int(row["c"]), int(row["s"]))
+    prefix_rows = int((1.0 - threshold) * stats[1]) + stats[0]
     return -(
         -prefix_rows * _PREFIX_BUILD_BYTES_PER_ROW // _SHJ_BUILD_TARGET_BYTES
     )
@@ -432,7 +441,9 @@ def _pair_jaccard_arrays(
     )
 
 
-def _rescore_candidates(base: DataFrame, pairs: DataFrame) -> DataFrame:
+def _rescore_candidates(
+    base: DataFrame, pairs: DataFrame, base_shingles: int | None = None
+) -> DataFrame:
     """Exact rescore of a candidate shortlist with ZERO inverted-index
     passes. ``base``: the per-doc array relation (id, g, n>0);
     ``pairs``: a CHECKPOINTED canonical shortlist (doc_a, doc_b, na,
@@ -458,8 +469,24 @@ def _rescore_candidates(base: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    tot = cand_docs.agg(F.sum("n").alias("s")).first()
-    if int(tot["s"] or 0) * 8 <= RESCORE_BROADCAST_MAX_BYTES:
+    # ``base_shingles`` (the WHOLE base relation's Σ|g|, observed free
+    # at checkpoint time — see CkArrays) upper-bounds the candidate
+    # volume: when even the full corpus fits the broadcast budget the
+    # probe job is pure overhead and the broadcast branch is provably
+    # the probe's own answer. Only past the budget does the exact
+    # candidate-restricted aggregate still run — at that scale its
+    # relative cost is nil (round-13, guide §1.2). Both branches are
+    # output-identical (bit-identity pinned), so the gate is a plan
+    # choice, never a semantics one.
+    if (
+        base_shingles is not None
+        and base_shingles * 8 <= RESCORE_BROADCAST_MAX_BYTES
+    ):
+        small = True
+    else:
+        tot = cand_docs.agg(F.sum("n").alias("s")).first()
+        small = int(tot["s"] or 0) * 8 <= RESCORE_BROADCAST_MAX_BYTES
+    if small:
         fullsets = base.select("id", "g").join(
             F.broadcast(cand_docs.select("id")), ["id"], "left_semi"
         )
@@ -552,6 +579,55 @@ def shingle_arrays(
     )
 
 
+class CkArrays:
+    """A checkpointed ``shingle_arrays`` relation with its (rows, Σ|g|)
+    statistics observed on the checkpoint job itself.
+
+    The prefix-join SHJ sizing and the rescore plan gate both need
+    exactly these two numbers; probing them used to cost one blocking
+    aggregate job (plus its driver gap) per operator invocation. A
+    ``df.observe`` on the eager localCheckpoint collects them as a
+    side-effect of the materialization pass that happens anyway
+    (round-13, guide §1.2) — zero extra jobs, exact values. Pass a
+    CkArrays wherever the dedup operators accept ``arrays=``/
+    ``against_arrays=``; a plain checkpointed DataFrame stays accepted
+    (the probes then run as before)."""
+
+    __slots__ = ("df", "_obs")
+
+    def __init__(self, arrays: DataFrame):
+        self._obs = Observation()
+        self.df = arrays.observe(
+            self._obs,
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.size("g")), F.lit(0)).alias("s"),
+        ).localCheckpoint(eager=True)
+
+    @property
+    def stats(self) -> tuple[int, int]:
+        """(row count, total shingles) — available immediately after
+        the eager checkpoint; never triggers a job."""
+        m = self._obs.get
+        return int(m["c"]), int(m["s"])
+
+
+def ck_shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> CkArrays:
+    """``shingle_arrays`` → eager checkpoint with observed statistics
+    (see CkArrays). The composite extras and the nightly pipeline share
+    one such relation across several dedup legs."""
+    return CkArrays(shingle_arrays(df, text_col, id_col, n))
+
+
+def _arr_df(arrays) -> DataFrame:
+    return arrays.df if isinstance(arrays, CkArrays) else arrays
+
+
+def _arr_stats(arrays) -> tuple[int, int] | None:
+    return arrays.stats if isinstance(arrays, CkArrays) else None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -634,13 +710,10 @@ def ngram_jaccard_pairs(
         # would need a document-frequency join plus a per-doc re-sort
         # (two extra full-relation shuffles) to prune somewhat harder.
         # All consumers read the one checkpointed array relation.
-        arr = (
-            arrays
-            if arrays is not None
-            else shingle_arrays(df, text_col, id_col, n).localCheckpoint(
-                eager=True
-            )
-        )
+        if arrays is None:
+            arrays = ck_shingle_arrays(df, text_col, id_col, n)
+        arr = _arr_df(arrays)
+        arr_stats = _arr_stats(arrays)
         base = arr.select("id", "g", F.size("g").alias("n")).filter(
             F.col("n") > 0
         )
@@ -693,7 +766,8 @@ def ngram_jaccard_pairs(
         # min(na,nb)/max(na,nb) ≥ t) runs inside the join, before the
         # distinct ever sees the blow-up
         side = _wide_by(
-            cold, "shingle", min_parts=_prefix_shj_parts(arr, threshold)
+            cold, "shingle",
+            min_parts=_prefix_shj_parts(arr, threshold, arr_stats),
         )
         a = side.select(
             F.col("id").alias("doc_a"), "shingle",
@@ -790,7 +864,11 @@ def ngram_jaccard_pairs(
                 spark.conf.unset(_adv_key)
             else:
                 spark.conf.set(_adv_key, _adv_old)
-        scored = _rescore_candidates(base, pairs)
+        scored = _rescore_candidates(
+            base,
+            pairs,
+            base_shingles=arr_stats[1] if arr_stats is not None else None,
+        )
     # single-pass global sort: the result is a near-dup shortlist, and
     # orderBy's range-partition sampling would execute the rescore plan
     # twice just to order it. repartition(1), NOT coalesce(1): coalesce
@@ -916,17 +994,16 @@ def _ngram_jaccard_pairs_delta(
         # the self-join (see ngram_jaccard_pairs inline comments for
         # the prefix/positional/hot-valve proofs — unchanged here),
         # with the a-side restricted to delta prefixes
-        arr_new = shingle_arrays(new, text_col, id_col, n).localCheckpoint(
-            eager=True
-        )
+        new_ck = CkArrays(shingle_arrays(new, text_col, id_col, n))
+        arr_new = new_ck.df
         if corpus_arrays is None:
-            corpus_arrays = shingle_arrays(
-                corpus, text_col, id_col, n
-            ).localCheckpoint(eager=True)
+            corpus_arrays = ck_shingle_arrays(corpus, text_col, id_col, n)
+        corpus_stats = _arr_stats(corpus_arrays)
+        corpus_arr = _arr_df(corpus_arrays)
         arr = arr_new.select("id", "g").withColumn(
             "__d", F.lit(True)
         ).unionByName(
-            corpus_arrays.select("id", "g").withColumn("__d", F.lit(False))
+            corpus_arr.select("id", "g").withColumn("__d", F.lit(False))
         )
         base = arr.select("id", "g", "__d", F.size("g").alias("n")).filter(
             F.col("n") > 0
@@ -1054,7 +1131,7 @@ def _ngram_jaccard_pairs_delta(
         # for corpus-sized deltas (same hazard class as the self-join)
         side = _wide_by(
             cold, "shingle",
-            min_parts=_prefix_shj_parts(arr_new, threshold),
+            min_parts=_prefix_shj_parts(arr_new, threshold, new_ck.stats),
         )
         a = side.filter(F.col("__d")).select(
             F.col("id").alias("ia"), "shingle",
@@ -1117,7 +1194,15 @@ def _ngram_jaccard_pairs_delta(
                 >= threshold
             ).select("doc_a", "doc_b", "na", "nb")
         ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
-        scored = _rescore_candidates(base, pairs)
+        scored = _rescore_candidates(
+            base,
+            pairs,
+            base_shingles=(
+                new_ck.stats[1] + corpus_stats[1]
+                if corpus_stats is not None
+                else None
+            ),
+        )
     return (
         scored.filter(F.col("jaccard") >= threshold)
         .repartition(1)
@@ -1324,6 +1409,7 @@ def minhash_lsh_pairs(
     # array form via the vectorized permutation sweep
     # (_signatures_from_arrays), zero shuffle; the verify leg
     # re-shingles only the candidate docs.
+    arrays = _arr_df(arrays) if arrays is not None else None
     sigs = _signatures_from_arrays(
         arrays if arrays is not None
         else shingle_arrays(df, text_col, id_col, n),
@@ -1432,6 +1518,7 @@ def _minhash_lsh_pairs_delta(
                 "rebuild the state or drop against_state"
             )
         corpus_bands = state["bands"]
+    corpus_arrays = _arr_df(corpus_arrays) if corpus_arrays is not None else None
     if corpus_arrays is None:
         corpus_arrays = state.get("arrays")
     if corpus_sigs is None:

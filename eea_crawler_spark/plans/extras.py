@@ -253,7 +253,7 @@ def dedup_minhash_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three text passes for one invariant. Shared checkpointed arrays
     # cut that to one; both operators are pinned output-identical with
     # and without `arrays` (test_extras_oracle).
-    arr = DD.shingle_arrays(docs).localCheckpoint(eager=True)
+    arr = DD.ck_shingle_arrays(docs)
     mh = DD.minhash_lsh_pairs(
         docs, threshold=JACCARD_THRESHOLD, arrays=arr
     ).select("doc_a", "doc_b", "jaccard")
@@ -340,7 +340,7 @@ def dedup_cluster_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against-side each shingled the corpus — `arrays`/`against_arrays`
     # share one checkpointed pass, exactly how the nightly pipeline
     # hands the probe its persisted arrays relation
-    corpus_arr = DD.shingle_arrays(corpus).localCheckpoint(eager=True)
+    corpus_arr = DD.ck_shingle_arrays(corpus)
     base_pairs = DD.ngram_jaccard_pairs(
         corpus, threshold=JACCARD_THRESHOLD, max_df=DEDUP_NGRAM_MAX_DF,
         arrays=corpus_arr,
