@@ -2988,13 +2988,19 @@ def connected_components(
 
     Works for any orderable id type (ints here, strings equally).
     """
+    # the driver-path gate's edge count rides the checkpoint job via
+    # df.observe (round-13, guide §1.2) — the separate count() job over
+    # the checkpoint (plus its driver gap) was pure overhead on every
+    # CC invocation
+    _obs = Observation()
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(_obs, F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= driver_max_pairs:
+    if int(_obs.get["c"]) <= driver_max_pairs:
         # sparse pair set (the common dedup shape): one collect off the
         # checkpoint + a plain union-find beats log(n) rounds of
         # blocking distributed jobs (see CC_DRIVER_MAX_PAIRS)
