@@ -300,3 +300,45 @@ def test_canonical_keep_by_null_ordering(spark):
         10: True, 11: False,
         20: True, 21: False,
     }
+
+
+def test_ck_arrays_stats_and_equivalence(spark):
+    """Round-13 observe piggyback: CkArrays' checkpoint-time statistics
+    must equal the direct aggregate probe, and the operators must
+    return identical pairs whether handed a CkArrays, a plain
+    checkpointed arrays DataFrame, or nothing."""
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+            (4, ""),  # empty doc: zero shingles, still a row
+        ],
+        "doc_id long, text string",
+    )
+    ck = DD.ck_shingle_arrays(docs)
+    probe = (
+        DD.shingle_arrays(docs)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum(F.size("g")), F.lit(0)).alias("s"),
+        )
+        .first()
+    )
+    assert ck.stats == (int(probe["c"]), int(probe["s"]))
+
+    plain = DD.shingle_arrays(docs).localCheckpoint(eager=True)
+    got_ck = DD.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=64, arrays=ck
+    ).collect()
+    got_plain = DD.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=64, arrays=plain
+    ).collect()
+    got_none = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=64).collect()
+    as_tuples = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert as_tuples(got_ck) == as_tuples(got_plain) == as_tuples(got_none)
+    assert len(got_ck) == 1  # docs 1-2 are near-dups at t=0.5

@@ -331,3 +331,55 @@ def test_data_provenance_recursive_walk(spark):
         "EEA", "Eurostat"
     ]
     assert row["data_provenances_organisations"] == ["EEA", "Eurostat"]
+
+
+def test_chain_memo_replay_identical(spark):
+    """Round-13 plan-build memo: a replayed build must produce the
+    IDENTICAL logical plan (modulo expression ids) and results as a
+    fresh build, and a config change must key a fresh recipe (no stale
+    replay)."""
+    import re as _re
+
+    from eea_crawler_spark.operators.normalize_chain import (
+        NormalizerConfig,
+        common_normalizer,
+    )
+
+    rows = [
+        ("u1", "Document", "eea", "s", 200, [], "2024-01-01",
+         "2024-01-02", None, None,
+         '{"title": "T one", "description": "D", "language": "en"}'),
+        ("u2", "Article", "eea", "s", 200, [], "2024-01-01",
+         "2024-01-02", None, None,
+         '{"title": "T two", "description": "E", "language": "de"}'),
+    ]
+    ddl = (
+        "id string, doc_type string, site_id string, site string, "
+        "status_code int, errors array<string>, modified string, "
+        "indexed_at string, pdf_text string, web_html string, "
+        "raw_value string"
+    )
+    cfg = NormalizerConfig(
+        norm_obj={"T one": "T-1"},
+        norm_prop={"title": ["title", "label"]},
+        proplist=["id", "title", "label", "fulltext", "readingTime"],
+    )
+    df = spark.createDataFrame(rows, ddl)
+    out1 = common_normalizer(df, cfg)          # miss: records the recipe
+    out2 = common_normalizer(df, cfg)          # hit: replays it
+
+    def canon_plan(d):
+        return _re.sub(
+            r"#\d+", "#N", d._jdf.queryExecution().optimizedPlan().toString()
+        )
+
+    assert canon_plan(out1) == canon_plan(out2)
+    assert sorted(map(tuple, out1.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+
+    # a mutated config must NOT replay the stale recipe
+    cfg.norm_obj = {"T one": "CHANGED"}
+    out3 = common_normalizer(df, cfg)
+    vals = {r["title"] for r in out3.collect()}
+    assert "CHANGED" in vals and "T-1" not in vals
