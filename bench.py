@@ -116,23 +116,32 @@ def main() -> None:
         "tolerance_pct": 15,
         "within_band": bool(total_best <= rolling_best * 1.15),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_best": best,
-                "noise_band": band,
-                "sf": _sf_of(sf_dir),
-            }
-        )
+    # the one-line JSON contract: print it as the FINAL stdout line with
+    # nothing after it (round-13 verdict #8 — BENCH_r12 recorded rc=0 but
+    # parsed null, costing that round its official comparison; teardown
+    # noise after the JSON is the only plausible culprit since the line
+    # itself was present in the tail). Teardown therefore runs BEFORE the
+    # print and is exception-guarded so a cleanup failure cannot eat the
+    # result; numbers and methodology are unchanged.
+    result_line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_best": best,
+            "noise_band": band,
+            "sf": _sf_of(sf_dir),
+        }
     )
-    from eea_crawler_spark.sources.tables import clear_table_cache
+    try:
+        from eea_crawler_spark.sources.tables import clear_table_cache
 
-    clear_table_cache()
-    spark.stop()
+        clear_table_cache()
+        spark.stop()
+    except Exception as e:  # pragma: no cover - teardown only
+        print(f"teardown warning: {e}", file=sys.stderr)
+    print(result_line, flush=True)
 
 
 if __name__ == "__main__":

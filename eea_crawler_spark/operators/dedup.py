@@ -37,6 +37,17 @@ from eea_crawler_spark.functions.text import clean_html
 # measured-safe ceiling; past it the pair-anchored shuffle rescore has
 # identical output with no driver materialization.
 RESCORE_BROADCAST_MAX_BYTES = 64 << 20
+# One-task global-sort bound for the trailing sorts on pair/label
+# shortlists (round-13 verdict #5): the single-partition
+# sortWithinPartitions avoids orderBy's range-partition sampling pass
+# (which would re-execute the producing plan), and at ≤ this many
+# narrow rows (~16-40 B each → ≤ a few hundred MB) one sort task is
+# fine at any SF. Past the bound the result is no longer
+# "shortlist-sized" and a range-partitioned orderBy over a (lazily)
+# checkpointed input takes over — parallel sort, still single
+# execution. Output order is identical either way (total order on the
+# same keys).
+SINGLE_SORT_MAX_ROWS = 10_000_000
 
 # Exchange sizing for the hinted shuffled-hash candidate joins: an SHJ
 # build cannot spill, so the exchange carrying the build side is
@@ -86,6 +97,22 @@ def _prefix_shj_parts(
     )
 
 
+# _spread's width-probe memo (round-13 verdict #7): keyed by
+# (applicationId, analyzed-plan semanticHash) → the probed partition
+# count. The probe (`df.rdd.getNumPartitions()`) runs full physical
+# planning (~50 ms per shingle/token operator invocation); repeated
+# invocations of the same operator over the same relation — every
+# bench rep, every nightly re-run in a live session — rebuild a
+# semantically identical plan, so the memoized width is the same
+# number the probe would return (same files, same session read confs).
+# semanticHash needs only analysis, not planning. A collision can only
+# mis-steer the WIDTH HEURISTIC (repartition-or-not) — plan choice,
+# never results. applicationId in the key drops entries with the
+# SparkContext (the _SCAN_CACHE discipline); bounded oldest-out.
+_SPREAD_MEMO: dict[tuple[str, int], int] = {}
+_SPREAD_MEMO_MAX = 256
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the cluster's default parallelism —
     only when the input is narrower than the cluster.
@@ -98,7 +125,14 @@ def _spread(df: DataFrame) -> DataFrame:
     corpus-wide shuffle.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    key = (sc.applicationId, df.semanticHash())
+    parts = _SPREAD_MEMO.get(key)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        while len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+            _SPREAD_MEMO.pop(next(iter(_SPREAD_MEMO)))
+        _SPREAD_MEMO[key] = parts
+    if parts >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism)
 
@@ -593,15 +627,23 @@ class CkArrays:
     ``against_arrays=``; a plain checkpointed DataFrame stays accepted
     (the probes then run as before)."""
 
-    __slots__ = ("df", "_obs")
+    __slots__ = ("df", "_obs", "meta")
 
-    def __init__(self, arrays: DataFrame):
+    def __init__(
+        self, arrays: DataFrame, meta: tuple[str, str, int] | None = None
+    ):
         self._obs = Observation()
         self.df = arrays.observe(
             self._obs,
             F.count(F.lit(1)).alias("c"),
             F.coalesce(F.sum(F.size("g")), F.lit(0)).alias("s"),
         ).localCheckpoint(eager=True)
+        # provenance of the shingling that produced this relation —
+        # (text_col, id_col, n) — so consumers can ASSERT the caller-
+        # owned contract instead of silently producing wrong pairs on a
+        # mismatched relation (round-13 ADVICE). None = unknown (a
+        # caller wrapped a foreign relation; the legacy trust posture).
+        self.meta = meta
 
     @property
     def stats(self) -> tuple[int, int]:
@@ -617,7 +659,26 @@ def ck_shingle_arrays(
     """``shingle_arrays`` → eager checkpoint with observed statistics
     (see CkArrays). The composite extras and the nightly pipeline share
     one such relation across several dedup legs."""
-    return CkArrays(shingle_arrays(df, text_col, id_col, n))
+    return CkArrays(
+        shingle_arrays(df, text_col, id_col, n), meta=(text_col, id_col, n)
+    )
+
+
+def _check_arrays_contract(arrays, text_col: str, id_col: str, n: int):
+    """Assert a CkArrays' recorded shingling parameters match the
+    consuming operator's — a mismatched relation yields silently wrong
+    pairs, the worst failure mode this module has (round-13 ADVICE)."""
+    if (
+        isinstance(arrays, CkArrays)
+        and arrays.meta is not None
+        and arrays.meta != (text_col, id_col, n)
+    ):
+        raise ValueError(
+            f"arrays relation was built with (text_col, id_col, n)="
+            f"{arrays.meta}, but this operator runs with "
+            f"{(text_col, id_col, n)} — pass arrays built from the same "
+            "shingling parameters (ck_shingle_arrays)"
+        )
 
 
 def _arr_df(arrays) -> DataFrame:
@@ -679,6 +740,25 @@ def ngram_jaccard_pairs(
     these exact (text_col, id_col, n) over this exact ``df``, and owns
     the checkpoint's release.
     """
+    if arrays is not None:
+        # fail loudly where the parameter would be silently ignored
+        # (round-13 ADVICE): the delta form takes the corpus relation
+        # via against_arrays=/against_state=, and the uncapped path is
+        # the STRING-shingle oracle-exact reference — hashed arrays
+        # cannot feed it.
+        if against is not None or against_state is not None:
+            raise ValueError(
+                "arrays= applies to the capped self-join only; the "
+                "delta form takes the corpus relation via "
+                "against_arrays= / against_state="
+            )
+        if max_df is None:
+            raise ValueError(
+                "arrays= applies to the capped (max_df=...) path only; "
+                "the uncapped reference path shingles strings and "
+                "would ignore a hashed-array relation"
+            )
+        _check_arrays_contract(arrays, text_col, id_col, n)
     if against is not None or against_state is not None:
         return _ngram_jaccard_pairs_delta(
             df, against, text_col, id_col, n, threshold, max_df,
@@ -852,18 +932,22 @@ def ngram_jaccard_pairs(
         spark = df.sparkSession
         _adv_old = spark.conf.get(_adv_key, None)
         spark.conf.set(_adv_key, str(16 << 20))
+        _obs_cand = Observation()
         try:
             pairs = (
                 cand.filter(
                     ub.cast("double") / (F.col("na") + F.col("nb") - ub)
                     >= threshold
                 ).select("doc_a", "doc_b", "na", "nb")
+            ).observe(  # shortlist size rides the checkpoint (§1.2)
+                _obs_cand, F.count(F.lit(1)).alias("c")
             ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
         finally:
             if _adv_old is None:
                 spark.conf.unset(_adv_key)
             else:
                 spark.conf.set(_adv_key, _adv_old)
+        n_cand = int(_obs_cand.get["c"])
         scored = _rescore_candidates(
             base,
             pairs,
@@ -876,11 +960,19 @@ def ngram_jaccard_pairs(
     # rescore's final aggregation into one task (measured 79 s — 20% of
     # the sf100 wall — funnelling 93.6M partial-agg rows through a
     # single core). The explicit exchange keeps the upstream at cluster
-    # width and moves only the post-filter shortlist.
-    return (
-        scored.filter(F.col("jaccard") >= threshold)
-        .repartition(1)
-        .sortWithinPartitions("doc_a", "doc_b", "jaccard")
+    # width and moves only the post-filter shortlist. Gated on the
+    # OBSERVED candidate count (round-13 verdict #5): past
+    # SINGLE_SORT_MAX_ROWS the shortlist is no longer one-task-sized —
+    # a lazy checkpoint + orderBy keeps single execution (the sampling
+    # pass materializes the checkpoint; the sort re-reads its blocks)
+    # with a range-partitioned parallel sort. Rows and order identical.
+    out = scored.filter(F.col("jaccard") >= threshold)
+    if n_cand <= SINGLE_SORT_MAX_ROWS:
+        return out.repartition(1).sortWithinPartitions(
+            "doc_a", "doc_b", "jaccard"
+        )
+    return out.localCheckpoint(eager=False).orderBy(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -933,6 +1025,7 @@ def _ngram_jaccard_pairs_delta(
             "delta probe needs `against` or a persisted state with "
             "arrays"
         )
+    n_cand: int | None = None  # capped path observes the shortlist size
     if max_df is None:
         if corpus is None:
             raise ValueError(
@@ -1188,12 +1281,16 @@ def _ngram_jaccard_pairs_delta(
             + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")),
             F.least("na", "nb"),
         )
+        _obs_cand = Observation()
         pairs = (
             cand.filter(
                 ub.cast("double") / (F.col("na") + F.col("nb") - ub)
                 >= threshold
             ).select("doc_a", "doc_b", "na", "nb")
+        ).observe(  # shortlist size rides the checkpoint (§1.2)
+            _obs_cand, F.count(F.lit(1)).alias("c")
         ).localCheckpoint(eager=True)  # tiny: the candidate shortlist
+        n_cand = int(_obs_cand.get["c"])
         scored = _rescore_candidates(
             base,
             pairs,
@@ -1203,10 +1300,17 @@ def _ngram_jaccard_pairs_delta(
                 else None
             ),
         )
-    return (
-        scored.filter(F.col("jaccard") >= threshold)
-        .repartition(1)
-        .sortWithinPartitions("doc_a", "doc_b", "jaccard")
+    # same sort-plan gate as the self-join path (round-13 verdict #5);
+    # the uncapped reference branch has no observed shortlist size
+    # (n_cand None) and keeps its standing single-task sort — it is
+    # the small-scale oracle-exact plan by contract
+    out = scored.filter(F.col("jaccard") >= threshold)
+    if n_cand is None or n_cand <= SINGLE_SORT_MAX_ROWS:
+        return out.repartition(1).sortWithinPartitions(
+            "doc_a", "doc_b", "jaccard"
+        )
+    return out.localCheckpoint(eager=False).orderBy(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -1398,6 +1502,14 @@ def minhash_lsh_pairs(
     per-run costs the banded-parquet stream through the candidate join
     and the candidate-pruned signature reads.
     """
+    if arrays is not None:
+        if against is not None or against_state is not None:
+            raise ValueError(
+                "arrays= applies to the self-join only; the delta form "
+                "takes the corpus relations via against_arrays= / "
+                "against_sigs= / against_state="
+            )
+        _check_arrays_contract(arrays, text_col, id_col, n)
     if against is not None or against_state is not None:
         return _minhash_lsh_pairs_delta(
             df, against, text_col, id_col, n, num_hashes, bands,
@@ -3032,11 +3144,17 @@ def connected_components(
         # SortMergeJoin — an Exchange+Sort of the whole docs table. The
         # distributed path below stays unhinted: its output can be
         # corpus-scale and AQE (on at the scales that take that path)
-        # picks the strategy from runtime sizes.
-        return F.broadcast(
-            pairs.sparkSession.createDataFrame(labels, out_schema)
-            .orderBy("node", "cluster_id")
-        )
+        # picks the strategy from runtime sizes. Gated on the ACTUAL
+        # label count (round-13 ADVICE): a caller raising
+        # driver_max_pairs past the default could otherwise force a
+        # multi-GB broadcast into every downstream join — the hint
+        # only applies while the labels stay inside the default bound.
+        out = pairs.sparkSession.createDataFrame(
+            labels, out_schema
+        ).orderBy("node", "cluster_id")
+        if len(labels) <= 2 * CC_DRIVER_MAX_PAIRS:
+            out = F.broadcast(out)
+        return out
     for _ in range(max_rounds):
         nxt = _cc_small_star(_cc_large_star(edges)).localCheckpoint(
             eager=True
@@ -3076,11 +3194,72 @@ def connected_components(
     )
 
 
+def _update_cc_driver(labels: DataFrame, e: DataFrame) -> DataFrame:
+    """Driver fast path for ``update_connected_components`` — the
+    delta-edge twin of ``connected_components``' union-find path
+    (round-14, guide §1.2). The contracted graph, the union-find, the
+    changed-root set and the fresh-node rows are all delta-bounded, so
+    with a small delta (the gate the caller enforces) everything but
+    the one corpus-sized ``moved`` scan happens on the driver in two
+    bounded jobs: collect the delta edges, collect the touched ids'
+    standing labels. Output is row-identical to the distributed path
+    (pinned): contraction through the standing minimum preserves both
+    connectivity and the component min, and the union-find resolves
+    the contracted graph exactly as ``connected_components`` would."""
+    spark = labels.sparkSession
+    node_t = labels.schema["node"].dataType.simpleString()
+    edges = [(r["u"], r["v"]) for r in e.collect()]
+    nodes = sorted({x for uv in edges for x in uv})
+    node_df = spark.createDataFrame(
+        [(x,) for x in nodes], f"node {node_t}"
+    )
+    std = {
+        r["node"]: r["cluster_id"]
+        for r in labels.join(
+            F.broadcast(node_df), ["node"], "left_semi"
+        ).collect()
+    }
+    parent: dict = {}
+
+    def _find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        cu, cv = std.get(u, u), std.get(v, v)
+        ra, rb = _find(cu), _find(cv)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    remap = {x: _find(x) for x in parent}
+    changed = [(old, new) for old, new in remap.items() if old != new]
+    # fresh = endpoints that entered UNLABELED (they contract to
+    # themselves, so they are in remap): an unlabeled endpoint can
+    # never equal a standing cluster_id (cluster ids are labels nodes;
+    # the endpoint is not), so the two classes cannot collide
+    fresh = sorted((x, remap[x]) for x in nodes if x not in std)
+    moved = labels.join(
+        F.broadcast(
+            spark.createDataFrame(
+                changed, f"cluster_id {node_t}, __new {node_t}"
+            )
+        ),
+        ["cluster_id"],
+    ).select("node", F.col("__new").alias("cluster_id"))
+    fresh_df = spark.createDataFrame(
+        fresh, f"node {node_t}, cluster_id {node_t}"
+    )
+    return moved.unionByName(fresh_df).orderBy("node", "cluster_id")
+
+
 def update_connected_components(
     labels: DataFrame,
     delta_pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """O(delta) maintenance of a persisted cluster-label relation: given
     ``labels`` = the standing ``connected_components`` output
@@ -3125,15 +3304,28 @@ def update_connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if n_pairs is not None and n_pairs <= CC_DRIVER_MAX_PAIRS:
+        # a caller that already knows the delta pair count (the
+        # nightly leg counts it; the declared query observes it on the
+        # probe checkpoint) gates the driver fast path exactly like
+        # connected_components does — two bounded jobs replace the
+        # nodes checkpoint + contracted-CC checkpoint + collect chain
+        # (round-14, guide §1.2)
+        return _update_cc_driver(labels, e)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)  # delta-bounded; reused 3×
     )
-    # standing labels of touched endpoints only: one label scan,
-    # broadcast semi-join (the delta's node set is small by contract)
-    lab_touch = labels.join(F.broadcast(nodes), ["node"], "left_semi")
+    # standing labels of touched endpoints only: ONE label scan,
+    # broadcast semi-join (the delta's node set is small by contract).
+    # Checkpointed (round-14): lab_touch feeds lu, lv AND the fresh
+    # anti-join below — un-checkpointed, each consumer re-scanned the
+    # corpus-sized label relation (4 scans per fold incl. ``moved``);
+    # the delta-bounded checkpoint cuts that to 2 (this job + moved).
+    lab_touch = labels.join(
+        F.broadcast(nodes), ["node"], "left_semi"
+    ).localCheckpoint(eager=True)
     lu = lab_touch.select(
         F.col("node").alias("u"), F.col("cluster_id").alias("cu")
     )
@@ -3160,16 +3352,26 @@ def update_connected_components(
     ).select("node", F.col("new").alias("cluster_id"))
     # brand-new nodes: every unlabeled endpoint survives contraction
     # (it can only collapse into a self-loop by carrying a label), so
-    # remap covers it; anti-join keeps exactly the fresh ones
+    # remap covers it. ``old ∈ labels.node ⟺ old ∈ lab_touch.cluster_id``
+    # (a remap key is either a touched node's standing cluster_id —
+    # itself a labels node, present in lab_touch — or an UNLABELED
+    # endpoint, which cannot equal any labels node), so the anti-join
+    # runs against the delta-bounded broadcast lab_touch instead of
+    # re-scanning the corpus-sized label relation (round-14, §2.3)
     fresh = (
         remap.join(
-            labels.select(F.col("node").alias("old")), ["old"], "left_anti"
+            F.broadcast(
+                lab_touch.select(F.col("cluster_id").alias("old"))
+            ),
+            ["old"],
+            "left_anti",
         )
         .select(F.col("old").alias("node"), F.col("new").alias("cluster_id"))
     )
-    out = moved.unionByName(fresh).orderBy("node", "cluster_id")
-    _release_local_checkpoint(nodes)
-    return out
+    # lab_touch's checkpoint blocks stay pinned until the caller's
+    # references drop (fresh reads them lazily) — delta-bounded, the
+    # same lifetime class as the caller's own probe checkpoints
+    return moved.unionByName(fresh).orderBy("node", "cluster_id")
 
 
 def canonical_docs(

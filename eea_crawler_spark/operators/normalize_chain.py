@@ -24,6 +24,7 @@ broadcast dimension joins (J6) instead.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -551,6 +552,27 @@ def _project(
     return df.select(*[F.col(f"`{c}`") for c in keep])
 
 
+# chain-build memo bound: distinct (schema, config) recipes per live
+# session. Each recipe is a few hundred Column references; 64 covers
+# every config this engine composes many times over while keeping a
+# config-churning caller from growing the memo without limit.
+_CHAIN_MEMO_MAX = 64
+
+
+def _freeze(v):
+    """Recursively hashable, VALUE-faithful form of a config tree
+    (dicts/lists/scalars — everything NormalizerConfig holds). Keys the
+    plan-build memo on field values directly instead of repr fidelity
+    (round-13 ADVICE: a future field whose repr is identity-based would
+    otherwise stale-replay)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple, set)):
+        items = sorted(v) if isinstance(v, set) else v
+        return tuple(_freeze(x) for x in items)
+    return v
+
+
 class _Recorder:
     """Duck-typed DataFrame stand-in that RECORDS the chain's
     Dataset-level ops (select / withColumn / withColumns) while
@@ -600,6 +622,29 @@ class _Recorder:
     def withColumns(self, colsMap: dict) -> "_Recorder":
         return self._rec("withColumns", colsMap)
 
+    def filter(self, condition) -> "_Recorder":
+        return self._rec("filter", condition)
+
+    where = filter
+
+    def drop(self, *cols) -> "_Recorder":
+        return self._rec("drop", *cols)
+
+    def withColumnRenamed(self, existing: str, new: str) -> "_Recorder":
+        return self._rec("withColumnRenamed", existing, new)
+
+    def __getattr__(self, name: str):
+        # anything outside the recorded surface must fail LOUDLY at
+        # first build (round-13 ADVICE): a silently-delegated Dataset op
+        # would run once and be missing from every replay
+        raise AttributeError(
+            f"_Recorder does not intercept DataFrame.{name}; recorded "
+            "plan-build memoization only supports select/withColumn/"
+            "withColumns/filter/drop/withColumnRenamed (plus the "
+            "columns/schema/sparkSession properties). Either express "
+            f"the stage with those ops or add {name!r} to _Recorder."
+        )
+
 
 def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     """The full chain, in reference order (normalizers.py:496-607).
@@ -607,16 +652,20 @@ def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
     Input: raw envelope rows (RAW_ENVELOPE_SCHEMA). Output: normalized
     searchui-shaped rows. One declarative plan; zero shuffles.
 
-    Plan-build memo (see _Recorder): keyed by value — (input schema,
-    repr(cfg)) per live session — so a mutated config simply keys a
-    fresh recipe; stale replays are impossible by construction. The
-    memo dies with the session object (no cross-process state).
+    Plan-build memo (see _Recorder): keyed by VALUE — (input schema,
+    frozen ``dataclasses.asdict(cfg)``) per live session — so a mutated
+    config simply keys a fresh recipe; stale replays are impossible by
+    construction. The asdict freeze (round-13 ADVICE) keys on field
+    VALUES directly rather than repr fidelity, and the memo is bounded
+    (oldest-out) so a config-churning caller cannot grow it without
+    limit. The memo dies with the session object (no cross-process
+    state).
     """
     spark = df.sparkSession
     memo = spark.__dict__.setdefault("_eea_chain_memo", {})
     key = (
         tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields),
-        repr(cfg),
+        _freeze(dataclasses.asdict(cfg)),
     )
     ops = memo.get(key)
     if ops is not None:
@@ -625,6 +674,8 @@ def common_normalizer(df: DataFrame, cfg: NormalizerConfig) -> DataFrame:
             out = getattr(out, name)(*args)
         return out
     rec = _chain_stages(_Recorder(df, []), cfg)
+    while len(memo) >= _CHAIN_MEMO_MAX:
+        memo.pop(next(iter(memo)))
     memo[key] = rec._ops
     return rec._df
 

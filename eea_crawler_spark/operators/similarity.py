@@ -44,7 +44,7 @@ partitions instead of masking a full pass.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -1417,9 +1417,12 @@ def repair_embedding_state(
     else:
         n_updates = 0
     if deleted_ids is not None:
-        deleted_ids = deleted_ids.select(id_col).localCheckpoint(
-            eager=True
-        )
+        # narrow projection only — NOT checkpointed (round-14, guide
+        # §1.2): the ``touched`` checkpoint below materializes this
+        # plan before any eviction rewrites the relations it may
+        # derive from, so the separate eager checkpoint job was pure
+        # overhead
+        deleted_ids = deleted_ids.select(id_col)
     touched = None
     if n_updates:
         touched = updates.select(id_col)
@@ -1432,21 +1435,31 @@ def repair_embedding_state(
         if updates is not None:
             _release_local_checkpoint(updates)
         return {"removed": 0, "reassigned": 0, "n": int(spec["n"])}
-    touched = touched.distinct().localCheckpoint(eager=True)
-    # 1. locate the old rows — vb partition pruning bounds the scan
-    vb_vals = sorted(
-        r["vb"]
-        for r in touched.select(
-            _vb_col(id_col, n_vb).alias("vb")
-        ).distinct().collect()
+    # the touched ids' vb bucket set rides the checkpoint job via
+    # df.observe (round-14, guide §1.2 — the CkArrays discipline):
+    # collect_set over ≤ n_vb ints replaces the separate
+    # distinct+collect probe job this pruning set used to cost
+    _obs_vb = Observation()
+    touched = (
+        touched.distinct()
+        .observe(
+            _obs_vb,
+            F.collect_set(_vb_col(id_col, n_vb)).alias("vbs"),
+        )
+        .localCheckpoint(eager=True)
     )
+    vb_vals = sorted(int(v) for v in _obs_vb.get["vbs"])
+    # 1. locate the old rows — vb partition pruning bounds the scan;
+    # the eviction count rides the checkpoint job (df.observe)
+    _obs_old = Observation()
     old = (
         vecs.filter(F.col("vb").isin(vb_vals))
         .join(touched, [id_col], "left_semi")
         .select(id_col, vec_col)
+        .observe(_obs_old, F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    n_removed = old.count()
+    n_removed = int(_obs_old.get["c"])
     n_after_evict = int(spec["n"])
     if n_removed:
         n_bands, band_planes = int(spec["n_bands"]), int(spec["band_planes"])
@@ -2340,10 +2353,14 @@ def build_ivf_index(
         .partitionBy("cluster")
         .parquet(f"{path}/lists")
     )
-    # aggregates from the PERSISTED lists so agg ≡ lists exactly
-    lists = spark.read.parquet(f"{path}/lists").withColumn(
-        "cluster", F.col("cluster").cast("int")
-    )
+    # aggregates from the PERSISTED lists so agg ≡ lists exactly;
+    # explicit schema — the build just wrote the lists in exactly
+    # ``assigned``'s layout, so the footer-inference job the bare read
+    # launches is pure overhead (round-14; read_ivf_index keeps
+    # inference for legacy-layout detection)
+    lists = spark.read.schema(assigned.schema).parquet(
+        f"{path}/lists"
+    ).withColumn("cluster", F.col("cluster").cast("int"))
     _ivf_cluster_agg(lists, vec_col).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/agg"
     )
@@ -2358,6 +2375,26 @@ def build_ivf_index(
         "dim int, n_clusters int, n long, appended long, epoch long",
     ).write.mode("overwrite").parquet(f"{path}/spec")
     return {"n": int(probe["n"]), "n_clusters": int(n_clusters), "dim": dim}
+
+
+def _checked_spec_row(spec_df, path: str) -> dict:
+    """First row of a spec relation with the layout sanity check the
+    explicit read schema removed (round-13 ADVICE): a foreign/garbage
+    file under ``spec`` reads its missing columns as NULL, which the
+    legacy ``or 0`` handling would silently accept — e.g. epoch 0
+    defeating the single-writer tripwire. The writer-produced core
+    columns are NEVER null, so any null there is layout corruption and
+    must fail loudly. ``epoch`` stays nullable (pre-epoch legacy specs
+    legitimately lack it)."""
+    row = spec_df.first()
+    d = row.asDict() if row is not None else {}
+    if any(d.get(c) is None for c in ("dim", "n_clusters", "n", "appended")):
+        raise ValueError(
+            f"spec relation under {path!r} does not hold an IVF spec "
+            f"layout (row: {d}) — wrong directory or a foreign writer; "
+            "rebuild the index with build_ivf_index"
+        )
+    return d
 
 
 def _write_spec_guarded(
@@ -2376,7 +2413,7 @@ def _write_spec_guarded(
 
     epoch0 = int(spec_at_entry.get("epoch", 0) or 0)
     now = _read_rel(spark, path, "spec", IVF_SPEC_SCHEMA)
-    row = now.first().asDict() if now is not None else {}
+    row = _checked_spec_row(now, path) if now is not None else {}
     if int(row.get("epoch", 0) or 0) != epoch0:
         raise RuntimeError(
             f"concurrent IVF index writer detected under {path!r}: the "
@@ -2419,7 +2456,7 @@ def read_ivf_index(spark, path: str) -> dict:
         ),
         "centroids": centroids,
         "agg": agg,
-        "spec": spec_df.first().asDict(),
+        "spec": _checked_spec_row(spec_df, path),
     }
 
 
@@ -2682,9 +2719,11 @@ def repair_ivf_index(
     else:
         n_updates = 0
     if deleted_ids is not None:
-        deleted_ids = deleted_ids.select(id_col).localCheckpoint(
-            eager=True
-        )
+        # narrow projection only — NOT checkpointed (round-14, guide
+        # §1.2): the ``touched`` checkpoint below materializes this
+        # plan before any eviction rewrites the lists it may derive
+        # from, so the separate eager checkpoint job was pure overhead
+        deleted_ids = deleted_ids.select(id_col)
     touched = None
     if n_updates:
         touched = updates.select(id_col)
@@ -2745,19 +2784,21 @@ def repair_ivf_index(
         }
     n_removed = 0
     if removal_clusters:
+        # the surviving-cluster set rides the checkpoint job via
+        # df.observe (round-14, guide §1.2): collect_set over
+        # ≤ n_clusters ints replaces the separate distinct+collect job
+        _obs_keep = Observation()
         keep = (
             idx["lists"]
             .filter(F.col("cluster").isin(removal_clusters))
             .join(touched, [id_col], "left_anti")
+            .observe(_obs_keep, F.collect_set("cluster").alias("cs"))
             # materialize BEFORE the overwrite: the rewrite reads the
             # same partitions it replaces. Bounded at the touched
             # partitions' rows — the O(stale-partitions) working set.
             .localCheckpoint(eager=True)
         )
-        survivors = {
-            r["cluster"]
-            for r in keep.select("cluster").distinct().collect()
-        }
+        survivors = {int(c) for c in _obs_keep.get["cs"]}
         n_removed = n_located
         mode_before = spark.conf.get(
             "spark.sql.sources.partitionOverwriteMode", "static"
@@ -2786,18 +2827,21 @@ def repair_ivf_index(
         spark.catalog.refreshByPath(f"{path}/lists")
         _release_local_checkpoint(keep)
     # 3. re-insert the update vectors against the standing centroids
+    # (their cluster set rides the checkpoint job via df.observe —
+    # round-14, guide §1.2 — replacing the distinct+collect job)
     added_clusters: set = set()
     if n_updates:
-        assigned = ivf_assign(
-            updates, idx["centroids"], id_col=id_col, vec_col=vec_col,
-            n_probe=1,
-        ).withColumn("vec_hash", F.xxhash64(vec_col)).localCheckpoint(
-            eager=True
+        _obs_add = Observation()
+        assigned = (
+            ivf_assign(
+                updates, idx["centroids"], id_col=id_col,
+                vec_col=vec_col, n_probe=1,
+            )
+            .withColumn("vec_hash", F.xxhash64(vec_col))
+            .observe(_obs_add, F.collect_set("cluster").alias("cs"))
+            .localCheckpoint(eager=True)
         )
-        added_clusters = {
-            r["cluster"]
-            for r in assigned.select("cluster").distinct().collect()
-        }
+        added_clusters = {int(c) for c in _obs_add.get["cs"]}
         assigned.repartition("cluster").write.mode("append").partitionBy(
             "cluster"
         ).parquet(f"{path}/lists")
@@ -2811,9 +2855,13 @@ def repair_ivf_index(
     # rewritten lists (partition-pruned), untouched clusters keep
     # their standing agg rows
     affected = sorted(set(removal_clusters) | added_clusters)
-    lists_now = spark.read.parquet(f"{path}/lists").withColumn(
-        "cluster", F.col("cluster").cast("int")
-    )
+    # explicit schema: this repair just (re)wrote the lists in exactly
+    # idx["lists"]'s layout, so the footer-inference job the bare read
+    # launches is pure overhead here (round-14; read_ivf_index keeps
+    # inference — there the legacy-layout detection needs footers)
+    lists_now = spark.read.schema(idx["lists"].schema).parquet(
+        f"{path}/lists"
+    ).withColumn("cluster", F.col("cluster").cast("int"))
     fresh_agg = _ivf_cluster_agg(
         lists_now.filter(F.col("cluster").isin(affected)), vec_col
     )

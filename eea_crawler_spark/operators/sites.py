@@ -1143,13 +1143,66 @@ def _dispatch_by_site(
         sites = sorted(k for k in registry if k != default)
     sites = [s for s in sites if s in registry and s != default]
     branches = [
-        registry[s](df.filter(F.col(site_col) == s)) for s in sites
+        _plugin_replayed(registry[s], df.filter(F.col(site_col) == s))
+        for s in sites
     ]
     rest = df if not sites else df.filter(
         F.col(site_col).isNull() | ~F.col(site_col).isin(sites)
     )
-    branches.append(registry[default](rest))
+    branches.append(_plugin_replayed(registry[default], rest))
     return _union_aligned(branches)
+
+
+# Replay marker for plugins whose transforms use Dataset ops outside
+# _Recorder's surface — they build directly every time (no memo).
+_UNRECORDABLE = object()
+_SITE_MEMO_MAX = 256
+
+
+def _plugin_replayed(fn, df: DataFrame) -> DataFrame:
+    """Record/replay memo for the per-site plugin transforms (round-13
+    verdict #4 — the normalize chain's _Recorder extended to the site
+    transform layer). A plugin is a pure function of its input
+    DataFrame's SCHEMA (its branches read ``df.columns`` only), so the
+    op sequence recorded on first build per (session, plugin, input
+    schema) replays prebuilt Column objects on later builds —
+    ``_dispatch_by_site`` otherwise rebuilds ~20 plugin expression
+    trees per invocation (driver py4j time, guide §4). Plugins using
+    ops outside _Recorder's surface fail the recording LOUDLY
+    (AttributeError) on first build and are memoized as unrecordable —
+    they simply build directly, semantics unchanged. This caches plan
+    STRUCTURE only, never data or results; every replay transforms its
+    own input."""
+    from eea_crawler_spark.operators.normalize_chain import _Recorder
+
+    spark = df.sparkSession
+    memo = spark.__dict__.setdefault("_eea_site_memo", {})
+    key = (
+        fn.__module__,
+        fn.__qualname__,
+        tuple((f.name, f.dataType.simpleString()) for f in df.schema.fields),
+    )
+    ops = memo.get(key)
+    if ops is _UNRECORDABLE:
+        return fn(df)
+    if ops is not None:
+        out = df
+        for name, args in ops:
+            out = getattr(out, name)(*args)
+        return out
+    try:
+        rec = fn(_Recorder(df, []))
+        if not isinstance(rec, _Recorder):
+            raise TypeError("plugin did not return the recorded frame")
+    except (AttributeError, TypeError):
+        while len(memo) >= _SITE_MEMO_MAX:
+            memo.pop(next(iter(memo)))
+        memo[key] = _UNRECORDABLE
+        return fn(df)
+    while len(memo) >= _SITE_MEMO_MAX:
+        memo.pop(next(iter(memo)))
+    memo[key] = rec._ops
+    return rec._df
 
 
 def _union_aligned(branches: list[DataFrame]) -> DataFrame:

