@@ -32,6 +32,7 @@ def _mk_vecs(spark, n=120, dim=12, seed=4, id_start=0):
     )
 
 
+@pytest.mark.slow
 def test_ann_maintenance_lifecycle(spark, tmp_path):
     acfg = AnnConfig(
         index_path=str(tmp_path / "ivf"),
@@ -128,6 +129,7 @@ def test_ann_maintenance_lifecycle(spark, tmp_path):
     assert "c0" in all_ids
 
 
+@pytest.mark.slow
 def test_sync_ann_leg_e2e(spark, tmp_path):
     """run_sync wiring: chunk embeddings feed the index (bootstrap on
     first sync, O(delta) append on later ones); deleting a doc removes
@@ -221,6 +223,7 @@ def test_sync_ann_leg_e2e(spark, tmp_path):
     assert served.isdisjoint(vanished)
 
 
+@pytest.mark.slow
 def test_ann_repair_in_place_serves_new_vector_same_night(spark, tmp_path):
     """repair_in_place (round-11 verdict #1 — the reference's
     doc_as_upsert semantics): a MODIFIED id's NEW vector serves the
@@ -277,6 +280,7 @@ def test_ann_repair_in_place_serves_new_vector_same_night(spark, tmp_path):
     assert r2.get("repaired", 0) == 0 and r2["appended"] == 0
 
 
+@pytest.mark.slow
 def test_ann_repair_purges_standing_ledger(spark, tmp_path):
     """Switching a ledgered index to repair_in_place: a re-delivered
     modified id that an earlier exclude-mode night ledgered is repaired
@@ -312,6 +316,7 @@ def test_ann_repair_purges_standing_ledger(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_ann_repair_crash_leaves_touched_ids_ledgered(
     spark, tmp_path, monkeypatch
 ):
@@ -373,6 +378,7 @@ def test_ann_repair_crash_leaves_touched_ids_ledgered(
     ]
 
 
+@pytest.mark.slow
 def test_ann_repair_scatter_escalates_to_rebuild(spark, tmp_path):
     """The pipeline honors the repair's prefer_rebuild hint (round-12
     verdict #3): on the scatter-plus-armed-drift shape with
@@ -454,6 +460,7 @@ def test_stale_ledger_midswap_crash_never_serves_stale(spark, tmp_path):
     assert ids == {"c1", "c2"}
 
 
+@pytest.mark.slow
 def test_rebuild_clears_orphaned_ledger_siblings(spark, tmp_path):
     """A rebuild resets the ledger INCLUDING a crashed compaction's
     __new orphan: otherwise _read_rel would resurrect the ghost ids,
@@ -493,6 +500,7 @@ def test_rebuild_clears_orphaned_ledger_siblings(spark, tmp_path):
     assert "c1" in served
 
 
+@pytest.mark.slow
 def test_sync_chunk_delete_without_ann(spark, tmp_path):
     """Round-11 ADVICE (low): a deleted doc's chunk rows must leave the
     chunks table even with the ANN leg OFF — the delete was previously
@@ -527,6 +535,7 @@ def test_sync_chunk_delete_without_ann(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ann_maintenance_modified_then_rebuild_serves_new_vector(
     spark, tmp_path
 ):

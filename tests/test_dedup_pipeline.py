@@ -93,6 +93,7 @@ def _flags(spark, dcfg):
     }
 
 
+@pytest.mark.slow
 def test_sync_dedup_leg_e2e(spark, env):
     paths, dcfg, cfg = env
     site = DupSite()
@@ -178,6 +179,7 @@ def test_dedup_leg_keep_by_quality(spark, env):
     assert keepers == [f"{SITE}/d2"]
 
 
+@pytest.mark.slow
 def test_dedup_leg_embedding_method(spark, tmp_path):
     """method='embedding': the composed leg over vectors — bootstrap
     (auto-banded state + exact self-join + CC + flags), nightly probe
@@ -241,6 +243,7 @@ def test_dedup_leg_embedding_method(spark, tmp_path):
     assert flags2 == flags
 
 
+@pytest.mark.slow
 def test_stale_ledger_rebuild_trigger(spark, tmp_path):
     """Modified docs accumulate in the stale ledger; needs_rebuild
     flips once the distinct stale fraction passes the config threshold;
@@ -291,6 +294,7 @@ def test_stale_ledger_rebuild_trigger(spark, tmp_path):
     assert r3["stale_total"] == 1 and r3["needs_rebuild"] == 0
 
 
+@pytest.mark.slow
 def test_rebuild_trigger_status_event_and_auto_rebuild(spark, tmp_path):
     """Round-10 verdict #1: the trigger is OBSERVABLE (a needs_rebuild
     event lands on the status stream) and, with rebuild_on_trigger +
@@ -359,6 +363,7 @@ def test_rebuild_trigger_status_event_and_auto_rebuild(spark, tmp_path):
         run_dedup_maintenance(spark, dcfg2, mod3, id_col="doc_id")
 
 
+@pytest.mark.slow
 def test_stale_ledger_compaction_preserves_trigger(spark, tmp_path):
     """Round-10 verdict #4: past max_files nightly appends the ledger
     folds to one distinct relation — same distinct id set, same
@@ -399,6 +404,7 @@ def test_stale_ledger_compaction_preserves_trigger(spark, tmp_path):
     ) is False
 
 
+@pytest.mark.slow
 def test_sync_dedup_leg_missing_column_raises(spark, env):
     """Round-10 ADVICE: when cfg.dedup is set but the configured data
     column is absent from a non-empty normalized batch, the leg must

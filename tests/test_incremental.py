@@ -89,6 +89,7 @@ def test_deletes_are_state_minus_listing(spark, listing, state):
 
 @given(cur=side, upd=side)
 @prop_settings
+@pytest.mark.slow
 def test_upsert_idempotent_and_update_wins(spark, cur, upd):
     schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]

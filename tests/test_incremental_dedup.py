@@ -183,6 +183,7 @@ def test_neardup_delta_equals_restricted_self_join(spark, monkeypatch):
     assert got_blocked == want
 
 
+@pytest.mark.slow
 def test_neardup_escalation_gate(spark):
     """Round-8 VERDICT #5: past NEARDUP_LSH_ESCALATE_BYTES the exact
     operator delegates to the LSH twin with threshold-derived banding —
@@ -228,6 +229,7 @@ def test_neardup_escalation_gate(spark):
     assert low_gate == low_exact
 
 
+@pytest.mark.slow
 def test_ngram_delta_serving_state(spark, text_split, tmp_path):
     """The FULL serving layout (prefix/prefix_df/hp0 persisted): probe
     output identical to the stateless delta probe and the restricted
@@ -258,6 +260,7 @@ def test_ngram_delta_serving_state(spark, text_split, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ngram_delta_serving_state_tipped_hot(spark, tmp_path):
     """The hard statistics case: the DELTA tips a shingle's union df
     over max_df, so hot-set membership AND corpus docs' hp counts
@@ -324,6 +327,7 @@ def test_ngram_delta_serving_state_tipped_hot(spark, tmp_path):
     assert stateless == want
 
 
+@pytest.mark.slow
 def test_minhash_delta_serving_state(spark, text_split, tmp_path):
     """Full serving layout for MinHash: the persisted band relation
     (plus arrays/sigs) drives the probe — output identical to the
@@ -356,6 +360,7 @@ def test_minhash_delta_serving_state(spark, text_split, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_neardup_lsh_delta_equals_restricted_union(spark, tmp_path):
     """Incremental banded near-dup (the embedding family's SCALE
     incremental form): probe output == neardup_pairs_lsh over the
@@ -516,6 +521,7 @@ def test_prefix_dedup_delta_equals_restricted_union(spark, tmp_path):
         DD.prefix_dedup(new, against_state={"spec": state["spec"]})
 
 
+@pytest.mark.slow
 def test_embedding_state_auto_band_params(spark, tmp_path):
     """band_planes='auto' (round-9 verdict): the default state must be
     probe-usable for the declared delta — planes sized so expected
@@ -599,6 +605,7 @@ def test_neardup_lsh_probe_refuses_full_fan(spark, tmp_path, monkeypatch):
     assert got_fan == got_pair
 
 
+@pytest.mark.slow
 def test_append_text_dedup_state_equals_rebuild(spark, tmp_path):
     """Nightly state maintenance: append(new batch) must leave every
     persisted relation equal to a full rebuild over the union —
@@ -659,6 +666,7 @@ def test_append_text_dedup_state_equals_rebuild(spark, tmp_path):
     ) == {"appended": 0, "tipped": 0}
 
 
+@pytest.mark.slow
 def test_append_embedding_state_equals_rebuild(spark, tmp_path):
     """Embedding state append: signed relation and spec equal a full
     rebuild over the union; probes see the appended rows."""
@@ -701,6 +709,7 @@ def test_append_embedding_state_equals_rebuild(spark, tmp_path):
     assert pa == pr and pa
 
 
+@pytest.mark.slow
 def test_repair_embedding_state_equals_rebuild(spark, tmp_path):
     """Embedding-state update-in-place (round 12): evicting modified
     ids partition-locally and re-appending their NEW vectors leaves
@@ -790,6 +799,7 @@ def test_repair_embedding_state_equals_rebuild(spark, tmp_path):
     assert pa == pr and pa
 
 
+@pytest.mark.slow
 def test_repair_embedding_state_partition_local(spark, tmp_path):
     """The O(stale) property is PHYSICAL: repairing one id leaves
     every untouched vb bucket's files byte-identical, and refuses
@@ -856,6 +866,7 @@ def test_repair_embedding_state_partition_local(spark, tmp_path):
         SIM.repair_embedding_state(spark, legacy, updates=mod)
 
 
+@pytest.mark.slow
 def test_dedup_maintenance_embedding_repair_in_place(spark, tmp_path):
     """The composed leg with DedupConfig.repair_in_place: a modified
     doc's FUTURE probes compare against its NEW vector (old-vector
@@ -963,6 +974,7 @@ def test_dedup_maintenance_embedding_repair_in_place(spark, tmp_path):
 
 
 @pytest.mark.parametrize("exact_mode", [False, True])
+@pytest.mark.slow
 def test_dedup_repair_changed_and_deleted_counts_as_deleted(
     spark, tmp_path, exact_mode
 ):
@@ -1008,6 +1020,7 @@ def test_dedup_repair_changed_and_deleted_counts_as_deleted(
     assert r["repaired"] == 0
 
 
+@pytest.mark.slow
 def test_repair_embedding_spec_n_self_heals_after_crash(
     spark, tmp_path, monkeypatch
 ):
@@ -1087,6 +1100,7 @@ def _text_state_rows(spark, path):
     return out
 
 
+@pytest.mark.slow
 def test_repair_text_dedup_state_equals_rebuild(spark, tmp_path):
     """THE text-repair pin (round-12 verdict #1): evicting modified/
     deleted ids partition-locally, healing the prefix statistics by
@@ -1138,6 +1152,7 @@ def test_repair_text_dedup_state_equals_rebuild(spark, tmp_path):
     assert pa == pb and pa
 
 
+@pytest.mark.slow
 def test_repair_text_dedup_state_partition_local(spark, tmp_path):
     """The O(stale) property is PHYSICAL: repairing one id leaves
     every untouched tb bucket's files byte-identical across all five
@@ -1197,6 +1212,7 @@ def test_repair_text_dedup_state_partition_local(spark, tmp_path):
         DD.repair_text_dedup_state(spark, legacy, updates=mod)
 
 
+@pytest.mark.slow
 def test_repair_text_crash_retry_heals_aggregates(
     spark, tmp_path, monkeypatch
 ):
@@ -1254,6 +1270,7 @@ def test_repair_text_crash_retry_heals_aggregates(
         assert _text_state_rows(spark, p) == want
 
 
+@pytest.mark.slow
 def test_dedup_maintenance_text_repair_in_place(spark, tmp_path):
     """The composed leg with repair_in_place over a TEXT method
     (round 13): a modified doc's FUTURE probes compare against its NEW
@@ -1322,6 +1339,7 @@ def test_dedup_maintenance_text_repair_in_place(spark, tmp_path):
     assert 11 not in ids
 
 
+@pytest.mark.slow
 def test_exact_label_maintenance_text_matches_scratch(spark, tmp_path):
     """The exact-labels pin on a TEXT method (round 13): with
     pairs_path + repair_in_place + method='ngram', every night's
@@ -1440,6 +1458,7 @@ def _labels_and_flags(spark, dcfg):
     return labels, flags
 
 
+@pytest.mark.slow
 def test_exact_label_maintenance_matches_scratch(spark, tmp_path):
     """THE exact-labels pin (round 12, closing the monotonicity seam):
     with pairs_path + repair_in_place, every night's labels AND flags
@@ -1613,6 +1632,7 @@ def test_append_embedding_state_refuses_legacy_layout(spark, tmp_path):
         DD.append_embedding_state(spark, p, new)
 
 
+@pytest.mark.slow
 def test_replace_dir_crash_windows_recoverable(spark, tmp_path):
     """_replace_dir crash discipline (round-10 ADVICE): a crash between
     the aside-rename and the swap-in leaves dst missing but __new
@@ -1660,6 +1680,7 @@ def test_replace_dir_crash_windows_recoverable(spark, tmp_path):
     ) == want_df
 
 
+@pytest.mark.slow
 def test_append_after_midswap_crash_heals_and_succeeds(spark, tmp_path):
     """Round-11 ADVICE (medium): after a mid-swap crash the aggregates
     sit in their __new dirs; the next append used to resolve them there

@@ -126,6 +126,7 @@ def test_ivf_append_contracts(spark, built):
     assert r["appended"] == 0 and r["needs_rebuild"] == 0
 
 
+@pytest.mark.slow
 def test_ivf_drift_trigger_and_rebuild_reset(spark, tmp_path):
     """The rebuild cadence: a delta from a DIFFERENT distribution (a
     remote blob) drags the implied means off the frozen centroids —
@@ -184,6 +185,7 @@ def _modified(df, offset=20.0):
     )
 
 
+@pytest.mark.slow
 def test_ivf_repair_upsert_delete_exact(spark, tmp_path):
     """THE repair pin (round-11 verdict #1): after a partition-local
     repair — modified vectors replaced in place, deleted ids evicted,
@@ -347,6 +349,7 @@ def test_ivf_repair_contracts(spark, tmp_path):
     assert r2["removed"] == 0 and r2["touched_clusters"] == 0
 
 
+@pytest.mark.slow
 def test_ivf_repair_scatter_arbiter(spark, tmp_path):
     """Repair-vs-rebuild arbiter (round-12 verdict #3): the
     prefer_rebuild hint fires exactly on the conjunction — touched

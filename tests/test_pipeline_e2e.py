@@ -58,6 +58,7 @@ def paths(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_full_sync_then_incremental(spark, paths):
     site = StubSite()
     cfg = SyncConfig(site_url=SITE, site_id="eea")
@@ -272,6 +273,7 @@ def test_failures_enter_quarantine(spark, paths):
     assert f"{SITE}/d3" not in ok and len(ok) == 4
 
 
+@pytest.mark.slow
 def test_quarantined_doc_is_not_deleted(spark, paths):
     """A quarantined doc the source still LISTS must never become a
     deletion candidate (the reference removes skip_docs from the
@@ -312,6 +314,7 @@ def test_quarantined_doc_is_not_deleted(spark, paths):
 
 
 @pytest.mark.parametrize("buckets", [None, 4])
+@pytest.mark.slow
 def test_full_sync_incremental_on_mor_backend(spark, paths, buckets):
     """The same sync lifecycle on the merge-on-read state layout
     (state_backend='mor'): every merge appends a segment instead of

@@ -105,6 +105,7 @@ class FullStubSite(TwoTypeSite):
         return 404, "gone"
 
 
+@pytest.mark.slow
 def test_run_sync_through_datasource_scan(spark, tmp_path):
     from eea_crawler_spark.pipeline import SyncConfig, SyncPaths, run_sync
 

@@ -185,6 +185,7 @@ class StubSite:
         )
 
 
+@pytest.mark.slow
 def test_renormalize_rebuilds_searchui_from_raw(spark, paths):
     site = StubSite()
     run_sync(spark, SyncConfig(site_url=SITE, site_id="eea"), paths, site)
@@ -200,6 +201,7 @@ def test_renormalize_rebuilds_searchui_from_raw(spark, paths):
     assert rebuilt[f"{SITE}/d0"]["cluster_name"] == "eea"  # plugins re-ran
 
 
+@pytest.mark.slow
 def test_renormalize_portal_type_filter_and_update_only(spark, paths):
     site = StubSite()
     run_sync(spark, SyncConfig(site_url=SITE, site_id="eea"), paths, site)
@@ -244,6 +246,7 @@ def test_nlp_registry_dispatch_and_chunks(spark):
 # ---- multi-site orchestration + app mutex --------------------------------
 
 
+@pytest.mark.slow
 def test_run_sync_all_multi_site_and_mutex(spark, tmp_path):
     from eea_crawler_spark.pipeline import (
         SyncConfig,
