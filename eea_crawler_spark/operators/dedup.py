@@ -1530,12 +1530,15 @@ def minhash_lsh_pairs(
     banded = _wide_by(
         _band_relation(sigs, num_hashes, bands), "band_idx", "band_hash"
     )
+    _obs_cand = Observation()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_idx", "band_hash"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
         .distinct()
+    ).observe(  # shortlist size rides the checkpoint (§1.2)
+        _obs_cand, F.count(F.lit(1)).alias("c")
     ).localCheckpoint(eager=True)  # the near-dup candidate shortlist
     est = (
         cand.join(sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a")), ["doc_a"])
@@ -1581,12 +1584,19 @@ def minhash_lsh_pairs(
             df.join(cand_ids, [id_col], "left_semi"), text_col, id_col, n
         ).localCheckpoint(eager=True)
     exact = _pair_jaccard_arrays(arrs_cand, cand)
-    return (
+    out = (
         est.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    # trailing sort (round-14, same gate class as ngram_jaccard_pairs):
+    # orderBy's range-sampling re-executes the est/exact joins — both
+    # checkpoint-bounded, harmless on a shortlist; past
+    # SINGLE_SORT_MAX_ROWS candidates the lazy checkpoint keeps single
+    # execution with a parallel sort. Rows and order identical.
+    if int(_obs_cand.get["c"]) <= SINGLE_SORT_MAX_ROWS:
+        return out.orderBy("doc_a", "doc_b")
+    return out.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 def _minhash_lsh_pairs_delta(
@@ -1685,6 +1695,7 @@ def _minhash_lsh_pairs_delta(
         )
     else:
         banded_all = _band_relation(sigs_all, num_hashes, bands)
+    _obs_cand = Observation()
     cand = (
         banded_all.alias("y")
         .join(banded_new.alias("x"), ["band_idx", "band_hash"])
@@ -1698,6 +1709,8 @@ def _minhash_lsh_pairs_delta(
             F.greatest(F.col("x.id"), F.col("y.id")).alias("doc_b"),
         )
         .distinct()
+    ).observe(  # shortlist size rides the checkpoint (§1.2)
+        _obs_cand, F.count(F.lit(1)).alias("c")
     ).localCheckpoint(eager=True)  # the near-dup candidate shortlist
     # est/verify only ever touch CANDIDATE docs' signatures — prune the
     # corpus-sized signature relation by the (checkpointed, small)
@@ -1741,12 +1754,15 @@ def _minhash_lsh_pairs_delta(
         .join(F.broadcast(cand_ids), ["id"], "left_semi")
     ).localCheckpoint(eager=True)
     exact = _pair_jaccard_arrays(arrs_cand, cand)
-    return (
+    out = (
         est.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    # same trailing-sort gate as the self-join path (round-14)
+    if int(_obs_cand.get["c"]) <= SINGLE_SORT_MAX_ROWS:
+        return out.orderBy("doc_a", "doc_b")
+    return out.localCheckpoint(eager=False).orderBy("doc_a", "doc_b")
 
 
 def build_text_dedup_state(

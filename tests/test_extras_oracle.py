@@ -330,6 +330,14 @@ def test_ngram_sort_gate_orderby_equals_single_task(
         )
     )
     single_incr = _rows(dedup_cluster_incr(spark, sf_dir))
+    single_mh = _rows(
+        dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    )
+    single_mh_delta = _rows(
+        dedup.minhash_lsh_pairs(
+            new, threshold=JACCARD_THRESHOLD, against=corpus
+        )
+    )
     monkeypatch.setattr(dedup, "SINGLE_SORT_MAX_ROWS", 0)
     assert single and _rows(
         dedup.ngram_jaccard_pairs(
@@ -344,6 +352,14 @@ def test_ngram_sort_gate_orderby_equals_single_task(
     assert single_incr and _rows(
         dedup_cluster_incr(spark, sf_dir)
     ) == single_incr
+    assert single_mh and _rows(
+        dedup.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    ) == single_mh
+    assert single_mh_delta and _rows(
+        dedup.minhash_lsh_pairs(
+            new, threshold=JACCARD_THRESHOLD, against=corpus
+        )
+    ) == single_mh_delta
 
 
 def test_arrays_param_contract_enforced(spark, sf_dir):
